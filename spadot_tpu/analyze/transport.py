@@ -1,0 +1,119 @@
+"""Full-cell optimal-transport analysis — replaces the external `wot`
+dependency (Waddington-OT) used at SpaDOT/utils/_analyze_utils.py:108-138.
+
+For every pair of consecutive days, an unbalanced entropic transport map
+between ALL cells of the two timepoints is computed with the same Sinkhorn
+engine used during training (ops/sinkhorn.py; epsilon=0.05, epsilon0=1,
+lambda1=0.1, lambda2=5, growth_iters=3 — _analyze_utils.py:124). Growth
+iterations re-estimate the source marginal from the plan's row sums and the
+LAST plan is kept (the wot OTModel convention). Transport maps are written to
+`<output_dir>/OT/tmaps_{d0}_{d1}.h5ad` and per-cell growth rates to
+`OT/growth_rates_{d0}_{d1}.txt` (analogue of the reference's tmap directory
+and OT_g.txt side artifact).
+
+Transition tables aggregate the plan over (timepoint_kmeans) cell sets:
+table[s0, s1] = total transported mass from set s0 to set s1. The reference's
+dotplot normalizes rows and columns and takes the elementwise min
+(_analyze_utils.py:184-193), which is invariant to per-set scaling, so this
+raw-mass definition yields identical plots.
+
+These full-cell n×m problems (10^3-10^5 cells a side) are exactly where the
+TPU Sinkhorn pays: each iteration is two fused logsumexp sweeps over the cost
+matrix on the VPU, optionally sharded over the mesh rows.
+"""
+import os
+
+import numpy as np
+import pandas as pd
+from scipy.spatial.distance import cdist
+
+from spadot_tpu.io import AnnData
+
+
+def _transport_map_growth(X0, X1, ot_config, growth_iters=3, backend="jax"):
+    """Growth-iterated unbalanced transport map; returns (last plan, growths)."""
+    from spadot_tpu.ops.sinkhorn import (
+        sinkhorn_duality_gap_jax,
+        sinkhorn_duality_gap_np,
+    )
+
+    C = cdist(X0, X1, metric="sqeuclidean")
+    C = C / np.median(C)
+    kwargs = dict(
+        lambda1=ot_config.get("lambda1", 0.1),
+        lambda2=ot_config.get("lambda2", 5.0),
+        epsilon=ot_config.get("epsilon", 0.05),
+        batch_size=ot_config.get("batch_size", 5),
+        tolerance=ot_config.get("tolerance", 1e-8),
+        epsilon0=ot_config.get("epsilon0", 1),
+        max_iter=ot_config.get("max_iter", 1e7),
+    )
+    solver = sinkhorn_duality_gap_jax if backend == "jax" else sinkhorn_duality_gap_np
+    g = np.ones(C.shape[0])
+    growths = [g]
+    R = None
+    for _ in range(int(growth_iters)):
+        R = np.asarray(solver(C, g, **kwargs), dtype=np.float64)
+        g = R.sum(axis=1)
+        growths.append(g)
+    return R, growths
+
+
+def ot_analysis(args, adata, ot_config=None):
+    """Compute all consecutive-day transport maps + transition tables
+    (parity with OT_analysis, _analyze_utils.py:108-138)."""
+    ot_config = dict(ot_config or {})
+    ot_config.setdefault("epsilon", 0.05)
+    ot_config.setdefault("epsilon0", 1)
+    ot_config.setdefault("lambda1", 0.1)
+    ot_config.setdefault("lambda2", 5.0)
+    growth_iters = ot_config.get("growth_iters", 3)
+
+    day_codes = adata.obs["timepoint"].astype("category").cat.codes.to_numpy()
+    adata.obs["day"] = day_codes
+    adata.obs["cell_growth_rate"] = 1
+    adata.obs["SpaDOT_pred_labels"] = (
+        adata.obs["timepoint"].astype(str) + "_" + adata.obs["kmeans"].astype(str)
+    )
+    tmap_dir = os.path.join(args.output_dir, "OT")
+    os.makedirs(tmap_dir, exist_ok=True)
+
+    days = np.sort(np.unique(day_codes))
+    X = adata.toarray()
+    labels = adata.obs["SpaDOT_pred_labels"].to_numpy()
+    obs_names = adata.obs_names.to_numpy()
+
+    backend = ot_config.get("backend", "jax")
+    for tp_i in range(len(days) - 1):
+        d0, d1 = days[tp_i], days[tp_i + 1]
+        rows0 = np.where(day_codes == d0)[0]
+        rows1 = np.where(day_codes == d1)[0]
+        R, growths = _transport_map_growth(
+            X[rows0], X[rows1], ot_config, growth_iters=growth_iters, backend=backend
+        )
+        # persist the transport map + growth rates (tmap-directory analogue)
+        tmap = AnnData(
+            R.astype(np.float32),
+            obs=pd.DataFrame(index=obs_names[rows0]),
+            var=pd.DataFrame(index=obs_names[rows1]),
+        )
+        tmap.write_h5ad(os.path.join(tmap_dir, f"tmaps_{d0}_{d1}.h5ad"))
+        gdf = pd.DataFrame(
+            {f"g{i}": g for i, g in enumerate(growths)}, index=obs_names[rows0]
+        )
+        gdf.to_csv(os.path.join(tmap_dir, f"growth_rates_{d0}_{d1}.txt"), sep="\t")
+
+        # transition table over (timepoint_kmeans) cell sets
+        sets0 = sorted(set(labels[rows0]))
+        sets1 = sorted(set(labels[rows1]))
+        M0 = np.stack([(labels[rows0] == s).astype(np.float64) for s in sets0], axis=1)
+        M1 = np.stack([(labels[rows1] == s).astype(np.float64) for s in sets1], axis=1)
+        table = M0.T @ R @ M1
+        tt = AnnData(
+            table,
+            obs=pd.DataFrame(index=pd.Index(sets0)),
+            var=pd.DataFrame(index=pd.Index(sets1)),
+        )
+        tt.write_h5ad(
+            os.path.join(args.output_dir, f"{args.prefix}transition_table_{d0}_{d1}.h5ad")
+        )

@@ -1,0 +1,33 @@
+"""Spatial k-NN graph construction as padded fixed-degree neighbor lists.
+
+Reference builds a DENSE (n, n) adjacency with self-loops
+(SpaDOT/utils/_utils.py:52-100) and feeds it through dense_to_sparse +
+NeighborLoader. Here the graph goes straight from the sklearn k-NN query to a
+static (n, K+1) int32 neighbor-index array (slot 0 = self-loop) plus a
+validity mask — O(n·K) memory, jit-friendly, and the exact degree rule of the
+reference is preserved: k = min(max_neighbors, knn_cutoff * round(n/1000))
+(_train_utils.py:69).
+"""
+import numpy as np
+from sklearn.neighbors import NearestNeighbors
+
+
+def effective_k(n_obs: int, knn_cutoff: int, max_neighbors: int) -> int:
+    k = min(int(max_neighbors), int(knn_cutoff) * int(round(n_obs / 1000.0)))
+    return max(k, 1)
+
+
+def build_knn_graph(coords: np.ndarray, k: int):
+    """Return (nbr (n, k+1) int32, nbr_mask (n, k+1) float32).
+
+    Slot 0 is the self-loop (torch_geometric GATConv adds one by default;
+    the reference also adds one to its adjacency at _utils.py:99).
+    """
+    n = coords.shape[0]
+    k = min(k, n - 1)
+    nbrs = NearestNeighbors(n_neighbors=k + 1, algorithm="auto").fit(coords)
+    _, indices = nbrs.kneighbors(coords)
+    indices = indices[:, 1 : k + 1]  # drop the query point itself
+    nbr = np.concatenate([np.arange(n, dtype=np.int64)[:, None], indices], axis=1)
+    mask = np.ones_like(nbr, dtype=np.float32)
+    return nbr.astype(np.int32), mask

@@ -1,0 +1,119 @@
+"""Data preparation for training: per-timepoint device arrays, inducing
+points, and static-shape batch index tables.
+
+Mirrors prepare_dataloader (SpaDOT/utils/_train_utils.py:37-94) and
+_obtain_tp_loc_info (:118-140): coordinates are standardized per timepoint,
+concatenated with a one-hot timepoint encoding, and `inducing_point_nums`
+rows are sampled globally then split per timepoint (keeping only x, y).
+Instead of a PyG NeighborLoader the batches are precomputed contiguous index
+blocks (NeighborLoader runs unshuffled in the reference) padded to a static
+(num_batches, batch_size) table with a mask, so the whole epoch is one
+`lax.scan`.
+"""
+import random
+from collections import OrderedDict
+
+import numpy as np
+
+from spadot_tpu.data.graph import build_knn_graph, effective_k
+
+
+def standardize_locations(adata):
+    """Per-timepoint StandardScaler on coords + one-hot timepoint columns.
+
+    Returns loc (n, 2 + n_tp) float64 like _obtain_tp_loc_info.
+    """
+    tp_codes = adata.obs["timepoint"].astype("category").cat.codes.to_numpy()
+    n_tp = int(tp_codes.max()) + 1
+    onehot = np.zeros((len(tp_codes), n_tp))
+    onehot[np.arange(len(tp_codes)), tp_codes] = 1.0
+    loc = np.asarray(adata.obsm["spatial"], dtype=np.float64)
+    loc_scaled = np.zeros_like(loc)
+    for i in range(n_tp):
+        rows = tp_codes == i
+        sub = loc[rows]
+        mean = sub.mean(axis=0)
+        std = sub.std(axis=0)
+        std[std == 0] = 1.0
+        loc_scaled[rows] = (sub - mean) / std
+    return np.concatenate([loc_scaled, onehot], axis=1)
+
+
+def make_batches(n: int, batch_size: int):
+    """Contiguous blocks of size batch_size, last block padded + masked."""
+    nb = max(1, (n + batch_size - 1) // batch_size)
+    idx = np.arange(nb * batch_size, dtype=np.int32)
+    mask = (idx < n).astype(np.float32)
+    idx = np.minimum(idx, n - 1)
+    return idx.reshape(nb, batch_size), mask.reshape(nb, batch_size)
+
+
+def prepare_data(adata, model_config):
+    """Build per-timepoint arrays + inducing points.
+
+    Returns dict:
+      timepoints: sorted list,
+      inducing_points: OrderedDict tp -> (m_tp, 2) float array,
+      N_train: OrderedDict tp -> int,
+      tp_data: OrderedDict tp -> dict(Y, coords, nbr, nbr_mask, N_train,
+                                      batch_idx, batch_mask, obs_rows),
+    """
+    loc = standardize_locations(adata)
+    n_total = loc.shape[0]
+    inducing_idx = random.sample(range(n_total), int(model_config["inducing_point_nums"]))
+    inducing_points = loc[inducing_idx, :]
+
+    timepoints = model_config["timepoints"]
+    tp_to_idx = {tp: i for i, tp in enumerate(timepoints)}
+    tp_assign = np.argmax(loc[:, 2:], axis=1)
+
+    inducing_points_dict, N_train_dict = OrderedDict(), OrderedDict()
+    ind_tp = np.argmax(inducing_points[:, 2:], axis=1)
+    tp_values = adata.obs["timepoint"].to_numpy()
+    for tp in timepoints:
+        i = tp_to_idx[tp]
+        inducing_points_dict[tp] = inducing_points[ind_tp == i, :2].copy()
+        N_train_dict[tp] = int(np.sum(tp_values == tp))
+
+    X = adata.toarray().astype(np.float32)
+    tp_data = OrderedDict()
+    batch_size = int(model_config["batch_size"])
+    for tp in timepoints:
+        i = tp_to_idx[tp]
+        rows = np.where(tp_assign == i)[0]
+        n = len(rows)
+        coords_tp = loc[rows, :2].astype(np.float32)
+        spatial_raw = np.asarray(adata.obsm["spatial"])[rows]
+        k = effective_k(n, model_config["knn_cutoff"], model_config["max_neighbors"])
+        nbr, nbr_mask = build_knn_graph(spatial_raw, k)
+        batch_idx, batch_mask = make_batches(n, batch_size)
+        tp_data[tp] = {
+            "Y": X[rows],
+            "coords": coords_tp,
+            "nbr": nbr,
+            "nbr_mask": nbr_mask,
+            "N_train": float(n),
+            "batch_idx": batch_idx,
+            "batch_mask": batch_mask,
+            "obs_rows": rows,
+        }
+    return {
+        "timepoints": timepoints,
+        "inducing_points": inducing_points_dict,
+        "N_train": N_train_dict,
+        "tp_data": tp_data,
+    }
+
+
+def save_inducing_points(args, inducing_points_dict):
+    """Write inducing_points.csv (parity with _utils.py:102-118)."""
+    import os
+    import pandas as pd
+
+    frames = []
+    for tp, pts in inducing_points_dict.items():
+        df = pd.DataFrame(pts, columns=["norm-pixel_x", "norm-pixel_y"])
+        df["timepoint"] = tp
+        frames.append(df)
+    out = pd.concat(frames, ignore_index=True)
+    out.to_csv(args.output_dir + os.sep + args.prefix + "inducing_points.csv", index=False)

@@ -1,0 +1,90 @@
+"""Neural modules: SVGP-branch encoder MLP, GAT encoder, shared decoder.
+
+Architecture parity with the reference (layer sizes/normalization/activation):
+- SVGPEncoder: Linear+BatchNorm1d+LeakyReLU stack then fc -> (mu, exp(logvar)),
+  SpaDOT/model/encoder.py:7-34.
+- GATEncoder: 3 GAT layers (hidden 512, 4 heads; concat on the first two,
+  head-mean on the third) then fc, SpaDOT/model/encoder.py:37-61.
+- Decoder: Linear+LayerNorm+LeakyReLU stack with a plain final Linear,
+  SpaDOT/model/decoder.py:3-20.
+
+Xavier-uniform kernel init everywhere, matching encoder.py:15,23,42-48.
+BatchNorm supports a row mask so padded batch rows never pollute statistics.
+"""
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from spadot_tpu.ops.gat import gat_attention
+
+_XAVIER = nn.initializers.xavier_uniform()
+
+
+class SVGPEncoder(nn.Module):
+    hidden_dims: Sequence[int]
+    z_dim: int
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, mask=None):
+        bn_mask = None if mask is None else mask[:, None].astype(bool)
+        for width in self.hidden_dims:
+            x = nn.Dense(width, kernel_init=_XAVIER)(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5
+            )(x, mask=bn_mask)
+            x = nn.leaky_relu(x, 0.01)
+        z = nn.Dense(self.z_dim * 2, kernel_init=_XAVIER)(x)
+        mu, logvar = jnp.split(z, 2, axis=1)
+        return mu, jnp.exp(logvar)
+
+
+class GATLayer(nn.Module):
+    out_features: int
+    heads: int
+    concat: bool = True
+
+    @nn.compact
+    def __call__(self, h, nbr, nbr_mask):
+        F_in = h.shape[-1]
+        H, F = self.heads, self.out_features
+        W = self.param("W", _XAVIER, (F_in, H * F))
+        att_src = self.param("att_src", _XAVIER, (H, F))
+        att_dst = self.param("att_dst", _XAVIER, (H, F))
+        bias_shape = (H * F,) if self.concat else (F,)
+        bias = self.param("bias", nn.initializers.zeros, bias_shape)
+        return gat_attention(
+            h, nbr, nbr_mask, W, att_src, att_dst, bias, concat=self.concat
+        )
+
+
+class GATEncoder(nn.Module):
+    hidden_dim: int
+    num_heads: int
+    z_dim: int
+
+    @nn.compact
+    def __call__(self, h, nbr, nbr_mask):
+        h = nn.leaky_relu(
+            GATLayer(self.hidden_dim, self.num_heads, concat=True)(h, nbr, nbr_mask), 0.01
+        )
+        h = nn.leaky_relu(
+            GATLayer(self.hidden_dim, self.num_heads, concat=True)(h, nbr, nbr_mask), 0.01
+        )
+        h = GATLayer(self.hidden_dim, self.num_heads, concat=False)(h, nbr, nbr_mask)
+        z = nn.Dense(self.z_dim * 2, kernel_init=_XAVIER)(h)
+        mu, logvar = jnp.split(z, 2, axis=1)
+        return mu, jnp.exp(logvar)
+
+
+class Decoder(nn.Module):
+    hidden_dims: Sequence[int]
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, z):
+        for width in self.hidden_dims:
+            z = nn.Dense(width, kernel_init=_XAVIER)(z)
+            z = nn.LayerNorm()(z)
+            z = nn.leaky_relu(z, 0.01)
+        return nn.Dense(self.output_dim, kernel_init=_XAVIER)(z)

@@ -1,0 +1,224 @@
+"""The SpaDOT model: dual SVGP+GAT variational encoder, shared decoder, and
+the composite training objective (ELBO + KMeans + OT coupling).
+
+Semantics follow SpaDOT/model/SpaDOT.py:52-94 (forward & loss terms),
+_train_utils.py:207-212 (loss weighting), :240-253 (KMeans loss) and
+:272-307 (OT loss), re-expressed as pure JAX functions over flax modules:
+
+- the per-latent-dim SVGP loop is vmapped (see ops/svgp.py);
+- the GAT branch runs on the FULL per-timepoint graph (exact message
+  passing — replaces the reference's sampled 2-hop NeighborLoader subgraphs,
+  which only approximate the 3-layer receptive field);
+- everything is mask-aware so padded batches keep shapes static under jit;
+- the KL "sign trick" of SpaDOT.py:77 (force SVGP_KL = -|ce - inside_elbo|)
+  is reproduced with jnp.abs, which is jit-compatible.
+"""
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from spadot_tpu.models.layers import Decoder, GATEncoder, SVGPEncoder
+from spadot_tpu.ops.svgp import gauss_cross_entropy, svgp_batch_terms
+
+
+class SpaDOTNet(nn.Module):
+    """Container module holding the three trainable subnetworks."""
+
+    input_dim: int
+    z_dim: int
+    svgp_encoder_layers: tuple
+    gat_encoder_hidden: int
+    gat_attention_heads: int
+    decoder_layers: tuple
+
+    def setup(self):
+        self.svgp_z_dim = self.z_dim // 2
+        self.gat_z_dim = self.z_dim // 2
+        self.svgp_encoder = SVGPEncoder(
+            hidden_dims=tuple(self.svgp_encoder_layers), z_dim=self.svgp_z_dim
+        )
+        self.gat_encoder = GATEncoder(
+            hidden_dim=self.gat_encoder_hidden,
+            num_heads=self.gat_attention_heads,
+            z_dim=self.gat_z_dim,
+        )
+        self.decoder = Decoder(
+            hidden_dims=tuple(self.decoder_layers), output_dim=self.input_dim
+        )
+
+    def encode_svgp(self, y, *, train: bool, mask=None):
+        return self.svgp_encoder(y, train=train, mask=mask)
+
+    def encode_gat(self, h, nbr, nbr_mask):
+        return self.gat_encoder(h, nbr, nbr_mask)
+
+    def decode(self, z):
+        return self.decoder(z)
+
+    def __call__(self, y, nbr, nbr_mask, *, train: bool):
+        """Wiring-only call used for parameter initialization."""
+        mu_s, var_s = self.encode_svgp(y, train=train)
+        mu_g, var_g = self.encode_gat(y, nbr, nbr_mask)
+        z = jnp.concatenate([mu_s, mu_g], axis=1)
+        return self.decode(z)
+
+
+def build_net(model_config: Dict[str, Any]) -> SpaDOTNet:
+    return SpaDOTNet(
+        input_dim=int(model_config["input_dim"]),
+        z_dim=int(model_config["z_dim"]),
+        svgp_encoder_layers=tuple(model_config["svgp_encoder_layers"]),
+        gat_encoder_hidden=int(model_config["gat_encoder_hidden"]),
+        gat_attention_heads=int(model_config["gat_attention_heads"]),
+        decoder_layers=tuple(model_config["decoder_layers"]),
+    )
+
+
+def forward_batch(
+    net: SpaDOTNet,
+    variables,
+    rng,
+    tp_data: Dict[str, Any],
+    svgp_state: Dict[str, Any],
+    batch_idx,
+    batch_mask,
+    *,
+    kernel_scale: float,
+    kernel_type: str,
+    jitter: float = 1e-2,
+    train: bool = True,
+):
+    """One batch forward pass -> losses + latent (SpaDOT.py:52-94).
+
+    tp_data: dict with Y (n, G), coords (n, 2), nbr (n, K), nbr_mask (n, K),
+      N_train (scalar).
+    batch_idx: (b,) int32 rows of this batch; batch_mask: (b,) validity.
+
+    Returns (losses dict, final_latent (b, z), new_batch_stats or None).
+    """
+    Y, coords = tp_data["Y"], tp_data["coords"]
+    nbr, nbr_mask = tp_data["nbr"], tp_data["nbr_mask"]
+    N_train = tp_data["N_train"]
+    svgp_L = net.z_dim // 2
+    gat_L = net.z_dim - net.z_dim // 2
+
+    y_b = Y[batch_idx] * batch_mask[:, None]
+    x_b = coords[batch_idx]
+    b_eff = jnp.maximum(jnp.sum(batch_mask), 1.0)
+
+    rng_svgp, rng_gat = jax.random.split(rng)
+
+    # --- SVGP branch (encoder on batch rows only, SpaDOT.py:54) ---
+    mutable = ["batch_stats"] if train else []
+    (qnet_mu, qnet_var), new_state = net.apply(
+        variables, y_b, train=train, mask=batch_mask,
+        method=SpaDOTNet.encode_svgp, mutable=mutable,
+    )
+    terms = svgp_batch_terms(
+        x_b, qnet_mu, qnet_var, batch_mask, N_train,
+        svgp_state["Z"], svgp_state["K_mm"], svgp_state["L_mm"],
+        kernel_scale=kernel_scale, jitter=jitter, kernel_type=kernel_type,
+    )
+    inside_elbo = jnp.sum(terms["recon"]) - (b_eff / N_train) * jnp.sum(terms["kl"])
+    ce = gauss_cross_entropy(terms["p_m"], terms["p_v"], qnet_mu, qnet_var)
+    ce_term = jnp.sum(ce * batch_mask[:, None])
+    # sign trick: SpaDOT.py:74-77 — always report a negative KL
+    svgp_kl = -jnp.abs(ce_term - inside_elbo) / svgp_L
+    eps_s = jax.random.normal(rng_svgp, terms["p_m"].shape, terms["p_m"].dtype)
+    svgp_sample = terms["p_m"] + eps_s * jnp.sqrt(terms["p_v"])
+
+    # --- GAT branch: full-graph message passing, batch rows extracted ---
+    vars_nostats = {"params": variables["params"]}
+    gat_mu_full, gat_var_full = net.apply(
+        vars_nostats, Y, nbr, nbr_mask, method=SpaDOTNet.encode_gat
+    )
+    gat_mu = gat_mu_full[batch_idx]
+    gat_var = gat_var_full[batch_idx]
+    eps_g = jax.random.normal(rng_gat, gat_mu.shape, gat_mu.dtype)
+    gat_sample = gat_mu + eps_g * jnp.sqrt(gat_var)
+    gat_kl_el = 1.0 + jnp.log(gat_var) - gat_mu**2 - gat_var
+    gat_kl = -0.5 * jnp.sum(gat_kl_el * batch_mask[:, None]) / gat_L
+
+    # --- decode + reconstruction (SpaDOT.py:87-89) ---
+    latent = jnp.concatenate([svgp_sample, gat_sample], axis=1)
+    y_hat = net.apply(vars_nostats, latent, method=SpaDOTNet.decode)
+    recon = jnp.sum(((y_b - y_hat) ** 2) * batch_mask[:, None]) / net.input_dim
+
+    # --- alignment of branch norms (SpaDOT.py:91-93) ---
+    norm_s = jnp.linalg.norm(svgp_sample, axis=1) / svgp_L
+    norm_g = jnp.linalg.norm(gat_sample, axis=1) / gat_L
+    align = jnp.sum(((norm_s - norm_g) ** 2) * batch_mask)
+
+    losses = {
+        "Recon": recon,
+        "SVGP_KL": svgp_kl,
+        "GAT_KL": gat_kl,
+        "alignment": align,
+    }
+    return losses, latent, (new_state if train else None)
+
+
+def kmeans_loss(latent, batch_idx, batch_mask, assignments, centers, z_dim):
+    """KMeans pull toward frozen centroids (_train_utils.py:240-253).
+
+    loss = ||latent - centers[assign]||_F^2 / z_dim / (#clusters present).
+    """
+    assign_b = assignments[batch_idx]
+    diff2 = jnp.sum((latent - centers[assign_b]) ** 2, axis=1) * batch_mask
+    k = centers.shape[0]
+    onehot = jax.nn.one_hot(assign_b, k, dtype=latent.dtype) * batch_mask[:, None]
+    n_present = jnp.maximum(jnp.sum(jnp.sum(onehot, axis=0) > 0), 1.0)
+    return jnp.sum(diff2) / latent.shape[1] / n_present
+
+
+def ot_loss(latent, batch_idx, batch_mask, assignments, centers, prev_centers, gamma_rownorm):
+    """OT transport-cost pull between consecutive timepoints
+    (_train_utils.py:272-307).
+
+    Batch cluster centers = mean of batch latents per cluster, falling back to
+    the stored full-data centroid for clusters absent from the batch; cost is
+    the euclidean distance between previous-timepoint centroids and these
+    centers; loss = mean(gamma ⊙ cost) with gamma row-normalized.
+    """
+    k = centers.shape[0]
+    assign_b = assignments[batch_idx]
+    onehot = jax.nn.one_hot(assign_b, k, dtype=latent.dtype) * batch_mask[:, None]
+    counts = jnp.sum(onehot, axis=0)  # (k,)
+    sums = onehot.T @ latent  # (k, z)
+    batch_centers = jnp.where(
+        counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centers
+    )
+    d2 = (
+        jnp.sum(prev_centers**2, axis=1)[:, None]
+        - 2.0 * prev_centers @ batch_centers.T
+        + jnp.sum(batch_centers**2, axis=1)[None, :]
+    )
+    cost = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    return jnp.mean(gamma_rownorm * cost)
+
+
+def full_latent(net, variables, tp_data, svgp_state, *, kernel_scale, kernel_type, jitter=1e-2):
+    """Posterior means over all spots of a timepoint (no sampling) —
+    all_latent_samples (SpaDOT.py:96-123): SVGP posterior p_m concat GAT mu.
+
+    Runs in eval mode (BatchNorm running stats) with the full data as the
+    "batch" (N/b ratio = 1).
+    """
+    Y, coords = tp_data["Y"], tp_data["coords"]
+    n = Y.shape[0]
+    mask = jnp.ones(n, Y.dtype)
+    qnet_mu, qnet_var = net.apply(
+        variables, Y, train=False, mask=None, method=SpaDOTNet.encode_svgp
+    )
+    terms = svgp_batch_terms(
+        coords, qnet_mu, qnet_var, mask, jnp.asarray(n, Y.dtype),
+        svgp_state["Z"], svgp_state["K_mm"], svgp_state["L_mm"],
+        kernel_scale=kernel_scale, jitter=jitter, kernel_type=kernel_type,
+    )
+    vars_nostats = {"params": variables["params"]}
+    gat_mu, _ = net.apply(
+        vars_nostats, Y, tp_data["nbr"], tp_data["nbr_mask"], method=SpaDOTNet.encode_gat
+    )
+    return jnp.concatenate([terms["p_m"], gat_mu], axis=1)

@@ -1,0 +1,72 @@
+"""Graph attention over padded fixed-degree neighbor lists (XLA path).
+
+Replaces torch_geometric's GATConv + NeighborLoader sampling
+(SpaDOT/model/encoder.py:41-46, SpaDOT/utils/_train_utils.py:80-85) with a
+TPU-native formulation: the spatial k-NN graph is stored as a dense (n, K)
+int32 neighbor-index array plus a (n, K) mask (self-loop in slot 0), so
+attention is a masked softmax over a static K axis — no scatter ops, no
+dynamic shapes, no dense n×n adjacency (the reference builds one at
+SpaDOT/utils/_utils.py:98-99; we never do).
+
+Memory design: the (n, K, H·F) gathered-neighbor tensor is never
+materialized. Attention logits need only the (n, H) per-node scores, and the
+weighted aggregation runs as a `lax.scan` over the K neighbor slots with an
+(n, H·F) accumulator — O(n·K·H) + O(n·H·F) live memory instead of O(n·K·H·F).
+A fused Pallas kernel for this op lives in `gat_pallas.py`.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def gat_attention(
+    h, nbr, nbr_mask, W, att_src, att_dst, bias, *, concat=True, negative_slope=0.2
+):
+    """One multi-head GAT layer.
+
+    Args:
+      h: (n, F_in) node features.
+      nbr: (n, K) int32 neighbor indices (self included); padded slots point
+        anywhere valid and are masked out.
+      nbr_mask: (n, K) 1.0/0.0 validity mask.
+      W: (F_in, H*F) projection.
+      att_src/att_dst: (H, F) attention vectors (PyG convention: src=neighbor
+        j contribution, dst=center i contribution).
+      bias: (H*F,) if concat else (F,).
+      concat: concatenate heads (layers 1-2 of the reference) or average
+        (layer 3, encoder.py:45 concat=False).
+
+    Returns (n, H*F) if concat else (n, F).
+    """
+    n = h.shape[0]
+    HF = W.shape[1]
+    H = att_src.shape[0]
+    F = HF // H
+    Wx = (h @ W).reshape(n, H, F)
+    e_src = jnp.einsum("nhf,hf->nh", Wx, att_src)  # neighbor-side scores
+    e_dst = jnp.einsum("nhf,hf->nh", Wx, att_dst)  # center-side scores
+
+    # logits over the K neighbor slots: (n, K, H)
+    e = e_dst[:, None, :] + e_src[nbr]
+    e = jax.nn.leaky_relu(e, negative_slope)
+    e = jnp.where(nbr_mask[:, :, None] > 0, e, -jnp.inf)
+    alpha = jax.nn.softmax(e, axis=1)
+    alpha = jnp.where(nbr_mask[:, :, None] > 0, alpha, 0.0)
+
+    # weighted aggregation: scan over neighbor slots, (n, H, F) accumulator
+    Wx_flat = Wx  # (n, H, F)
+
+    def body(acc, k):
+        idx = nbr[:, k]
+        contrib = alpha[:, k, :, None] * Wx_flat[idx]
+        return acc + contrib, None
+
+    acc0 = jnp.zeros((n, H, F), Wx.dtype)
+    out, _ = jax.lax.scan(body, acc0, jnp.arange(nbr.shape[1]))
+
+    if concat:
+        out = out.reshape(n, H * F)
+    else:
+        out = jnp.mean(out, axis=1)
+    return out + bias

@@ -1,0 +1,89 @@
+"""Device-resident KMeans (kmeans++ init, Lloyd iterations, multi-restart).
+
+Replaces the host sklearn.KMeans calls of the reference
+(SpaDOT/utils/_train_utils.py:264-266, _analyze_utils.py:32,72,100) so the
+per-epoch centroid refresh stays on the TPU: assignment is one (n, k) matmul
+on the MXU, the update is a one-hot matmul segment-mean, and the sklearn
+``n_init=10`` restart loop becomes a `vmap` over 10 seeded initializations
+running in parallel.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _plus_plus_init(key, X, k, mask):
+    """kmeans++ D^2-sampling initialization. X: (n, d), mask: (n,)."""
+    n = X.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, X.dtype)
+    key, sub = jax.random.split(key)
+    logits0 = jnp.where(mask > 0, 0.0, neg_inf)
+    first = jax.random.categorical(sub, logits0)
+    centers0 = jnp.zeros((k, X.shape[1]), X.dtype).at[0].set(X[first])
+    d2_0 = jnp.sum((X - X[first]) ** 2, axis=1)
+
+    def body(i, carry):
+        key, centers, d2 = carry
+        key, sub = jax.random.split(key)
+        w = jnp.where(mask > 0, d2, 0.0)
+        # guard: if all distances zero, fall back to uniform over valid rows
+        safe = jnp.where(jnp.sum(w) > 0, w, mask)
+        idx = jax.random.categorical(sub, jnp.log(safe + 1e-30) + logits0)
+        centers = centers.at[i].set(X[idx])
+        d2 = jnp.minimum(d2, jnp.sum((X - X[idx]) ** 2, axis=1))
+        return key, centers, d2
+
+    key, centers, _ = jax.lax.fori_loop(1, k, body, (key, centers0, d2_0))
+    return centers
+
+
+def _lloyd(X, centers, mask, n_iter):
+    """Fixed-iteration Lloyd; masked rows carry zero weight."""
+
+    def step(carry, _):
+        centers, _ = carry
+        d2 = (
+            jnp.sum(X * X, axis=1)[:, None]
+            - 2.0 * X @ centers.T
+            + jnp.sum(centers * centers, axis=1)[None, :]
+        )
+        assign = jnp.argmin(d2, axis=1)
+        onehot = jax.nn.one_hot(assign, centers.shape[0], dtype=X.dtype) * mask[:, None]
+        counts = jnp.sum(onehot, axis=0)
+        sums = onehot.T @ X
+        new_centers = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centers
+        )
+        inertia = jnp.sum(jnp.min(d2, axis=1) * mask)
+        return (new_centers, inertia), None
+
+    (centers, inertia), _ = jax.lax.scan(step, (centers, jnp.inf), None, length=n_iter)
+    return centers, inertia
+
+
+@partial(jax.jit, static_argnames=("k", "n_init", "n_iter"))
+def kmeans_fit(key, X, k, mask=None, n_init=10, n_iter=50):
+    """Run KMeans with `n_init` parallel restarts; return best by inertia.
+
+    Returns (centers (k, d), labels (n,), inertia scalar).
+    """
+    if mask is None:
+        mask = jnp.ones(X.shape[0], X.dtype)
+    mask = mask.astype(X.dtype)
+    keys = jax.random.split(key, n_init)
+
+    def one(key):
+        centers0 = _plus_plus_init(key, X, k, mask)
+        return _lloyd(X, centers0, mask, n_iter)
+
+    all_centers, all_inertia = jax.vmap(one)(keys)
+    best = jnp.argmin(all_inertia)
+    centers = all_centers[best]
+    d2 = (
+        jnp.sum(X * X, axis=1)[:, None]
+        - 2.0 * X @ centers.T
+        + jnp.sum(centers * centers, axis=1)[None, :]
+    )
+    labels = jnp.argmin(d2, axis=1)
+    return centers, labels, all_inertia[best]

@@ -1,0 +1,130 @@
+"""Sparse Variational Gaussian Process: posterior + ELBO terms.
+
+Math per SpaDOT/model/svgp.py:47-104 (Hensman-style inducing-point SVGP with
+the minibatch N/b correction), re-designed for TPU:
+
+- ``torch.linalg.inv`` (svgp.py:50,65,75) is replaced everywhere with jittered
+  Cholesky factorizations + triangular solves (`cho_solve`) — better
+  numerics and maps to XLA's batched TriangularSolve.
+- The per-latent-dim Python loop (SpaDOT/model/SpaDOT.py:57-66) becomes a
+  single `vmap` over the latent axis: one batched (L, m, m) Cholesky instead
+  of L sequential (m, m) inversions.
+- The O(b·m·m) lambda_mat tensor of the reference L3 trace term
+  (svgp.py:99-101) is never materialized: tr(A K⁻¹ k kᵀ K⁻¹) = wᵀ A w with
+  w = K⁻¹ k, computed row-wise with two (b, m) matmuls.
+- Padded batches are supported through a row `mask`: masked rows get zero
+  precision, so all shapes stay static under jit.
+
+All public functions are pure; parameters arrive as arrays.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_solve, cholesky
+
+from spadot_tpu.ops.kernels import kernel_diag, kernel_matrix
+
+LOG_2PI = 1.8378770664093453
+
+
+def _jittered_chol(mat, jitter):
+    eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
+    return cholesky(mat + jitter * eye, lower=True)
+
+
+def svgp_shared(Z, kernel_type="Gaussian", kernel_scale=0.1, jitter=1e-2):
+    """Precompute quantities shared across batches and latent dims for a
+    fixed inducing set Z (the reference keeps Z non-trainable: svgp.py:24-25).
+
+    Returns dict with K_mm and its jittered Cholesky.
+    """
+    K_mm = kernel_matrix(Z, Z, kernel_type, kernel_scale)
+    L_mm = _jittered_chol(K_mm, jitter)
+    return {"Z": Z, "K_mm": K_mm, "L_mm": L_mm}
+
+
+@partial(jax.jit, static_argnames=("kernel_type",))
+def svgp_batch_terms(
+    x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
+    kernel_scale=0.1, jitter=1e-2, kernel_type="Gaussian",
+):
+    """Posterior means/vars and ELBO terms for one batch, all latent dims.
+
+    Args:
+      x: (b, 2) spatial coords of the batch (padded rows arbitrary).
+      qnet_mu, qnet_var: (b, L) encoder outputs per latent dim.
+      mask: (b,) 1.0 for real rows, 0.0 for padding.
+      N_train: scalar — number of training spots at this timepoint.
+      Z/K_mm/L_mm: from `svgp_shared`.
+
+    Returns dict with:
+      p_m, p_v: (b, L) posterior mean/variance at x,
+      recon: (L,) inside-ELBO reconstruction terms (svgp.py:96-104),
+      kl: (L,) inside-ELBO KL terms (svgp.py:86-94).
+    """
+    m = Z.shape[0]
+    b_eff = jnp.maximum(jnp.sum(mask), 1.0)
+    ratio = N_train / b_eff
+
+    K_nm = kernel_matrix(x, Z, kernel_type, kernel_scale)  # (b, m)
+    K_nn = kernel_diag(x, kernel_type, kernel_scale) * mask  # (b,)
+    # W = K_nm @ K_mm^{-1}  (jittered), shared across dims
+    W = cho_solve((L_mm, True), K_nm.T).T  # (b, m)
+    diag_Qnn = jnp.sum(K_nm * W, axis=1)  # diag(K_nm K_mm^{-1} K_mn)
+
+    logdet_Kmm = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_mm)))
+
+    def per_dim(y_l, var_l):
+        prec = mask / var_l  # masked precision (b,)
+        Kmn_prec_Knm = (K_nm * prec[:, None]).T @ K_nm  # (m, m)
+        sigma_l = K_mm + ratio * Kmn_prec_Knm
+        L_sig = _jittered_chol(sigma_l, jitter)
+        rhs = K_nm.T @ (y_l * prec)  # (m,)
+        sig_inv_rhs = cho_solve((L_sig, True), rhs)
+        # posterior at x (svgp.py:76-79)
+        p_m = ratio * (K_nm @ sig_inv_rhs)
+        V2 = cho_solve((L_sig, True), K_nm.T)  # (m, b)
+        diag_Snn = jnp.sum(K_nm * V2.T, axis=1)
+        p_v = K_nn - diag_Qnn + diag_Snn
+        p_v = jnp.maximum(p_v, 1e-10)  # guard for the sqrt in sampling
+        # mu_hat / A_hat (svgp.py:81-82)
+        mu_hat = ratio * (K_mm @ sig_inv_rhs)  # (m,)
+        A_hat = K_mm @ cho_solve((L_sig, True), K_mm)  # (m, m)
+        # KL term (svgp.py:86-94)
+        L_A = _jittered_chol(A_hat, jitter)
+        logdet_A = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_A)))
+        Kmm_inv_A = cho_solve((L_mm, True), A_hat)
+        Kmm_inv_mu = cho_solve((L_mm, True), mu_hat)
+        kl = 0.5 * (
+            logdet_Kmm - logdet_A - m
+            + jnp.trace(Kmm_inv_A)
+            + jnp.sum(mu_hat * Kmm_inv_mu)
+        )
+        # L3 reconstruction term (svgp.py:96-104)
+        mean_vector = K_nm @ Kmm_inv_mu  # (b,)
+        K_tilde = prec * (K_nn - diag_Qnn)
+        WA = W @ A_hat  # (b, m)
+        trace_terms = prec * jnp.sum(WA * W, axis=1)
+        recon = -0.5 * (
+            jnp.sum(K_tilde)
+            + jnp.sum(trace_terms)
+            + jnp.sum(mask * jnp.log(var_l))
+            + b_eff * LOG_2PI
+            + jnp.sum(prec * (y_l - mean_vector) ** 2)
+        )
+        return p_m, p_v, recon, kl
+
+    p_m, p_v, recon, kl = jax.vmap(per_dim, in_axes=(1, 1), out_axes=(1, 1, 0, 0))(
+        qnet_mu, qnet_var
+    )
+    return {"p_m": p_m, "p_v": p_v, "recon": recon, "kl": kl}
+
+
+def gauss_cross_entropy(mu1, var1, mu2, var2):
+    """E_{N(mu1,var1)}[log N(.|mu2,var2)], elementwise.
+
+    Reference: SpaDOT/model/SpaDOT.py:125-142.
+    """
+    term2 = (var1 + mu1**2 - 2.0 * mu1 * mu2 + mu2**2) / var2
+    return -0.5 * (LOG_2PI + jnp.log(var2) + term2)

@@ -1,0 +1,436 @@
+"""Training engine: jit-compiled epochs over per-timepoint spot batches.
+
+Orchestration parity with SpaDOT/utils/_train_utils.py:155-236 (train_SpaDOT):
+AdamW(lr) + global-norm grad clip 0.3, cyclic-linear beta1 annealing, shuffled
+timepoint order per epoch, KMeans loss from epoch 1, OT loss from `ot_epoch`
+for every chronologically-non-first timepoint, per-epoch KMeans centroid
+refresh and transport-plan refresh every `ot_epochs` epochs, loss bookkeeping
+into loss.csv with the reference's column names.
+
+TPU-native structure: each (timepoint-)epoch is ONE jitted `lax.scan` over a
+static (num_batches, batch_size) index table — model forward, losses,
+gradients, and the optimizer update all stay on device; the KMeans refresh
+runs as a vmapped device kernel (ops/kmeans.py); only the tiny k×k centroid
+OT solve runs on host float64 (ops/sinkhorn.py numpy backend). Host↔device
+traffic per epoch is a handful of scalars.
+"""
+import os
+import random
+from collections import OrderedDict
+
+import numpy as np
+import pandas as pd
+
+from spadot_tpu.config import load_model_config, resolve_dtype
+from spadot_tpu.utils.logging import logger, timed
+from spadot_tpu.utils.rng import set_seed
+
+LOSS_NAMES = ["elbo", "Recon", "SVGP_KL", "GAT_KL", "alignment", "KMeans", "OT"]
+
+
+class Trainer:
+    """Holds the model, optimizer, per-timepoint device data and jitted fns."""
+
+    def __init__(self, model_config, data, mesh=None):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from spadot_tpu.models.model import build_net
+        from spadot_tpu.ops.svgp import svgp_shared
+
+        self.jax, self.jnp = jax, jnp
+        self.config = model_config
+        self.mesh = mesh
+        self.net = build_net(model_config)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(0.3),  # _train_utils.py:216
+            optax.adamw(float(model_config["lr"]), weight_decay=0.01),
+        )
+        self.timepoints = list(data["timepoints"])
+        self.kernel_type = model_config["kernel_type"]
+        self.kernel_scale = float(model_config["kernel_scale"])
+        self.n_clusters = int(model_config["n_clusters"])
+        self.z_dim = int(model_config["z_dim"])
+
+        dtype = jnp.float32
+        self.tp_dev = OrderedDict()
+        self.svgp_states = OrderedDict()
+        from spadot_tpu.parallel.mesh import shard_tp_data
+
+        for tp in self.timepoints:
+            d = data["tp_data"][tp]
+            dev = {
+                "Y": jnp.asarray(d["Y"], dtype),
+                "coords": jnp.asarray(d["coords"], dtype),
+                "nbr": jnp.asarray(d["nbr"]),
+                "nbr_mask": jnp.asarray(d["nbr_mask"], dtype),
+                "N_train": jnp.asarray(d["N_train"], dtype),
+            }
+            if mesh is not None:
+                dev = shard_tp_data(dev, mesh)
+            self.tp_dev[tp] = dev
+            self.batches = None  # per-tp batches fetched from data below
+            Z = jnp.asarray(data["inducing_points"][tp], dtype)
+            self.svgp_states[tp] = svgp_shared(
+                Z, self.kernel_type, self.kernel_scale
+            )
+        self.tp_batches = {
+            tp: (
+                jnp.asarray(data["tp_data"][tp]["batch_idx"]),
+                jnp.asarray(data["tp_data"][tp]["batch_mask"], dtype),
+            )
+            for tp in self.timepoints
+        }
+        self.obs_rows = {tp: data["tp_data"][tp]["obs_rows"] for tp in self.timepoints}
+        # true (unpadded) spot counts — device arrays may be row-padded for sharding
+        self.tp_n = {tp: int(data["tp_data"][tp]["Y"].shape[0]) for tp in self.timepoints}
+
+        self._epoch_jit = jax.jit(self._epoch_impl, donate_argnums=(0, 1))
+        self._latent_jit = jax.jit(self._latent_impl)
+
+    # -- initialization -----------------------------------------------------
+    def init_state(self, key):
+        jnp = self.jnp
+        tp0 = self.timepoints[0]
+        d = self.tp_dev[tp0]
+        nbr_small = jnp.clip(d["nbr"][:8], 0, 7)
+        variables = self.net.init(
+            key, d["Y"][:8], nbr_small, d["nbr_mask"][:8], train=True
+        )
+        if "batch_stats" not in variables:
+            variables = {"params": variables["params"], "batch_stats": {}}
+        opt_state = self.tx.init(variables["params"])
+        return dict(variables), opt_state
+
+    # -- jitted epoch over one timepoint ------------------------------------
+    def _epoch_impl(
+        self, variables, opt_state, rng, tp_dev, svgp_state, batch_idx,
+        batch_mask, km_centers, km_assign, prev_centers, gamma_rn,
+        beta1, use_kmeans, use_ot,
+    ):
+        jax, jnp = self.jax, self.jnp
+        import optax
+
+        from spadot_tpu.models.model import (
+            SpaDOTNet, forward_batch, kmeans_loss, ot_loss,
+        )
+
+        cfg = self.config
+        lam1 = float(cfg["lambda1"])
+        b2 = float(cfg["beta2"])
+        o1, o2, o3 = float(cfg["omiga1"]), float(cfg["omiga2"]), float(cfg["omiga3"])
+
+        def batch_step(carry, batch):
+            variables, opt_state, rng = carry
+            idx, msk = batch
+            rng, sub = jax.random.split(rng)
+
+            def loss_fn(params):
+                vars_in = {"params": params, "batch_stats": variables["batch_stats"]}
+                losses, latent, new_state = forward_batch(
+                    self.net, vars_in, sub, tp_dev, svgp_state, idx, msk,
+                    kernel_scale=self.kernel_scale, kernel_type=self.kernel_type,
+                    train=True,
+                )
+                km = use_kmeans * kmeans_loss(
+                    latent, idx, msk, km_assign, km_centers, self.z_dim
+                )
+                otl = use_ot * ot_loss(
+                    latent, idx, msk, km_assign, km_centers, prev_centers, gamma_rn
+                )
+                elbo = (
+                    lam1 * losses["Recon"]
+                    - beta1 * losses["SVGP_KL"]
+                    + b2 * losses["GAT_KL"]
+                    + o1 * losses["alignment"]
+                    + o2 * km
+                    + o3 * otl
+                )
+                return elbo, (losses, km, otl, new_state)
+
+            (elbo, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                variables["params"]
+            )
+            losses, km, otl, new_state = aux
+            updates, new_opt = self.tx.update(grads, opt_state, variables["params"])
+            params = optax.apply_updates(variables["params"], updates)
+            new_vars = {
+                "params": params,
+                "batch_stats": new_state.get("batch_stats", variables["batch_stats"]),
+            }
+            vec = jnp.stack(
+                [elbo, losses["Recon"], losses["SVGP_KL"], losses["GAT_KL"],
+                 losses["alignment"], km, otl]
+            )
+            return (new_vars, new_opt, rng), vec
+
+        (variables, opt_state, rng), vecs = jax.lax.scan(
+            batch_step, (variables, opt_state, rng), (batch_idx, batch_mask)
+        )
+        return variables, opt_state, rng, jnp.mean(vecs, axis=0)
+
+    def _latent_impl(self, variables, tp_dev, svgp_state):
+        from spadot_tpu.models.model import full_latent
+
+        return full_latent(
+            self.net, variables, tp_dev, svgp_state,
+            kernel_scale=self.kernel_scale, kernel_type=self.kernel_type,
+        )
+
+    # -- public API ---------------------------------------------------------
+    def run_epoch(self, variables, opt_state, rng, tp, km, gammas, tp_i, epoch, beta1):
+        """One timepoint's epoch. km: dict with centers/assign per tp."""
+        jnp = self.jnp
+        k, z = self.n_clusters, self.z_dim
+        n = self.tp_n[tp]
+        have_km = km["centers"].get(tp) is not None
+        use_kmeans = 1.0 if (epoch >= 1 and have_km) else 0.0
+        centers = (
+            km["centers"][tp] if have_km else jnp.zeros((k, z), jnp.float32)
+        )
+        assign = (
+            km["assign"][tp] if have_km else jnp.zeros((n,), jnp.int32)
+        )
+        prev_centers = jnp.zeros((k, z), jnp.float32)
+        gamma_rn = jnp.zeros((k, k), jnp.float32)
+        use_ot = 0.0
+        if epoch >= int(self.config["ot_epoch"]) and tp_i != 0:
+            prev_tp = self.timepoints[tp_i - 1]
+            gkey = f"{prev_tp}_{tp}"
+            if gkey in gammas and km["centers"].get(prev_tp) is not None:
+                gamma = np.asarray(gammas[gkey], np.float64)
+                rs = gamma.sum(axis=1, keepdims=True)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    gamma = gamma / rs
+                gamma = np.nan_to_num(gamma, nan=0.0, posinf=0.0, neginf=0.0)
+                gamma_rn = jnp.asarray(gamma, jnp.float32)
+                prev_centers = km["centers"][prev_tp]
+                use_ot = 1.0
+        batch_idx, batch_mask = self.tp_batches[tp]
+        variables, opt_state, rng, losses = self._epoch_jit(
+            variables, opt_state, rng, self.tp_dev[tp], self.svgp_states[tp],
+            batch_idx, batch_mask, centers, assign, prev_centers, gamma_rn,
+            jnp.asarray(beta1, jnp.float32),
+            jnp.asarray(use_kmeans, jnp.float32),
+            jnp.asarray(use_ot, jnp.float32),
+        )
+        return variables, opt_state, rng, np.asarray(losses)
+
+    def latent(self, variables, tp):
+        lat = self._latent_jit(variables, self.tp_dev[tp], self.svgp_states[tp])
+        return lat[: self.tp_n[tp]]
+
+    def update_kmeans(self, variables, key, km):
+        """Per-epoch centroid refresh (_train_utils.py:255-269), on device."""
+        from spadot_tpu.ops.kmeans import kmeans_fit
+
+        jax = self.jax
+        for i, tp in enumerate(self.timepoints):
+            lat = self.latent(variables, tp)
+            sub = jax.random.fold_in(key, i)
+            centers, labels, _ = kmeans_fit(
+                sub, lat, self.n_clusters, n_init=10, n_iter=100
+            )
+            km["centers"][tp] = centers
+            km["assign"][tp] = labels
+        return km
+
+    def update_ot(self, km, gammas):
+        """Refresh transport plans between consecutive timepoints
+        (_train_utils.py:309-321) using the float64 host Sinkhorn."""
+        from spadot_tpu.ops.sinkhorn import compute_transport_map
+
+        ot_cfg = self.config["ot_config"]
+        for i in range(len(self.timepoints) - 1):
+            cur, nxt = self.timepoints[i], self.timepoints[i + 1]
+            if km["centers"].get(cur) is None or km["centers"].get(nxt) is None:
+                continue
+            gamma = compute_transport_map(
+                np.asarray(km["centers"][cur], np.float64),
+                np.asarray(km["centers"][nxt], np.float64),
+                dict(ot_cfg), G=None,
+                backend=ot_cfg.get("backend", "numpy")
+                if ot_cfg.get("backend") != "jax" else "numpy",
+            )
+            gammas[f"{cur}_{nxt}"] = np.asarray(gamma)
+        return gammas
+
+
+def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, mesh=None):
+    """Full training run. Returns (trainer, variables, host_state, loss_df)."""
+    import jax
+
+    from spadot_tpu.train.schedules import beta_cycle_linear
+    from spadot_tpu.train.checkpoint import save_checkpoint
+
+    trainer = Trainer(model_config, data, mesh=mesh)
+    maxiter = int(model_config["maxiter"])
+    seed = int(model_config["seed"])
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+
+    start_epoch = 0
+    gammas = {}
+    km = {"centers": {}, "assign": {}}
+    loss_rows = []
+    if resume_state is not None:
+        import jax.numpy as jnp
+
+        variables = jax.tree_util.tree_map(jnp.asarray, resume_state["variables"])
+        opt_state = jax.tree_util.tree_map(jnp.asarray, resume_state["opt_state"])
+        start_epoch = int(resume_state["meta"]["epoch"]) + 1
+        gammas = {k: np.asarray(v) for k, v in resume_state["gammas"].items()}
+        for tp in trainer.timepoints:
+            c = resume_state["kmeans_centers"].get(str(tp))
+            a = resume_state["kmeans_assign"].get(str(tp))
+            if c is not None:
+                km["centers"][tp] = jnp.asarray(c)
+                km["assign"][tp] = jnp.asarray(a)
+        loss_rows = [np.asarray(r) for r in resume_state["loss_rows"]]
+        key = jnp.asarray(resume_state["rng"])
+        logger.info("resumed from epoch %d", start_epoch)
+    else:
+        variables, opt_state = trainer.init_state(init_key)
+
+    beta1s = beta_cycle_linear(maxiter, stop=float(model_config["beta1"]))
+    tp_indexed = list(enumerate(trainer.timepoints))
+    ot_every = int(model_config["ot_config"]["ot_epochs"])
+
+    logger.info("Training SpaDOT model...")
+    import time as _time
+
+    t_train0 = _time.time()
+    for epoch in range(start_epoch, maxiter):
+        t0 = _time.time()
+        key, ep_key, km_key = jax.random.split(key, 3)
+        random.shuffle(tp_indexed)
+        epoch_losses = np.zeros(len(LOSS_NAMES))
+        rng = ep_key
+        for tp_i, tp in tp_indexed:
+            variables, opt_state, rng, losses = trainer.run_epoch(
+                variables, opt_state, rng, tp, km, gammas, tp_i, epoch, beta1s[epoch]
+            )
+            epoch_losses += losses
+        km = trainer.update_kmeans(variables, km_key, km)
+        if (epoch + 1) % ot_every == 0:
+            gammas = trainer.update_ot(km, gammas)
+        loss_rows.append(epoch_losses)
+        if epoch % 10 == 0:
+            logger.info(
+                "Epoch %d: %.1fs, ELBO: %.6f, Recon: %.6f, SVGP_KL: %.6f, "
+                "GAT_KL: %.6f, align: %.6f, KMeans: %.6f, OT: %.6f",
+                epoch + 1, _time.time() - t0, *epoch_losses,
+            )
+        if checkpoint_path and (epoch + 1) % 25 == 0:
+            _save_state(checkpoint_path, trainer, variables, opt_state, km,
+                        gammas, key, epoch, loss_rows)
+    logger.info("Training finished in %ds.", int(_time.time() - t_train0))
+    loss_df = pd.DataFrame(
+        np.asarray(loss_rows, dtype=np.float64).reshape(-1, len(LOSS_NAMES)),
+        columns=LOSS_NAMES, index=range(len(loss_rows)),
+    )
+    host_state = {
+        "km": km, "gammas": gammas, "rng": key,
+        "loss_rows": loss_rows, "last_epoch": maxiter - 1,
+    }
+    return trainer, variables, opt_state, host_state, loss_df
+
+
+def _save_state(path, trainer, variables, opt_state, km, gammas, key, epoch, loss_rows):
+    from spadot_tpu.train.checkpoint import save_checkpoint
+
+    save_checkpoint(
+        path,
+        {
+            "variables": variables,
+            "opt_state": opt_state,
+            "kmeans_centers": {str(tp): km["centers"].get(tp) for tp in trainer.timepoints
+                               if km["centers"].get(tp) is not None},
+            "kmeans_assign": {str(tp): km["assign"].get(tp) for tp in trainer.timepoints
+                              if km["assign"].get(tp) is not None},
+            "gammas": gammas,
+            "rng": key,
+            "loss_rows": loss_rows,
+            "meta": {"epoch": epoch},
+        },
+    )
+
+
+def get_latent(trainer, variables, data, adata):
+    """Extract posterior-mean latents for all spots -> AnnData
+    (parity with _train_utils.py:98-116)."""
+    from spadot_tpu.io import AnnData, concat
+
+    parts = []
+    for tp in trainer.timepoints:
+        lat = np.asarray(trainer.latent(variables, tp))
+        rows = trainer.obs_rows[tp]
+        sub = AnnData(
+            lat,
+            obs=adata.obs.iloc[rows],
+            obsm={"spatial": np.asarray(adata.obsm["spatial"])[rows]},
+        )
+        parts.append(sub)
+    return concat(parts)
+
+
+def train(args):
+    """Train-stage entry point (parity with SpaDOT/train.py:9-44)."""
+    import jax
+
+    from spadot_tpu.io import read_h5ad
+    from spadot_tpu.data.pipeline import prepare_data, save_inducing_points
+
+    device = getattr(args, "device", None)
+    if device:
+        platform = device.split(":")[0].lower()
+        if platform in ("cpu", "tpu", "gpu"):
+            try:
+                jax.config.update("jax_platforms", platform)
+            except Exception:
+                logger.warning("could not select platform %r; using default", platform)
+
+    logger.info("Loading data...")
+    data_dir = os.path.abspath(args.data)
+    if not getattr(args, "output_dir", None):
+        args.output_dir = os.path.dirname(data_dir)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    adata = read_h5ad(data_dir)
+    model_config = load_model_config(args)
+    model_config["input_dim"] = adata.n_vars
+    tps = sorted(adata.obs["timepoint"].unique().tolist())
+    model_config["timepoints"] = tps
+    resolve_dtype(model_config)
+    jax.config.update(
+        "jax_default_matmul_precision", model_config.get("matmul_precision", "highest")
+    )
+
+    set_seed(int(model_config["seed"]))
+    logger.info("Preparing data...")
+    data = prepare_data(adata, model_config)
+    save_inducing_points(args, data["inducing_points"])
+
+    resume_state = None
+    if getattr(args, "resume", None):
+        from spadot_tpu.train.checkpoint import load_checkpoint
+
+        resume_state = load_checkpoint(args.resume)
+    ckpt_path = os.path.join(args.output_dir, args.prefix + "SpaDOT_autosave.ckpt")
+
+    logger.info("Training model...")
+    trainer, variables, opt_state, host_state, loss_df = train_spadot(
+        data, model_config, resume_state=resume_state, checkpoint_path=ckpt_path
+    )
+    loss_df.to_csv(args.output_dir + os.sep + "loss.csv")
+    if getattr(args, "save_model", False):
+        _save_state(
+            os.path.join(args.output_dir, "SpaDOT_model.ckpt"),
+            trainer, variables, opt_state, host_state["km"], host_state["gammas"],
+            host_state["rng"], host_state["last_epoch"], host_state["loss_rows"],
+        )
+        logger.info("Model saved to %s", args.output_dir)
+    latent_adata = get_latent(trainer, variables, data, adata)
+    latent_adata.write_h5ad(args.output_dir + os.sep + args.prefix + "latent.h5ad")
+    return latent_adata

@@ -1,0 +1,30 @@
+"""Synthetic spatiotemporal dataset helpers shared by tests and bench."""
+import numpy as np
+import pandas as pd
+
+from spadot_tpu.io import AnnData
+
+
+def make_synthetic_adata(
+    n_per_tp=120, n_genes=40, n_tp=2, n_domains=3, seed=0, counts=False
+):
+    """Spots on a 2-D grid with domain-structured expression per timepoint."""
+    rng = np.random.default_rng(seed)
+    Xs, obs_tp, coords = [], [], []
+    for t in range(n_tp):
+        xy = rng.uniform(0, 10, size=(n_per_tp, 2))
+        dom = (xy[:, 0] * n_domains / 10).astype(int).clip(0, n_domains - 1)
+        means = rng.normal(0, 1.5, size=(n_domains, n_genes))
+        expr = means[dom] + rng.normal(0, 0.5, size=(n_per_tp, n_genes))
+        if counts:
+            expr = rng.poisson(np.exp(expr * 0.5 + 1.0)).astype(np.float64)
+        Xs.append(expr)
+        obs_tp.extend([t] * n_per_tp)
+        coords.append(xy)
+    X = np.vstack(Xs)
+    obs = pd.DataFrame({"timepoint": obs_tp})
+    obs.index = [f"cell{i}" for i in range(len(obs_tp))]
+    return AnnData(
+        X, obs=obs, obsm={"spatial": np.vstack(coords)},
+        var=pd.DataFrame(index=[f"g{j}" for j in range(n_genes)]),
+    )
