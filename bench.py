@@ -1,0 +1,95 @@
+"""Benchmark: ChickenHeart-scale training epoch time on TPU.
+
+The reference's only wall-clock anchor is "~5 minutes" for 100 epochs of
+ChickenHeart (4 timepoints, batch 512, float64, 1200 inducing points) on an
+unspecified GPU (BASELINE.md) -> 3.0 s/epoch baseline. The dataset itself is
+not shipped, so the benchmark synthesizes data with the ChickenHeart run
+shape (4 timepoints x ~2500 spots, 2954 SVGs — SVG_genes.txt line count) and
+measures steady-state epoch time of the full training step (dual-encoder
+forward, all losses, backward, optimizer, device KMeans refresh included at
+the reference cadence).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SEC_PER_EPOCH = 3.0  # reference: ~5 min / 100 epochs on GPU
+
+
+def main():
+    import pandas as pd
+
+    import jax
+
+    from spadot_tpu.config import default_config
+    from spadot_tpu.data.pipeline import prepare_data
+    from spadot_tpu.io import AnnData
+    from spadot_tpu.train.loop import Trainer
+    from spadot_tpu.utils.rng import set_seed
+
+    n_tp = 4
+    n_per_tp = int(os.environ.get("BENCH_SPOTS", 2500))
+    n_genes = int(os.environ.get("BENCH_GENES", 2954))
+    measure_epochs = int(os.environ.get("BENCH_EPOCHS", 3))
+
+    rng = np.random.default_rng(0)
+    Xs, coords, tps = [], [], []
+    for t in range(n_tp):
+        xy = rng.uniform(0, 10, size=(n_per_tp, 2)).astype(np.float32)
+        dom = (xy[:, 0] * 7 / 10).astype(int)
+        means = rng.normal(0, 1.0, size=(8, n_genes)).astype(np.float32)
+        Xs.append(means[dom] + rng.normal(0, 0.5, size=(n_per_tp, n_genes)).astype(np.float32))
+        coords.append(xy)
+        tps.extend([t] * n_per_tp)
+    adata = AnnData(
+        np.vstack(Xs).astype(np.float32),
+        obs=pd.DataFrame({"timepoint": tps}),
+        obsm={"spatial": np.vstack(coords)},
+    )
+
+    cfg = default_config()
+    cfg.update(input_dim=n_genes, timepoints=list(range(n_tp)))
+    set_seed(int(cfg["seed"]))
+    data = prepare_data(adata, cfg)
+    trainer = Trainer(cfg, data)
+    variables, opt_state = trainer.init_state(jax.random.PRNGKey(0))
+    km = {"centers": {}, "assign": {}}
+    gammas = {}
+    rng_key = jax.random.PRNGKey(1)
+
+    # warmup epoch 0 (compile) + epoch 1 (kmeans/ot paths active)
+    for epoch in range(2):
+        for tp_i, tp in enumerate(trainer.timepoints):
+            variables, opt_state, rng_key, _ = trainer.run_epoch(
+                variables, opt_state, rng_key, tp, km, gammas, tp_i, epoch, 0.5
+            )
+        km = trainer.update_kmeans(variables, jax.random.PRNGKey(2 + epoch), km)
+    gammas = trainer.update_ot(km, gammas)
+    jax.block_until_ready(variables["params"])
+
+    # steady state: full epochs at the post-ot_epoch cadence
+    t0 = time.perf_counter()
+    for epoch in range(60, 60 + measure_epochs):
+        for tp_i, tp in enumerate(trainer.timepoints):
+            variables, opt_state, rng_key, losses = trainer.run_epoch(
+                variables, opt_state, rng_key, tp, km, gammas, tp_i, epoch, 0.5
+            )
+        km = trainer.update_kmeans(variables, jax.random.PRNGKey(100 + epoch), km)
+    jax.block_until_ready(variables["params"])
+    sec_per_epoch = (time.perf_counter() - t0) / measure_epochs
+
+    print(json.dumps({
+        "metric": "chickenheart_scale_epoch_time",
+        "value": round(sec_per_epoch, 4),
+        "unit": "s/epoch",
+        "vs_baseline": round(BASELINE_SEC_PER_EPOCH / sec_per_epoch, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -222,6 +222,10 @@ def _read_array(node):
     """Read a dataset or an encoded group (sparse/categorical/etc.)."""
     if isinstance(node, h5py.Dataset):
         arr = node[()]
+        if isinstance(arr, (bytes, str)):
+            return _decode(arr)
+        if np.isscalar(arr):
+            return arr
         if arr.dtype.kind in ("S", "O"):
             arr = np.array([_decode(v) for v in np.ravel(arr)], dtype=object).reshape(arr.shape)
         return arr

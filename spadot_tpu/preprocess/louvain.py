@@ -1,0 +1,71 @@
+"""SVG clustering: PCA -> gaussian-kernel kNN graph -> Louvain.
+
+Replaces the scanpy pca/neighbors(method='gauss')/louvain chain of the
+reference (SpaDOT/utils/_utils.py:195-221) without scanpy/igraph: PCA via a
+centered SVD, an adaptive gaussian kNN affinity (sigma_i = distance to the
+k-th neighbor, symmetrized), and networkx's Louvain implementation with the
+reference's resolution ladder (start 1.0, +0.1 until >= k clusters).
+"""
+import numpy as np
+import networkx as nx
+from sklearn.neighbors import NearestNeighbors
+
+from spadot_tpu.utils.logging import logger
+
+
+def pca(X, n_comps=50):
+    X = np.asarray(X, dtype=np.float64)
+    Xc = X - X.mean(axis=0, keepdims=True)
+    n_comps = min(n_comps, min(Xc.shape) - 1)
+    U, S, Vt = np.linalg.svd(Xc, full_matrices=False)
+    return (U[:, :n_comps] * S[:n_comps]).astype(np.float64)
+
+
+def gauss_knn_graph(X, n_neighbors=100, n_pcs=30):
+    """Adaptive gaussian affinities on the kNN graph (scanpy 'gauss'-style:
+    per-point bandwidth from the local neighbor-distance scale)."""
+    Xp = X[:, : min(n_pcs, X.shape[1])]
+    n = Xp.shape[0]
+    k = min(n_neighbors, n - 1)
+    nbrs = NearestNeighbors(n_neighbors=k + 1).fit(Xp)
+    dist, idx = nbrs.kneighbors(Xp)
+    dist, idx = dist[:, 1:], idx[:, 1:]
+    sigma = np.maximum(dist[:, -1] / 2.0, 1e-12)
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    for i in range(n):
+        for j_pos in range(k):
+            j = int(idx[i, j_pos])
+            w = float(np.exp(-(dist[i, j_pos] ** 2) / (2 * sigma[i] * sigma[j])))
+            if G.has_edge(i, j):
+                if G[i][j]["weight"] < w:
+                    G[i][j]["weight"] = w
+            else:
+                G.add_edge(i, j, weight=w)
+    return G
+
+
+def cluster_svgs(svg_mat, k=10, seed=1993):
+    """Louvain-cluster genes (rows of svg_mat), raising resolution by 0.1
+    until >= k clusters (parity: _cluster_SVGs, _utils.py:195-221)."""
+    comps = pca(svg_mat)
+    G = gauss_knn_graph(comps, n_neighbors=100, n_pcs=30)
+    resolution = 1.0
+    labels = None
+    for _ in range(200):
+        communities = nx.community.louvain_communities(
+            G, weight="weight", resolution=resolution, seed=seed
+        )
+        labels = np.empty(svg_mat.shape[0], dtype=np.int64)
+        for c_i, members in enumerate(
+            sorted(communities, key=lambda c: -len(c))
+        ):
+            labels[list(members)] = c_i
+        if len(communities) >= k:
+            break
+        resolution += 0.1
+    logger.info(
+        "SVG clustering: %d clusters at resolution %.1f",
+        len(set(labels.tolist())), resolution,
+    )
+    return labels.astype(str)

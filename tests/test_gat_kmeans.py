@@ -1,0 +1,79 @@
+"""GAT attention vs a naive per-node loop; device KMeans sanity."""
+import numpy as np
+import jax.numpy as jnp
+
+from spadot_tpu.ops.gat import gat_attention
+from spadot_tpu.ops.kmeans import kmeans_fit
+
+
+def _naive_gat(h, nbr, nbr_mask, W, a_src, a_dst, bias, concat, slope=0.2):
+    n, _ = h.shape
+    H, F = a_src.shape
+    Wx = (h @ W).reshape(n, H, F)
+    es = np.einsum("nhf,hf->nh", Wx, a_src)
+    ed = np.einsum("nhf,hf->nh", Wx, a_dst)
+    out = np.zeros((n, H, F))
+    for i in range(n):
+        idx = [j for k, j in enumerate(nbr[i]) if nbr_mask[i, k] > 0]
+        for hh in range(H):
+            logits = np.array([ed[i, hh] + es[j, hh] for j in idx])
+            logits = np.where(logits >= 0, logits, slope * logits)
+            w = np.exp(logits - logits.max())
+            w = w / w.sum()
+            out[i, hh] = sum(wk * Wx[j, hh] for wk, j in zip(w, idx))
+    if concat:
+        return out.reshape(n, H * F) + bias
+    return out.mean(axis=1) + bias
+
+
+def test_gat_matches_naive(rng):
+    n, F_in, H, F, K = 10, 6, 2, 4, 4
+    h = rng.normal(size=(n, F_in))
+    nbr = rng.integers(0, n, size=(n, K))
+    nbr[:, 0] = np.arange(n)
+    nbr_mask = (rng.uniform(size=(n, K)) > 0.2).astype(np.float64)
+    nbr_mask[:, 0] = 1.0
+    W = rng.normal(size=(F_in, H * F))
+    a_src = rng.normal(size=(H, F))
+    a_dst = rng.normal(size=(H, F))
+    for concat in (True, False):
+        bias = rng.normal(size=(H * F,) if concat else (F,))
+        got = np.asarray(
+            gat_attention(
+                jnp.asarray(h), jnp.asarray(nbr), jnp.asarray(nbr_mask),
+                jnp.asarray(W), jnp.asarray(a_src), jnp.asarray(a_dst),
+                jnp.asarray(bias), concat=concat,
+            )
+        )
+        want = _naive_gat(h, nbr, nbr_mask, W, a_src, a_dst, bias, concat)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_kmeans_recovers_blobs(rng):
+    import jax
+
+    centers_true = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    X = np.vstack([c + rng.normal(0, 0.3, size=(50, 2)) for c in centers_true])
+    centers, labels, inertia = kmeans_fit(
+        jax.random.PRNGKey(0), jnp.asarray(X, jnp.float32), 3
+    )
+    centers = np.asarray(centers)
+    labels = np.asarray(labels)
+    # every true blob maps to exactly one learned cluster
+    for i in range(3):
+        blob_labels = labels[i * 50 : (i + 1) * 50]
+        assert len(set(blob_labels.tolist())) == 1
+    # learned centers near true centers (in some order)
+    d = np.linalg.norm(centers[:, None] - centers_true[None], axis=-1)
+    assert (d.min(axis=0) < 0.2).all()
+
+
+def test_kmeans_masked_rows_ignored(rng):
+    import jax
+
+    X = np.vstack(
+        [np.zeros((20, 2)), np.ones((20, 2)) * 5, np.ones((4, 2)) * 1000]
+    ).astype(np.float32)
+    mask = jnp.asarray([1.0] * 40 + [0.0] * 4)
+    centers, labels, _ = kmeans_fit(jax.random.PRNGKey(1), jnp.asarray(X), 2, mask=mask)
+    assert np.abs(np.asarray(centers)).max() < 10  # outliers never selected

@@ -1,0 +1,143 @@
+"""SVGP math vs a naive float64 reimplementation of the reference equations
+(SpaDOT/model/svgp.py:47-104) with explicit jittered inverses."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spadot_tpu.ops.kernels import kernel_matrix, sq_dist
+from spadot_tpu.ops.svgp import gauss_cross_entropy, svgp_batch_terms, svgp_shared
+
+JITTER = 1e-2
+SCALE = 0.1
+
+
+def _np_kernel(x, y):
+    d2 = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+    return np.exp(-d2 / SCALE)
+
+
+def _naive_reference(x, Z, y, noise, N_train):
+    """Direct float64 transcription of the reference SVGP equations."""
+    b, m = x.shape[0], Z.shape[0]
+    K_mm = _np_kernel(Z, Z)
+    K_mm_inv = np.linalg.inv(K_mm + JITTER * np.eye(m))
+    K_nn = np.ones(b)
+    K_nm = _np_kernel(x, Z)
+    K_mn = K_nm.T
+
+    sigma_l = K_mm + (N_train / b) * K_mn @ (K_nm / noise[:, None])
+    sigma_l_inv = np.linalg.inv(sigma_l + JITTER * np.eye(m))
+    mean_vector = (N_train / b) * K_nm @ (sigma_l_inv @ (K_mn @ (y / noise)))
+    K_xm_Sig_K_mx = K_nm @ sigma_l_inv @ K_mn
+    B = K_nn + np.diagonal(-K_nm @ K_mm_inv @ K_mn + K_xm_Sig_K_mx)
+    mu_hat = (N_train / b) * K_mm @ sigma_l_inv @ (K_mn @ (y / noise))
+    A_hat = K_mm @ sigma_l_inv @ K_mm
+
+    # KL
+    K_mm_chol = np.linalg.cholesky(K_mm + JITTER * np.eye(m))
+    S_chol = np.linalg.cholesky(A_hat + JITTER * np.eye(m))
+    K_mm_logdet = 2 * np.sum(np.log(np.diagonal(K_mm_chol)))
+    S_logdet = 2 * np.sum(np.log(np.diagonal(S_chol)))
+    KL = 0.5 * (
+        K_mm_logdet - S_logdet - m
+        + np.trace(K_mm_inv @ A_hat)
+        + np.sum(mu_hat * (K_mm_inv @ mu_hat))
+    )
+    # L3
+    precision = 1 / noise
+    mean_vec2 = K_nm @ (K_mm_inv @ mu_hat)
+    K_tilde = precision * (K_nn - np.diagonal(K_nm @ K_mm_inv @ K_mn))
+    lam = K_nm[:, :, None] @ K_nm[:, None, :]
+    lam = np.einsum("ij,bjk,kl->bil", K_mm_inv, lam, K_mm_inv)
+    trace_terms = precision * np.einsum("bii->b", np.einsum("ij,bjk->bik", A_hat, lam))
+    L3 = -0.5 * (
+        K_tilde.sum() + trace_terms.sum() + np.log(noise).sum()
+        + b * np.log(2 * np.pi) + (precision * (y - mean_vec2) ** 2).sum()
+    )
+    return mean_vector, B, L3, KL
+
+
+def test_svgp_terms_match_naive(rng):
+    b, m, L = 24, 10, 3
+    x = rng.uniform(-1, 1, size=(b, 2))
+    Z = rng.uniform(-1, 1, size=(m, 2))
+    qnet_mu = rng.normal(size=(b, L))
+    qnet_var = np.exp(rng.normal(size=(b, L)) * 0.3)
+    N_train = 100.0
+
+    shared = svgp_shared(jnp.asarray(Z), "Gaussian", SCALE, JITTER)
+    out = svgp_batch_terms(
+        jnp.asarray(x), jnp.asarray(qnet_mu), jnp.asarray(qnet_var),
+        jnp.ones(b), N_train, shared["Z"], shared["K_mm"], shared["L_mm"],
+        kernel_scale=SCALE, jitter=JITTER,
+    )
+    for l in range(L):
+        p_m, p_v, recon, kl = _naive_reference(
+            x, Z, qnet_mu[:, l], qnet_var[:, l], N_train
+        )
+        np.testing.assert_allclose(np.asarray(out["p_m"][:, l]), p_m, rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out["p_v"][:, l]), p_v, rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(float(out["recon"][l]), recon, rtol=2e-3)
+        np.testing.assert_allclose(float(out["kl"][l]), kl, rtol=2e-3, atol=1e-3)
+
+
+def test_svgp_mask_matches_smaller_batch(rng):
+    """Padded rows with mask=0 must reproduce the unpadded computation."""
+    b, m, L = 16, 8, 2
+    x = rng.uniform(-1, 1, size=(b, 2)).astype(np.float32)
+    Z = rng.uniform(-1, 1, size=(m, 2)).astype(np.float32)
+    mu = rng.normal(size=(b, L)).astype(np.float32)
+    var = np.exp(rng.normal(size=(b, L)) * 0.3).astype(np.float32)
+    shared = svgp_shared(jnp.asarray(Z), "Gaussian", SCALE, JITTER)
+
+    full = svgp_batch_terms(
+        jnp.asarray(x[:12]), jnp.asarray(mu[:12]), jnp.asarray(var[:12]),
+        jnp.ones(12), 50.0, shared["Z"], shared["K_mm"], shared["L_mm"],
+        kernel_scale=SCALE, jitter=JITTER,
+    )
+    mask = jnp.asarray([1.0] * 12 + [0.0] * 4)
+    padded = svgp_batch_terms(
+        jnp.asarray(x), jnp.asarray(mu), jnp.asarray(var),
+        mask, 50.0, shared["Z"], shared["K_mm"], shared["L_mm"],
+        kernel_scale=SCALE, jitter=JITTER,
+    )
+    np.testing.assert_allclose(
+        np.asarray(padded["p_m"][:12]), np.asarray(full["p_m"]), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(padded["recon"]), np.asarray(full["recon"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(padded["kl"]), np.asarray(full["kl"]), rtol=1e-4
+    )
+
+
+def test_gauss_cross_entropy_closed_form():
+    mu1, var1, mu2, var2 = 0.3, 0.5, -0.1, 0.8
+    got = float(gauss_cross_entropy(mu1, var1, mu2, var2))
+    want = -0.5 * (
+        np.log(2 * np.pi) + np.log(var2)
+        + (var1 + mu1**2 - 2 * mu1 * mu2 + mu2**2) / var2
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_kernel_matrix_matches_cdist(rng):
+    x = rng.normal(size=(7, 2))
+    y = rng.normal(size=(5, 2))
+    from scipy.spatial.distance import cdist
+
+    d2 = cdist(x, y, "sqeuclidean")
+    np.testing.assert_allclose(np.asarray(sq_dist(jnp.asarray(x), jnp.asarray(y))), d2, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(kernel_matrix(jnp.asarray(x), jnp.asarray(y), "Gaussian", 0.1)),
+        np.exp(-d2 / 0.1), atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(kernel_matrix(jnp.asarray(x), jnp.asarray(y), "Cauchy", 0.1)),
+        1 / (1 + d2 / 0.1), atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(kernel_matrix(jnp.asarray(x), jnp.asarray(y), "Quadratic", 0.1)),
+        1 - d2 / (d2 + 0.1), atol=1e-5, rtol=1e-5,
+    )

@@ -1,0 +1,80 @@
+"""End-to-end training smoke + domain-recovery test on synthetic data."""
+import numpy as np
+import pytest
+
+from _synthetic import make_synthetic_adata
+from spadot_tpu.config import default_config
+from spadot_tpu.data.pipeline import make_batches, prepare_data, standardize_locations
+from spadot_tpu.utils.rng import set_seed
+
+
+def _tiny_config(adata, maxiter=3):
+    cfg = default_config()
+    cfg.update(
+        input_dim=adata.n_vars,
+        timepoints=sorted(adata.obs["timepoint"].unique().tolist()),
+        maxiter=maxiter, ot_epoch=1, batch_size=64, inducing_point_nums=40,
+        gat_encoder_hidden=16, gat_attention_heads=2,
+        svgp_encoder_layers=[32, 16], decoder_layers=[16, 32], n_clusters=3,
+    )
+    cfg["ot_config"]["ot_epochs"] = 2
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def trained():
+    from spadot_tpu.train.loop import train_spadot
+
+    adata = make_synthetic_adata(n_per_tp=100, n_genes=30, n_tp=2)
+    cfg = _tiny_config(adata)
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+    trainer, variables, opt_state, host_state, loss_df = train_spadot(data, cfg)
+    return adata, cfg, data, trainer, variables, host_state, loss_df
+
+
+def test_loss_components_flow(trained):
+    *_, loss_df = trained
+    assert list(loss_df.columns) == [
+        "elbo", "Recon", "SVGP_KL", "GAT_KL", "alignment", "KMeans", "OT"
+    ]
+    assert np.isfinite(loss_df.to_numpy()).all()
+    assert (loss_df["KMeans"].iloc[1:] != 0).all()  # from epoch 1
+    assert loss_df["OT"].iloc[2] != 0  # after first plan refresh
+    assert (loss_df["SVGP_KL"] <= 0).all()  # sign trick
+
+
+def test_latent_extraction(trained):
+    adata, cfg, data, trainer, variables, host_state, _ = trained
+    from spadot_tpu.train.loop import get_latent
+
+    lat = get_latent(trainer, variables, data, adata)
+    assert lat.shape == (adata.n_obs, cfg["z_dim"])
+    assert np.isfinite(lat.toarray()).all()
+    assert "spatial" in lat.obsm
+
+
+def test_gammas_are_transport_plans(trained):
+    *_, host_state, _ = trained[4:]
+    host_state = trained[5]
+    for key, g in host_state["gammas"].items():
+        assert np.isfinite(g).all() and (g >= 0).all()
+
+
+def test_standardize_locations():
+    adata = make_synthetic_adata(n_per_tp=50, n_genes=10, n_tp=3)
+    loc = standardize_locations(adata)
+    assert loc.shape == (150, 2 + 3)
+    tp = adata.obs["timepoint"].to_numpy()
+    for t in range(3):
+        sub = loc[tp == t, :2]
+        np.testing.assert_allclose(sub.mean(0), 0, atol=1e-9)
+        np.testing.assert_allclose(sub.std(0), 1, atol=1e-9)
+    np.testing.assert_allclose(loc[:, 2:].sum(1), 1)
+
+
+def test_make_batches_padding():
+    idx, mask = make_batches(10, 4)
+    assert idx.shape == (3, 4)
+    assert mask.sum() == 10
+    assert (idx < 10).all()
