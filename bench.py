@@ -22,9 +22,23 @@ BASELINE_SEC_PER_EPOCH = 3.0  # reference: ~5 min / 100 epochs on GPU
 
 
 def main():
+    import faulthandler
+
+    faulthandler.dump_traceback_later(600, repeat=True, file=sys.stderr)
+
     import pandas as pd
 
     import jax
+
+    # persistent compilation cache: remote-TPU compiles dominate cold runs
+    # (set JAX_COMPILATION_CACHE_DIR="" to disable)
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/spadot_jax_cache")
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
 
     from spadot_tpu.config import default_config
     from spadot_tpu.data.pipeline import prepare_data
@@ -64,12 +78,19 @@ def main():
 
     # warmup epoch 0 (compile) + epoch 1 (kmeans/ot paths active)
     for epoch in range(2):
+        t = time.perf_counter()
         for tp_i, tp in enumerate(trainer.timepoints):
             variables, opt_state, rng_key, _ = trainer.run_epoch(
                 variables, opt_state, rng_key, tp, km, gammas, tp_i, epoch, 0.5
             )
+            print(f"#   tp {tp}: {time.perf_counter()-t:.1f}s", file=sys.stderr, flush=True)
+        print(f"# warmup epoch {epoch}: {time.perf_counter()-t:.1f}s", file=sys.stderr)
+        t = time.perf_counter()
         km = trainer.update_kmeans(variables, jax.random.PRNGKey(2 + epoch), km)
+        print(f"# warmup kmeans {epoch}: {time.perf_counter()-t:.1f}s", file=sys.stderr)
+    t = time.perf_counter()
     gammas = trainer.update_ot(km, gammas)
+    print(f"# warmup ot: {time.perf_counter()-t:.1f}s", file=sys.stderr)
     jax.block_until_ready(variables["params"])
 
     # steady state: full epochs at the post-ot_epoch cadence

@@ -30,16 +30,13 @@ from scipy.spatial.distance import cdist
 from spadot_tpu.io import AnnData
 
 
-def _transport_map_growth(X0, X1, ot_config, growth_iters=3, backend="jax"):
-    """Growth-iterated unbalanced transport map; returns (last plan, growths)."""
-    from spadot_tpu.ops.sinkhorn import (
-        sinkhorn_duality_gap_jax,
-        sinkhorn_duality_gap_np,
-    )
+# above this many cost-matrix entries, switch to the cost-matrix-free
+# factored engine (duals only; plan reductions streamed blockwise)
+DENSE_LIMIT = int(os.environ.get("SPADOT_OT_DENSE_LIMIT", 32_000_000))
 
-    C = cdist(X0, X1, metric="sqeuclidean")
-    C = C / np.median(C)
-    kwargs = dict(
+
+def _ot_kwargs(ot_config):
+    return dict(
         lambda1=ot_config.get("lambda1", 0.1),
         lambda2=ot_config.get("lambda2", 5.0),
         epsilon=ot_config.get("epsilon", 0.05),
@@ -48,6 +45,19 @@ def _transport_map_growth(X0, X1, ot_config, growth_iters=3, backend="jax"):
         epsilon0=ot_config.get("epsilon0", 1),
         max_iter=ot_config.get("max_iter", 1e7),
     )
+
+
+def _transport_map_growth(X0, X1, ot_config, growth_iters=3, backend="jax"):
+    """Growth-iterated unbalanced transport map (dense path);
+    returns (last plan, growths)."""
+    from spadot_tpu.ops.sinkhorn import (
+        sinkhorn_duality_gap_jax,
+        sinkhorn_duality_gap_np,
+    )
+
+    C = cdist(X0, X1, metric="sqeuclidean")
+    C = C / np.median(C)
+    kwargs = _ot_kwargs(ot_config)
     solver = sinkhorn_duality_gap_jax if backend == "jax" else sinkhorn_duality_gap_np
     g = np.ones(C.shape[0])
     growths = [g]
@@ -57,6 +67,35 @@ def _transport_map_growth(X0, X1, ot_config, growth_iters=3, backend="jax"):
         g = R.sum(axis=1)
         growths.append(g)
     return R, growths
+
+
+def _transport_map_growth_factored(X0, X1, ot_config, growth_iters=3, M1=None):
+    """Growth-iterated transport at scales where the plan cannot be
+    materialized: the factored Sinkhorn returns dual potentials; row sums /
+    set aggregations stream blockwise over the implicit plan.
+
+    Returns (duals dict, growths, agg) with agg = (R/J) @ M1 when M1 given.
+    """
+    from spadot_tpu.ops.sinkhorn import _stage_epsilons
+    from spadot_tpu.ops.sinkhorn_flash import plan_reductions, sinkhorn_factored
+
+    kwargs = _ot_kwargs(ot_config)
+    g_vec = np.ones(X0.shape[0])
+    growths = [g_vec]
+    duals = None
+    agg = None
+    for _ in range(int(growth_iters)):
+        f, gg, s, eps_final = sinkhorn_factored(
+            X0, X1, g_vec, return_plan=False, **kwargs
+        )
+        row_sums, col_sums, agg = plan_reductions(
+            f, gg, np.asarray(X0, np.float32), np.asarray(X1, np.float32),
+            s=s, eps_final=eps_final, M1=M1,
+        )
+        duals = {"f": f, "g": gg, "cost_scale": s, "eps_final": eps_final}
+        g_vec = row_sums
+        growths.append(g_vec)
+    return duals, growths, agg
 
 
 def ot_analysis(args, adata, ot_config=None):
@@ -88,27 +127,38 @@ def ot_analysis(args, adata, ot_config=None):
         d0, d1 = days[tp_i], days[tp_i + 1]
         rows0 = np.where(day_codes == d0)[0]
         rows1 = np.where(day_codes == d1)[0]
-        R, growths = _transport_map_growth(
-            X[rows0], X[rows1], ot_config, growth_iters=growth_iters, backend=backend
-        )
-        # persist the transport map + growth rates (tmap-directory analogue)
-        tmap = AnnData(
-            R.astype(np.float32),
-            obs=pd.DataFrame(index=obs_names[rows0]),
-            var=pd.DataFrame(index=obs_names[rows1]),
-        )
-        tmap.write_h5ad(os.path.join(tmap_dir, f"tmaps_{d0}_{d1}.h5ad"))
-        gdf = pd.DataFrame(
-            {f"g{i}": g for i, g in enumerate(growths)}, index=obs_names[rows0]
-        )
-        gdf.to_csv(os.path.join(tmap_dir, f"growth_rates_{d0}_{d1}.txt"), sep="\t")
-
-        # transition table over (timepoint_kmeans) cell sets
         sets0 = sorted(set(labels[rows0]))
         sets1 = sorted(set(labels[rows1]))
         M0 = np.stack([(labels[rows0] == s).astype(np.float64) for s in sets0], axis=1)
         M1 = np.stack([(labels[rows1] == s).astype(np.float64) for s in sets1], axis=1)
-        table = M0.T @ R @ M1
+
+        if len(rows0) * len(rows1) <= DENSE_LIMIT:
+            R, growths = _transport_map_growth(
+                X[rows0], X[rows1], ot_config, growth_iters=growth_iters,
+                backend=backend,
+            )
+            table = M0.T @ R @ M1
+            # persist the transport map (tmap-directory analogue)
+            tmap = AnnData(
+                R.astype(np.float32),
+                obs=pd.DataFrame(index=obs_names[rows0]),
+                var=pd.DataFrame(index=obs_names[rows1]),
+            )
+            tmap.write_h5ad(os.path.join(tmap_dir, f"tmaps_{d0}_{d1}.h5ad"))
+        else:
+            duals, growths, agg = _transport_map_growth_factored(
+                X[rows0], X[rows1], ot_config, growth_iters=growth_iters, M1=M1
+            )
+            table = M0.T @ agg
+            # too large to materialize: persist the dual potentials instead
+            # (any plan block reconstructs via ops/sinkhorn_flash.plan_block)
+            np.savez(
+                os.path.join(tmap_dir, f"tmaps_duals_{d0}_{d1}.npz"), **duals
+            )
+        gdf = pd.DataFrame(
+            {f"g{i}": g for i, g in enumerate(growths)}, index=obs_names[rows0]
+        )
+        gdf.to_csv(os.path.join(tmap_dir, f"growth_rates_{d0}_{d1}.txt"), sep="\t")
         tt = AnnData(
             table,
             obs=pd.DataFrame(index=pd.Index(sets0)),

@@ -17,6 +17,33 @@ def effective_k(n_obs: int, knn_cutoff: int, max_neighbors: int) -> int:
     return max(k, 1)
 
 
+def locality_order(coords: np.ndarray, cell_bits: int = 8) -> np.ndarray:
+    """Spatial locality permutation (Morton / Z-order over a 2^bits grid).
+
+    Reordering spots so that spatial neighbors are index-neighbors turns the
+    GAT's random-row gathers into near-diagonal accesses — the windowed
+    Pallas attention kernel (ops/gat_pallas.py) relies on this, and XLA's
+    gather locality improves too. Returns `perm` such that coords[perm] is
+    Morton-ordered.
+    """
+    c = np.asarray(coords, dtype=np.float64)
+    mins = c.min(axis=0)
+    spans = np.maximum(c.max(axis=0) - mins, 1e-12)
+    grid = ((c - mins) / spans * (2**cell_bits - 1)).astype(np.uint64)
+    x, y = grid[:, 0], grid[:, 1]
+
+    def _spread(v):
+        v = v & np.uint64(0xFFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+        return v
+
+    code = (_spread(x) << np.uint64(1)) | _spread(y)
+    return np.argsort(code, kind="stable")
+
+
 def build_knn_graph(coords: np.ndarray, k: int):
     """Return (nbr (n, k+1) int32, nbr_mask (n, k+1) float32).
 

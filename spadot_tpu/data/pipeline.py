@@ -81,6 +81,12 @@ def prepare_data(adata, model_config):
     for tp in timepoints:
         i = tp_to_idx[tp]
         rows = np.where(tp_assign == i)[0]
+        # spatial locality (Morton) ordering: neighbor indices become
+        # near-diagonal, which the windowed Pallas attention kernel and
+        # XLA gather locality both exploit (see data/graph.py)
+        from spadot_tpu.data.graph import locality_order
+
+        rows = rows[locality_order(np.asarray(adata.obsm["spatial"])[rows])]
         n = len(rows)
         coords_tp = loc[rows, :2].astype(np.float32)
         spatial_raw = np.asarray(adata.obsm["spatial"])[rows]

@@ -36,13 +36,17 @@ class SVGPEncoder(nn.Module):
             x = nn.leaky_relu(x, 0.01)
         z = nn.Dense(self.z_dim * 2, kernel_init=_XAVIER)(x)
         mu, logvar = jnp.split(z, 2, axis=1)
-        return mu, jnp.exp(logvar)
+        # clamp keeps exp() finite in float32 (the reference trains float64,
+        # where exp saturates at 709 instead of 88; behavior unchanged within
+        # any sane variance range)
+        return mu, jnp.exp(jnp.clip(logvar, -15.0, 15.0))
 
 
 class GATLayer(nn.Module):
     out_features: int
     heads: int
     concat: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h, nbr, nbr_mask):
@@ -53,6 +57,12 @@ class GATLayer(nn.Module):
         att_dst = self.param("att_dst", _XAVIER, (H, F))
         bias_shape = (H * F,) if self.concat else (F,)
         bias = self.param("bias", nn.initializers.zeros, bias_shape)
+        if self.use_pallas:
+            from spadot_tpu.ops.gat_pallas import gat_attention_pallas
+
+            return gat_attention_pallas(
+                h, nbr, nbr_mask, W, att_src, att_dst, bias, concat=self.concat
+            )
         return gat_attention(
             h, nbr, nbr_mask, W, att_src, att_dst, bias, concat=self.concat
         )
@@ -62,19 +72,21 @@ class GATEncoder(nn.Module):
     hidden_dim: int
     num_heads: int
     z_dim: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h, nbr, nbr_mask):
+        kw = dict(use_pallas=self.use_pallas)
         h = nn.leaky_relu(
-            GATLayer(self.hidden_dim, self.num_heads, concat=True)(h, nbr, nbr_mask), 0.01
+            GATLayer(self.hidden_dim, self.num_heads, concat=True, **kw)(h, nbr, nbr_mask), 0.01
         )
         h = nn.leaky_relu(
-            GATLayer(self.hidden_dim, self.num_heads, concat=True)(h, nbr, nbr_mask), 0.01
+            GATLayer(self.hidden_dim, self.num_heads, concat=True, **kw)(h, nbr, nbr_mask), 0.01
         )
-        h = GATLayer(self.hidden_dim, self.num_heads, concat=False)(h, nbr, nbr_mask)
+        h = GATLayer(self.hidden_dim, self.num_heads, concat=False, **kw)(h, nbr, nbr_mask)
         z = nn.Dense(self.z_dim * 2, kernel_init=_XAVIER)(h)
         mu, logvar = jnp.split(z, 2, axis=1)
-        return mu, jnp.exp(logvar)
+        return mu, jnp.exp(jnp.clip(logvar, -15.0, 15.0))
 
 
 class Decoder(nn.Module):

@@ -32,6 +32,10 @@ class SpaDOTNet(nn.Module):
     gat_encoder_hidden: int
     gat_attention_heads: int
     decoder_layers: tuple
+    use_pallas: bool = False
+    # encoder_mode: 'dual' (reference), 'svgp' (VAE-only ablation,
+    # BASELINE.json config 2), or 'gat' (graph-only ablation)
+    encoder_mode: str = "dual"
 
     def setup(self):
         self.svgp_z_dim = self.z_dim // 2
@@ -43,6 +47,7 @@ class SpaDOTNet(nn.Module):
             hidden_dim=self.gat_encoder_hidden,
             num_heads=self.gat_attention_heads,
             z_dim=self.gat_z_dim,
+            use_pallas=self.use_pallas,
         )
         self.decoder = Decoder(
             hidden_dims=tuple(self.decoder_layers), output_dim=self.input_dim
@@ -59,13 +64,28 @@ class SpaDOTNet(nn.Module):
 
     def __call__(self, y, nbr, nbr_mask, *, train: bool):
         """Wiring-only call used for parameter initialization."""
-        mu_s, var_s = self.encode_svgp(y, train=train)
-        mu_g, var_g = self.encode_gat(y, nbr, nbr_mask)
-        z = jnp.concatenate([mu_s, mu_g], axis=1)
+        parts = []
+        if self.encoder_mode in ("dual", "svgp"):
+            mu_s, _ = self.encode_svgp(y, train=train)
+            parts.append(mu_s)
+        if self.encoder_mode in ("dual", "gat"):
+            mu_g, _ = self.encode_gat(y, nbr, nbr_mask)
+            parts.append(mu_g)
+        z = jnp.concatenate(parts, axis=1)
         return self.decode(z)
 
 
 def build_net(model_config: Dict[str, Any]) -> SpaDOTNet:
+    mode = str(model_config.get("encoder_mode", "dual"))
+    if mode not in ("dual", "svgp", "gat"):
+        raise ValueError(
+            f"encoder_mode must be one of 'dual', 'svgp', 'gat'; got {mode!r}"
+        )
+    use_pallas = bool(model_config.get("use_pallas", True))
+    if use_pallas:
+        from spadot_tpu.ops.gat_pallas import pallas_gat_supported
+
+        use_pallas = pallas_gat_supported()
     return SpaDOTNet(
         input_dim=int(model_config["input_dim"]),
         z_dim=int(model_config["z_dim"]),
@@ -73,6 +93,8 @@ def build_net(model_config: Dict[str, Any]) -> SpaDOTNet:
         gat_encoder_hidden=int(model_config["gat_encoder_hidden"]),
         gat_attention_heads=int(model_config["gat_attention_heads"]),
         decoder_layers=tuple(model_config["decoder_layers"]),
+        use_pallas=use_pallas,
+        encoder_mode=str(model_config.get("encoder_mode", "dual")),
     )
 
 
@@ -109,47 +131,56 @@ def forward_batch(
     b_eff = jnp.maximum(jnp.sum(batch_mask), 1.0)
 
     rng_svgp, rng_gat = jax.random.split(rng)
-
-    # --- SVGP branch (encoder on batch rows only, SpaDOT.py:54) ---
-    mutable = ["batch_stats"] if train else []
-    (qnet_mu, qnet_var), new_state = net.apply(
-        variables, y_b, train=train, mask=batch_mask,
-        method=SpaDOTNet.encode_svgp, mutable=mutable,
-    )
-    terms = svgp_batch_terms(
-        x_b, qnet_mu, qnet_var, batch_mask, N_train,
-        svgp_state["Z"], svgp_state["K_mm"], svgp_state["L_mm"],
-        kernel_scale=kernel_scale, jitter=jitter, kernel_type=kernel_type,
-    )
-    inside_elbo = jnp.sum(terms["recon"]) - (b_eff / N_train) * jnp.sum(terms["kl"])
-    ce = gauss_cross_entropy(terms["p_m"], terms["p_v"], qnet_mu, qnet_var)
-    ce_term = jnp.sum(ce * batch_mask[:, None])
-    # sign trick: SpaDOT.py:74-77 — always report a negative KL
-    svgp_kl = -jnp.abs(ce_term - inside_elbo) / svgp_L
-    eps_s = jax.random.normal(rng_svgp, terms["p_m"].shape, terms["p_m"].dtype)
-    svgp_sample = terms["p_m"] + eps_s * jnp.sqrt(terms["p_v"])
-
-    # --- GAT branch: full-graph message passing, batch rows extracted ---
+    mode = net.encoder_mode
+    new_state = None
     vars_nostats = {"params": variables["params"]}
-    gat_mu_full, gat_var_full = net.apply(
-        vars_nostats, Y, nbr, nbr_mask, method=SpaDOTNet.encode_gat
-    )
-    gat_mu = gat_mu_full[batch_idx]
-    gat_var = gat_var_full[batch_idx]
-    eps_g = jax.random.normal(rng_gat, gat_mu.shape, gat_mu.dtype)
-    gat_sample = gat_mu + eps_g * jnp.sqrt(gat_var)
-    gat_kl_el = 1.0 + jnp.log(gat_var) - gat_mu**2 - gat_var
-    gat_kl = -0.5 * jnp.sum(gat_kl_el * batch_mask[:, None]) / gat_L
+    zero = jnp.zeros((), Y.dtype)
+    svgp_kl = gat_kl = align = zero
+    svgp_sample = gat_sample = None
+
+    if mode in ("dual", "svgp"):
+        # --- SVGP branch (encoder on batch rows only, SpaDOT.py:54) ---
+        mutable = ["batch_stats"] if train else []
+        (qnet_mu, qnet_var), new_state = net.apply(
+            variables, y_b, train=train, mask=batch_mask,
+            method=SpaDOTNet.encode_svgp, mutable=mutable,
+        )
+        terms = svgp_batch_terms(
+            x_b, qnet_mu, qnet_var, batch_mask, N_train,
+            svgp_state["Z"], svgp_state["K_mm"], svgp_state["L_mm"],
+            kernel_scale=kernel_scale, jitter=jitter, kernel_type=kernel_type,
+        )
+        inside_elbo = jnp.sum(terms["recon"]) - (b_eff / N_train) * jnp.sum(terms["kl"])
+        ce = gauss_cross_entropy(terms["p_m"], terms["p_v"], qnet_mu, qnet_var)
+        ce_term = jnp.sum(ce * batch_mask[:, None])
+        # sign trick: SpaDOT.py:74-77 — always report a negative KL
+        svgp_kl = -jnp.abs(ce_term - inside_elbo) / svgp_L
+        eps_s = jax.random.normal(rng_svgp, terms["p_m"].shape, terms["p_m"].dtype)
+        svgp_sample = terms["p_m"] + eps_s * jnp.sqrt(terms["p_v"])
+
+    if mode in ("dual", "gat"):
+        # --- GAT branch: full-graph message passing, batch rows extracted ---
+        gat_mu_full, gat_var_full = net.apply(
+            vars_nostats, Y, nbr, nbr_mask, method=SpaDOTNet.encode_gat
+        )
+        gat_mu = gat_mu_full[batch_idx]
+        gat_var = gat_var_full[batch_idx]
+        eps_g = jax.random.normal(rng_gat, gat_mu.shape, gat_mu.dtype)
+        gat_sample = gat_mu + eps_g * jnp.sqrt(gat_var)
+        gat_kl_el = 1.0 + jnp.log(gat_var) - gat_mu**2 - gat_var
+        gat_kl = -0.5 * jnp.sum(gat_kl_el * batch_mask[:, None]) / gat_L
 
     # --- decode + reconstruction (SpaDOT.py:87-89) ---
-    latent = jnp.concatenate([svgp_sample, gat_sample], axis=1)
+    parts = [s for s in (svgp_sample, gat_sample) if s is not None]
+    latent = jnp.concatenate(parts, axis=1)
     y_hat = net.apply(vars_nostats, latent, method=SpaDOTNet.decode)
     recon = jnp.sum(((y_b - y_hat) ** 2) * batch_mask[:, None]) / net.input_dim
 
-    # --- alignment of branch norms (SpaDOT.py:91-93) ---
-    norm_s = jnp.linalg.norm(svgp_sample, axis=1) / svgp_L
-    norm_g = jnp.linalg.norm(gat_sample, axis=1) / gat_L
-    align = jnp.sum(((norm_s - norm_g) ** 2) * batch_mask)
+    if mode == "dual":
+        # --- alignment of branch norms (SpaDOT.py:91-93) ---
+        norm_s = jnp.linalg.norm(svgp_sample, axis=1) / svgp_L
+        norm_g = jnp.linalg.norm(gat_sample, axis=1) / gat_L
+        align = jnp.sum(((norm_s - norm_g) ** 2) * batch_mask)
 
     losses = {
         "Recon": recon,
@@ -209,16 +240,23 @@ def full_latent(net, variables, tp_data, svgp_state, *, kernel_scale, kernel_typ
     Y, coords = tp_data["Y"], tp_data["coords"]
     n = Y.shape[0]
     mask = jnp.ones(n, Y.dtype)
-    qnet_mu, qnet_var = net.apply(
-        variables, Y, train=False, mask=None, method=SpaDOTNet.encode_svgp
-    )
-    terms = svgp_batch_terms(
-        coords, qnet_mu, qnet_var, mask, jnp.asarray(n, Y.dtype),
-        svgp_state["Z"], svgp_state["K_mm"], svgp_state["L_mm"],
-        kernel_scale=kernel_scale, jitter=jitter, kernel_type=kernel_type,
-    )
-    vars_nostats = {"params": variables["params"]}
-    gat_mu, _ = net.apply(
-        vars_nostats, Y, tp_data["nbr"], tp_data["nbr_mask"], method=SpaDOTNet.encode_gat
-    )
-    return jnp.concatenate([terms["p_m"], gat_mu], axis=1)
+    mode = net.encoder_mode
+    parts = []
+    if mode in ("dual", "svgp"):
+        qnet_mu, qnet_var = net.apply(
+            variables, Y, train=False, mask=None, method=SpaDOTNet.encode_svgp
+        )
+        terms = svgp_batch_terms(
+            coords, qnet_mu, qnet_var, mask, jnp.asarray(n, Y.dtype),
+            svgp_state["Z"], svgp_state["K_mm"], svgp_state["L_mm"],
+            kernel_scale=kernel_scale, jitter=jitter, kernel_type=kernel_type,
+        )
+        parts.append(terms["p_m"])
+    if mode in ("dual", "gat"):
+        vars_nostats = {"params": variables["params"]}
+        gat_mu, _ = net.apply(
+            vars_nostats, Y, tp_data["nbr"], tp_data["nbr_mask"],
+            method=SpaDOTNet.encode_gat,
+        )
+        parts.append(gat_mu)
+    return jnp.concatenate(parts, axis=1)

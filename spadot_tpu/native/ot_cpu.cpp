@@ -81,15 +81,24 @@ void lse_cols(const T* C, int64_t I, int64_t J, const T* f, const T* ldx,
 
 template <typename T>
 T norm2_diff_exp(const std::vector<T>& a, const std::vector<T>& b, T inv_eps) {
-  // || exp(a/eps) - exp(b/eps) || and || exp(a/eps) ||, returned as ratio
+  // ||exp(a/eps) - exp(b/eps)|| / (1 + ||exp(a/eps)||), with the shared max
+  // subtracted from both exponents (numerator and denominator scale by the
+  // same e^{-m}) so the proxy never overflows.
+  T m = neg_inf<T>();
+  for (size_t i = 0; i < a.size(); ++i) {
+    T v = a[i] * inv_eps;
+    if (v > m) m = v;
+    v = b[i] * inv_eps;
+    if (v > m) m = v;
+  }
   T dn = 0, an = 0;
   for (size_t i = 0; i < a.size(); ++i) {
-    T ea = std::exp(a[i] * inv_eps);
-    T eb = std::exp(b[i] * inv_eps);
+    T ea = std::exp(a[i] * inv_eps - m);
+    T eb = std::exp(b[i] * inv_eps - m);
     dn += (ea - eb) * (ea - eb);
     an += ea * ea;
   }
-  return std::sqrt(dn) / (1 + std::sqrt(an));
+  return std::sqrt(dn) / (std::exp(-m) + std::sqrt(an));
 }
 
 template <typename T>

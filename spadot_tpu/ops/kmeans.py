@@ -66,8 +66,14 @@ def _lloyd(X, centers, mask, n_iter):
 def kmeans_fit(key, X, k, mask=None, n_init=10, n_iter=50):
     """Run KMeans with `n_init` parallel restarts; return best by inertia.
 
-    Returns (centers (k, d), labels (n,), inertia scalar).
+    Returns (centers (k, d), labels (n,), inertia scalar). Distance matmuls
+    run at full f32 precision (bf16 differences flip assignments).
     """
+    with jax.default_matmul_precision("highest"):
+        return _kmeans_fit_impl(key, X, k, mask, n_init, n_iter)
+
+
+def _kmeans_fit_impl(key, X, k, mask, n_init, n_iter):
     if mask is None:
         mask = jnp.ones(X.shape[0], X.dtype)
     mask = mask.astype(X.dtype)

@@ -111,15 +111,29 @@ def sinkhorn_duality_gap_np(
                     C, R, f, g, p, q, dx, dy, eps_i, lambda1, lambda2
                 )
             else:
-                _a, _b = np.exp(f / eps_i), np.exp(g / eps_i)
-                _a_old, _b_old = np.exp(f_prev / eps_i), np.exp(g_prev / eps_i)
                 duality_gap = max(
-                    np.linalg.norm(_a - _a_old) / (1 + np.linalg.norm(_a)),
-                    np.linalg.norm(_b - _b_old) / (1 + np.linalg.norm(_b)),
+                    _dual_evolution_gap_np(f, f_prev, eps_i),
+                    _dual_evolution_gap_np(g, g_prev, eps_i),
                 )
     if np.isnan(duality_gap):
-        raise RuntimeError("Overflow encountered in duality gap computation")
+        import os, time
+
+        dump = os.path.join("/tmp", f"spadot_ot_overflow_{int(time.time())}.npz")
+        np.savez(dump, C=C, G=np.asarray(G), f=f, g=g)
+        raise RuntimeError(
+            f"Overflow encountered in duality gap computation (inputs: {dump})"
+        )
     return R / J
+
+
+def _dual_evolution_gap_np(f, f_prev, eps):
+    """||e^{f/eps} - e^{f_prev/eps}|| / (1 + ||e^{f/eps}||), computed with the
+    shared max subtracted from both exponents — identical value (numerator
+    and denominator scale by the same e^{-m}), immune to overflow."""
+    m = max(np.max(f), np.max(f_prev)) / eps
+    ea = np.exp(f / eps - m)
+    eo = np.exp(f_prev / eps - m)
+    return np.linalg.norm(ea - eo) / (np.exp(-m) + np.linalg.norm(ea))
 
 
 def _duality_gap_np(C, R, f, g, p, q, dx, dy, eps, lambda1, lambda2):
@@ -149,6 +163,16 @@ def _xlogx_ratio(x, pref):
 # ---------------------------------------------------------------------------
 # JAX backend
 # ---------------------------------------------------------------------------
+
+def _dual_evolution_gap_jnp(f, f_prev, eps):
+    """Overflow-proof version of the early-stage proxy (see numpy twin)."""
+    import jax.numpy as jnp
+
+    m = jnp.maximum(jnp.max(f), jnp.max(f_prev)) / eps
+    ea = jnp.exp(f / eps - m)
+    eo = jnp.exp(f_prev / eps - m)
+    return jnp.linalg.norm(ea - eo) / (jnp.exp(-m) + jnp.linalg.norm(ea))
+
 
 def _jax_solver(C, p, q, lambda1, lambda2, epsilon, epsilon0, batch_size,
                 tolerance, max_iter):
@@ -220,11 +244,9 @@ def _jax_solver(C, p, q, lambda1, lambda2, epsilon, epsilon0, batch_size,
             if final:
                 gap = duality_gap_final(fn, gn, eps_i)
             else:
-                _a, _b = jnp.exp(fn / eps_i), jnp.exp(gn / eps_i)
-                _ao, _bo = jnp.exp(fprev / eps_i), jnp.exp(gprev / eps_i)
                 gap = jnp.maximum(
-                    jnp.linalg.norm(_a - _ao) / (1 + jnp.linalg.norm(_a)),
-                    jnp.linalg.norm(_b - _bo) / (1 + jnp.linalg.norm(_b)),
+                    _dual_evolution_gap_jnp(fn, fprev, eps_i),
+                    _dual_evolution_gap_jnp(gn, gprev, eps_i),
                 )
             return (fn, gn, gap, it + inner)
 
@@ -267,6 +289,20 @@ def sinkhorn_duality_gap_jax(C, G, lambda1, lambda2, epsilon, batch_size,
 # Dispatcher (parity with compute_transport_map, ot_solvers.py:95-121)
 # ---------------------------------------------------------------------------
 
+def _robust_cost_scale(C):
+    """Median cost (the reference's normalizer, ot_solvers.py:104), guarded
+    against degenerate inputs: if the median is vanishingly small relative to
+    the largest cost (near-duplicate point clouds — e.g. early-training
+    centroid collapse), fall back to the mean so C/s stays bounded."""
+    med = float(np.median(C))
+    cmax = float(np.max(C))
+    if cmax <= 0:
+        return 1.0
+    if med <= 1e-9 * cmax:
+        mean = float(np.mean(C))
+        return mean if mean > 0 else 1.0
+    return med
+
 def compute_transport_map(a, b, config, C=None, G=None, backend=None):
     """Transport plan between two point clouds (rows of a -> rows of b).
 
@@ -283,7 +319,7 @@ def compute_transport_map(a, b, config, C=None, G=None, backend=None):
         from scipy.spatial.distance import cdist
 
         C = cdist(a, b, metric="sqeuclidean")
-        C = C / np.median(C)
+        C = C / _robust_cost_scale(C)
     G = np.ones(C.shape[0]) if G is None else np.asarray(G, dtype=np.float64)
     backend = backend or config.get("backend", "numpy")
     kwargs = dict(

@@ -1,0 +1,330 @@
+"""Factored (flash-style) unbalanced Sinkhorn: cost-matrix-free transport.
+
+For full-cell transport maps between large timepoints (analyze stage;
+BASELINE.json config 5 targets 100k+ spots/timepoint) the (I, J) cost matrix
+does not fit in HBM. Because the cost is a squared euclidean distance of
+latent factors,
+
+    C_ij = (|x_i|^2 + |y_j|^2 - 2 x_i . y_j) / s,
+
+every Sinkhorn quantity is computable from X0 (I, d), X1 (J, d) in tiles:
+each half-iteration streams column (row) blocks through a running
+max/sum logsumexp — the same online-softmax recurrence flash attention
+uses — with the block cost produced by one MXU matmul and fused into the
+exponential. Memory is O(I + J + block^2); the full plan is never built
+unless explicitly requested.
+
+This file is the XLA implementation (lax.scan over blocks — XLA fuses the
+matmul + exp + reduction per block); ops/sinkhorn_pallas.py provides the
+hand-fused Pallas kernel for the same recurrence. Semantics (epsilon ladder,
+thresholds, duality gap) match ops/sinkhorn.py exactly and are differentially
+tested against it.
+"""
+import math
+from functools import partial
+
+import numpy as np
+
+from spadot_tpu.ops.sinkhorn import EPSILON_SCALINGS, _stage_epsilons
+
+
+def cost_median_factored(X0, X1, scale_samples=1 << 21, seed=0):
+    """Median of the pairwise sqeuclidean cost, exact when IJ is small,
+    sampled (~2M pairs) otherwise — the reference normalizes C by its median
+    (ot_solvers.py:102-104); at 100k x 100k an exact median would need the
+    full matrix, so a sampled estimate (rel. error ~1e-3) is used."""
+    from spadot_tpu.ops.sinkhorn import _robust_cost_scale
+
+    I, J = X0.shape[0], X1.shape[0]
+    if I * J <= scale_samples:
+        from scipy.spatial.distance import cdist
+
+        return _robust_cost_scale(cdist(X0, X1, "sqeuclidean"))
+    rng = np.random.default_rng(seed)
+    ii = rng.integers(0, I, size=scale_samples)
+    jj = rng.integers(0, J, size=scale_samples)
+    d = ((X0[ii] - X1[jj]) ** 2).sum(axis=1)
+    return _robust_cost_scale(d)
+
+
+def _block_lse_rows(X0, X1, g, log_dy, inv_eps_s, sq0, sq1, block):
+    """lse_i = log sum_j exp((g_j - C_ij)/eps + log dy_j), streamed over
+    column blocks with a running (max, sum) accumulator."""
+    import jax
+    import jax.numpy as jnp
+
+    I = X0.shape[0]
+    J = X1.shape[0]
+    nb = (J + block - 1) // block
+    Jp = nb * block
+    pad = Jp - J
+    X1p = jnp.pad(X1, ((0, pad), (0, 0)))
+    addp = jnp.pad(g * 1.0 + log_dy - sq1 * inv_eps_s, (0, pad),
+                   constant_values=-jnp.inf)
+    X1b = X1p.reshape(nb, block, -1)
+    addb = addp.reshape(nb, block)
+
+    def body(carry, blk):
+        m, s = carry
+        X1_blk, add_blk = blk
+        # (I, block) block logits: -C/eps + g/eps + log dy
+        dot = X0 @ X1_blk.T  # MXU
+        logits = (2.0 * inv_eps_s) * dot - inv_eps_s * sq0[:, None] + add_blk[None, :]
+        bm = jnp.max(logits, axis=1)
+        new_m = jnp.maximum(m, bm)
+        s = s * jnp.exp(m - new_m) + jnp.sum(
+            jnp.exp(logits - new_m[:, None]), axis=1
+        )
+        return (new_m, s), None
+
+    m0 = jnp.full((I,), -jnp.inf, X0.dtype)
+    s0 = jnp.zeros((I,), X0.dtype)
+    (m, s), _ = jax.lax.scan(body, (m0, s0), (X1b, addb))
+    return m + jnp.log(s)
+
+
+def _make_solver(I, J, d, dtype, lambda1, lambda2, epsilon, epsilon0,
+                 batch_size, tolerance, max_iter, block, use_pallas=False):
+    import jax
+    import jax.numpy as jnp
+
+    eff_tol = max(float(tolerance), 1e-6) if dtype == np.float32 else float(tolerance)
+
+    pallas_lse = {}
+    if use_pallas:
+        from spadot_tpu.ops.sinkhorn_pallas import make_lse_rows_pallas
+
+        for eps_i in _stage_epsilons(epsilon, epsilon0):
+            pallas_lse[eps_i] = make_lse_rows_pallas(
+                1.0 / eps_i, block_i=min(block, 256), block_j=min(block, 512)
+            )
+
+    def solver(X0, X1, p, q, inv_s):
+        sq0 = jnp.sum(X0 * X0, axis=1)
+        sq1 = jnp.sum(X1 * X1, axis=1)
+        # factors pre-scaled by sqrt(inv_s): the cost becomes a plain
+        # sqeuclidean of the scaled factors, so per-stage kernel scalars
+        # (1/eps) are static
+        rs = jnp.sqrt(inv_s)
+        X0s, X1s = X0 * rs, X1 * rs
+        sq0s, sq1s = sq0 * inv_s, sq1 * inv_s
+        log_p = jnp.log(p)
+        log_q = jnp.log(q)
+        log_dx = jnp.full((I,), -math.log(I), dtype)
+        log_dy = jnp.full((J,), -math.log(J), dtype)
+
+        def half(f, g, eps_i, a1, a2):
+            inv_eps = 1.0 / eps_i
+            if use_pallas:
+                lse = pallas_lse[eps_i]
+                add_r = g * inv_eps + log_dy - sq1s * inv_eps
+                lse_r = lse(X0s, sq0s, X1s, add_r)
+                f = a1 * (eps_i * log_p - eps_i * lse_r)
+                add_c = f * inv_eps + log_dx - sq0s * inv_eps
+                lse_c = lse(X1s, sq1s, X0s, add_c)
+                g = a2 * (eps_i * log_q - eps_i * lse_c)
+                return f, g
+            lse_r = _block_lse_rows(
+                X0s, X1s, g * inv_eps, log_dy, inv_eps, sq0s, sq1s, block
+            )
+            f = a1 * (eps_i * log_p - eps_i * lse_r)
+            lse_c = _block_lse_rows(
+                X1s, X0s, f * inv_eps, log_dx, inv_eps, sq1s, sq0s, block
+            )
+            g = a2 * (eps_i * log_q - eps_i * lse_c)
+            return f, g
+
+        def gap_blocks(f, g, eps_i):
+            """duality-gap ingredients streamed over row blocks."""
+            inv_eps_s = inv_s / eps_i
+            nb = (I + block - 1) // block
+            Ip = nb * block
+            pad = Ip - I
+            X0p = jnp.pad(X0, ((0, pad), (0, 0)))
+            fp = jnp.pad(f, (0, pad), constant_values=-jnp.inf)
+            sq0p = jnp.pad(sq0, (0, pad))
+            valid = jnp.pad(jnp.ones((I,), dtype), (0, pad))
+            X0b = X0p.reshape(nb, block, -1)
+            fb = fp.reshape(nb, block)
+            sq0b = sq0p.reshape(nb, block)
+            validb = valid.reshape(nb, block)
+
+            def body(carry, blk):
+                ent_a, cost_a, rk_a, colm = carry
+                Xb, f_blk, sqb, v_blk = blk
+                dot = Xb @ X1.T  # (block, J)
+                Cb = (sqb[:, None] + sq1[None, :] - 2.0 * dot) * inv_s
+                logR = (f_blk[:, None] + g[None, :] - Cb) / eps_i
+                R = jnp.exp(logR)
+                Kb = jnp.exp(-Cb / eps_i) * v_blk[:, None]  # mask padded rows
+                ent_a += jnp.sum(jnp.where(R > 0, R * logR, 0.0) - R + Kb)
+                cost_a += jnp.sum(R * Cb)
+                rk_a += jnp.sum(R - Kb)
+                colm = colm + R.sum(axis=0) / I
+                rowm_b = R.sum(axis=1) / J
+                return (ent_a, cost_a, rk_a, colm), rowm_b
+
+            init = (
+                jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.zeros((), dtype),
+                jnp.zeros((J,), dtype),
+            )
+            (ent, cost, rk, colm), rowm_b = jax.lax.scan(
+                body, init, (X0b, fb, sq0b, validb)
+            )
+            rowm = rowm_b.reshape(-1)[:I]
+            return ent, cost, rk, colm, rowm
+
+        def gap_final(f, g, eps_i):
+            ent, cost, rk, colm, rowm = gap_blocks(f, g, eps_i)
+            t1 = jnp.where(rowm > 0, rowm * jnp.log(rowm / p), 0.0) - rowm + p
+            t2 = jnp.where(colm > 0, colm * jnp.log(colm / q), 0.0) - colm + q
+            IJ = I * J
+            primal = (
+                lambda1 * jnp.sum(t1) / I
+                + lambda2 * jnp.sum(t2) / J
+                + (eps_i * ent + cost) / IJ
+            )
+            dual = (
+                -lambda1 * jnp.sum(p * (jnp.exp(-f / lambda1) - 1.0)) / I
+                - lambda2 * jnp.sum(q * (jnp.exp(-g / lambda2) - 1.0)) / J
+                - eps_i * rk / IJ
+            )
+            return (primal - dual) / jnp.abs(primal)
+
+        f = jnp.zeros((I,), dtype)
+        g = jnp.zeros((J,), dtype)
+        it0 = jnp.zeros((), jnp.int32)
+        for e, eps_i in enumerate(_stage_epsilons(epsilon, epsilon0)):
+            final = e == EPSILON_SCALINGS
+            a1 = lambda1 / (lambda1 + eps_i)
+            a2 = lambda2 / (lambda2 + eps_i)
+            threshold = eff_tol if final else 1e-6
+            inner = int(batch_size) if final else 5
+
+            def cond(c):
+                _f, _g, gp, it = c
+                return jnp.logical_and(gp > threshold, it < max_iter)
+
+            def body(c, eps_i=eps_i, a1=a1, a2=a2, final=final, inner=inner):
+                _f, _g, gp, it = c
+
+                def one(i, fg):
+                    fo, go, _, _ = fg
+                    fn, gn = half(fo, go, eps_i, a1, a2)
+                    return (fn, gn, fo, go)
+
+                fn, gn, fprev, gprev = jax.lax.fori_loop(
+                    0, inner, one, (_f, _g, _f, _g)
+                )
+                if final:
+                    gp = gap_final(fn, gn, eps_i)
+                else:
+                    from spadot_tpu.ops.sinkhorn import _dual_evolution_gap_jnp
+
+                    gp = jnp.maximum(
+                        _dual_evolution_gap_jnp(fn, fprev, eps_i),
+                        _dual_evolution_gap_jnp(gn, gprev, eps_i),
+                    )
+                return (fn, gn, gp, it + inner)
+
+            f, g, _, it0 = jax.lax.while_loop(
+                cond, body, (f, g, jnp.asarray(jnp.inf, dtype), it0)
+            )
+        return f, g
+
+    return solver
+
+
+def sinkhorn_factored(
+    X0, X1, G=None, *, lambda1=0.1, lambda2=5.0, epsilon=0.05, epsilon0=1.0,
+    batch_size=5, tolerance=1e-8, max_iter=10_000_000, block=1024,
+    dtype=np.float32, return_plan=True, use_pallas=None, **ignored,
+):
+    """Cost-matrix-free unbalanced Sinkhorn between latent factor sets.
+
+    Returns (R / J) like the dense engine when return_plan, else the dual
+    potentials (f, g) and the cost scale — enough to reconstruct any block of
+    the plan on demand: R_ij = exp((f_i + g_j - C_ij)/eps_final).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    X0 = np.asarray(X0, dtype=dtype)
+    X1 = np.asarray(X1, dtype=dtype)
+    I, J = X0.shape[0], X1.shape[0]
+    s = cost_median_factored(X0, X1)
+    G = np.ones(I) if G is None else np.asarray(G)
+    q = np.full(J, G.mean())
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    solver = _make_solver(
+        I, J, X0.shape[1], dtype, float(lambda1), float(lambda2),
+        float(epsilon), float(epsilon0), int(batch_size), float(tolerance),
+        int(max_iter), int(block), use_pallas=bool(use_pallas),
+    )
+    f, g = jax.jit(solver)(
+        jnp.asarray(X0), jnp.asarray(X1), jnp.asarray(G, dtype),
+        jnp.asarray(q, dtype), jnp.asarray(1.0 / s, dtype),
+    )
+    eps_final = _stage_epsilons(epsilon, epsilon0)[-1]
+    if not return_plan:
+        return np.asarray(f), np.asarray(g), s, eps_final
+    from scipy.spatial.distance import cdist
+
+    C = cdist(X0, X1, "sqeuclidean") / s
+    R = np.exp((np.asarray(f)[:, None] + np.asarray(g)[None, :] - C) / eps_final)
+    return R / J
+
+
+def plan_reductions(f, g, X0, X1, s, eps_final, M1=None, block=1024):
+    """Blockwise reductions over the implicit plan R/J: returns
+    (row_sums (I,), col_sums (J,), agg (I, S) = (R/J) @ M1 if M1 given).
+
+    Used for growth iterations and transition tables at scales where R
+    cannot be materialized.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    I, J = X0.shape[0], X1.shape[0]
+    dtype = X0.dtype
+    sq0 = jnp.sum(jnp.asarray(X0) ** 2, axis=1)
+    sq1 = jnp.sum(jnp.asarray(X1) ** 2, axis=1)
+    X1j = jnp.asarray(X1)
+    gj = jnp.asarray(g)
+    M1j = None if M1 is None else jnp.asarray(M1, dtype)
+
+    nb = (I + block - 1) // block
+    pad = nb * block - I
+    X0p = jnp.pad(jnp.asarray(X0), ((0, pad), (0, 0)))
+    fp = jnp.pad(jnp.asarray(f), (0, pad), constant_values=-jnp.inf)
+    sq0p = jnp.pad(sq0, (0, pad))
+
+    def body(carry, blk):
+        colm = carry
+        Xb, f_blk, sqb = blk
+        dot = Xb @ X1j.T
+        Cb = (sqb[:, None] + sq1[None, :] - 2.0 * dot) / s
+        R = jnp.exp((f_blk[:, None] + gj[None, :] - Cb) / eps_final) / J
+        out = (R.sum(axis=1), R @ M1j if M1j is not None else jnp.zeros((Xb.shape[0], 1), dtype))
+        return colm + R.sum(axis=0), out
+
+    colm0 = jnp.zeros((J,), dtype)
+    colm, (rows_b, agg_b) = jax.lax.scan(
+        body, colm0,
+        (X0p.reshape(nb, block, -1), fp.reshape(nb, block), sq0p.reshape(nb, block)),
+    )
+    row_sums = rows_b.reshape(-1)[:I]
+    agg = agg_b.reshape(nb * block, -1)[:I] if M1 is not None else None
+    return np.asarray(row_sums), np.asarray(colm), (
+        None if agg is None else np.asarray(agg)
+    )
+
+
+def plan_block(f_blk, g_blk, X0_blk, X1_blk, s, eps_final, J_total):
+    """Reconstruct one block of the transport plan from the duals."""
+    from scipy.spatial.distance import cdist
+
+    C = cdist(X0_blk, X1_blk, "sqeuclidean") / s
+    return np.exp((f_blk[:, None] + g_blk[None, :] - C) / eps_final) / J_total

@@ -39,8 +39,9 @@ def svgp_shared(Z, kernel_type="Gaussian", kernel_scale=0.1, jitter=1e-2):
 
     Returns dict with K_mm and its jittered Cholesky.
     """
-    K_mm = kernel_matrix(Z, Z, kernel_type, kernel_scale)
-    L_mm = _jittered_chol(K_mm, jitter)
+    with jax.default_matmul_precision("highest"):
+        K_mm = kernel_matrix(Z, Z, kernel_type, kernel_scale)
+        L_mm = _jittered_chol(K_mm, jitter)
     return {"Z": Z, "K_mm": K_mm, "L_mm": L_mm}
 
 
@@ -62,7 +63,22 @@ def svgp_batch_terms(
       p_m, p_v: (b, L) posterior mean/variance at x,
       recon: (L,) inside-ELBO reconstruction terms (svgp.py:96-104),
       kl: (L,) inside-ELBO KL terms (svgp.py:86-94).
+
+    All matmuls feeding the Cholesky factorizations run at full float32
+    precision regardless of the global matmul default — bf16 MXU passes can
+    make sigma_l numerically non-PSD and poison the whole model with NaNs.
     """
+    with jax.default_matmul_precision("highest"):
+        return _svgp_batch_terms_impl(
+            x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
+            kernel_scale, jitter, kernel_type,
+        )
+
+
+def _svgp_batch_terms_impl(
+    x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
+    kernel_scale, jitter, kernel_type,
+):
     m = Z.shape[0]
     b_eff = jnp.maximum(jnp.sum(mask), 1.0)
     ratio = N_train / b_eff

@@ -23,7 +23,7 @@ import pandas as pd
 
 from spadot_tpu.config import load_model_config, resolve_dtype
 from spadot_tpu.utils.logging import logger, timed
-from spadot_tpu.utils.rng import set_seed
+from spadot_tpu.utils.rng import enable_compilation_cache, set_seed
 
 LOSS_NAMES = ["elbo", "Recon", "SVGP_KL", "GAT_KL", "alignment", "KMeans", "OT"]
 
@@ -52,6 +52,9 @@ class Trainer:
         self.kernel_scale = float(model_config["kernel_scale"])
         self.n_clusters = int(model_config["n_clusters"])
         self.z_dim = int(model_config["z_dim"])
+        # latent width differs from z_dim in single-branch ablation modes
+        mode = str(model_config.get("encoder_mode", "dual"))
+        self.latent_dim = self.z_dim if mode == "dual" else self.z_dim // 2
 
         dtype = jnp.float32
         self.tp_dev = OrderedDict()
@@ -134,7 +137,7 @@ class Trainer:
                     train=True,
                 )
                 km = use_kmeans * kmeans_loss(
-                    latent, idx, msk, km_assign, km_centers, self.z_dim
+                    latent, idx, msk, km_assign, km_centers, self.latent_dim
                 )
                 otl = use_ot * ot_loss(
                     latent, idx, msk, km_assign, km_centers, prev_centers, gamma_rn
@@ -157,7 +160,10 @@ class Trainer:
             params = optax.apply_updates(variables["params"], updates)
             new_vars = {
                 "params": params,
-                "batch_stats": new_state.get("batch_stats", variables["batch_stats"]),
+                "batch_stats": (
+                    new_state.get("batch_stats", variables["batch_stats"])
+                    if new_state else variables["batch_stats"]
+                ),
             }
             vec = jnp.stack(
                 [elbo, losses["Recon"], losses["SVGP_KL"], losses["GAT_KL"],
@@ -182,7 +188,7 @@ class Trainer:
     def run_epoch(self, variables, opt_state, rng, tp, km, gammas, tp_i, epoch, beta1):
         """One timepoint's epoch. km: dict with centers/assign per tp."""
         jnp = self.jnp
-        k, z = self.n_clusters, self.z_dim
+        k, z = self.n_clusters, self.latent_dim
         n = self.tp_n[tp]
         have_km = km["centers"].get(tp) is not None
         use_kmeans = 1.0 if (epoch >= 1 and have_km) else 0.0
@@ -391,6 +397,7 @@ def train(args):
             except Exception:
                 logger.warning("could not select platform %r; using default", platform)
 
+    enable_compilation_cache()
     logger.info("Loading data...")
     data_dir = os.path.abspath(args.data)
     if not getattr(args, "output_dir", None):

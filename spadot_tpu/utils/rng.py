@@ -22,3 +22,17 @@ def make_key(seed: int = 1993):
     import jax
 
     return jax.random.PRNGKey(seed)
+
+
+def enable_compilation_cache(cache_dir=None):
+    """Persistent XLA compilation cache (big win for remote-TPU compiles)."""
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/spadot_jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -1,0 +1,77 @@
+"""Pallas kernels (interpret mode on CPU) vs their XLA references."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spadot_tpu.ops.gat import gat_attention
+from spadot_tpu.ops.gat_pallas import (
+    aggregate_reference,
+    aggregate_windowed,
+    gat_attention_pallas,
+)
+from spadot_tpu.ops.sinkhorn_pallas import lse_rows_reference, make_lse_rows_pallas
+
+
+def test_lse_rows_kernel_matches_reference(rng):
+    I, J, d = 100, 150, 24
+    X0 = jnp.asarray(rng.normal(size=(I, d)), jnp.float32)
+    X1 = jnp.asarray(rng.normal(size=(J, d)), jnp.float32)
+    sq0 = jnp.sum(X0**2, 1)
+    add = jnp.asarray(rng.normal(size=J), jnp.float32)
+    fn = make_lse_rows_pallas(3.7, block_i=32, block_j=64, interpret=True)
+    got = fn(X0, sq0, X1, add)
+    want = lse_rows_reference(X0, sq0, X1, add, 3.7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_windowed_aggregation_matches_reference(rng):
+    n, K, F = 300, 7, 16
+    Wx = jnp.asarray(rng.normal(size=(n, F)), jnp.float32)
+    alpha = jnp.asarray(rng.uniform(size=(n, K)), jnp.float32)
+    nbr = jnp.asarray(rng.integers(0, n, size=(n, K)), jnp.int32)
+    mask = jnp.asarray(rng.uniform(size=(n, K)) > 0.2, jnp.float32)
+    ref = aggregate_reference(Wx, alpha * mask, nbr, jnp.ones_like(mask))
+    # narrow window forces heavy use of the out-of-window correction
+    got = aggregate_windowed(Wx, alpha, nbr, mask, 64, 16, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_windowed_aggregation_gradients(rng):
+    n, K, F = 200, 5, 8
+    Wx = jnp.asarray(rng.normal(size=(n, F)), jnp.float32)
+    alpha = jnp.asarray(rng.uniform(size=(n, K)), jnp.float32)
+    nbr = jnp.asarray(rng.integers(0, n, size=(n, K)), jnp.int32)
+    mask = jnp.ones((n, K), jnp.float32)
+
+    def loss_p(Wx, alpha):
+        return jnp.sum(aggregate_windowed(Wx, alpha, nbr, mask, 64, 32, True) ** 2)
+
+    def loss_r(Wx, alpha):
+        return jnp.sum(aggregate_reference(Wx, alpha * mask, nbr, jnp.ones_like(mask)) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(Wx, alpha)
+    gr = jax.grad(loss_r, argnums=(0, 1))(Wx, alpha)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gr[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1] * mask), atol=1e-4)
+
+
+def test_full_gat_layer_pallas_matches_xla(rng):
+    n, K, H, Fh, Fin = 150, 6, 2, 8, 12
+    h = jnp.asarray(rng.normal(size=(n, Fin)), jnp.float32)
+    nbr = jnp.asarray(rng.integers(0, n, size=(n, K)), jnp.int32).at[:, 0].set(
+        jnp.arange(n)
+    )
+    mask = jnp.asarray(rng.uniform(size=(n, K)) > 0.1, jnp.float32).at[:, 0].set(1.0)
+    W = jnp.asarray(rng.normal(size=(Fin, H * Fh)), jnp.float32)
+    a_s = jnp.asarray(rng.normal(size=(H, Fh)), jnp.float32)
+    a_d = jnp.asarray(rng.normal(size=(H, Fh)), jnp.float32)
+    for concat in (True, False):
+        b = jnp.asarray(rng.normal(size=(H * Fh,) if concat else (Fh,)), jnp.float32)
+        o_xla = gat_attention(h, nbr, mask, W, a_s, a_d, b, concat=concat)
+        o_pls = gat_attention_pallas(
+            h, nbr, mask, W, a_s, a_d, b, concat=concat,
+            tile=64, window=32, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_pls), np.asarray(o_xla), atol=2e-5
+        )

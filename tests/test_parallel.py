@@ -1,0 +1,71 @@
+"""Multi-device mesh tests on the 8-way virtual CPU mesh: the sharded
+training step must execute and match the single-device result."""
+import numpy as np
+import pytest
+
+import jax
+
+from _synthetic import make_synthetic_adata
+from spadot_tpu.config import default_config
+from spadot_tpu.data.pipeline import prepare_data
+from spadot_tpu.parallel.mesh import make_mesh, shard_tp_data
+from spadot_tpu.utils.rng import set_seed
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _setup(mesh=None):
+    from spadot_tpu.train.loop import Trainer
+
+    adata = make_synthetic_adata(n_per_tp=128, n_genes=24, n_tp=2)
+    cfg = default_config()
+    cfg.update(
+        input_dim=24, timepoints=[0, 1], maxiter=2, ot_epoch=1, batch_size=64,
+        inducing_point_nums=30, gat_encoder_hidden=8, gat_attention_heads=2,
+        svgp_encoder_layers=[16, 8], decoder_layers=[8, 16], n_clusters=3,
+    )
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+    return Trainer(cfg, data, mesh=mesh), cfg
+
+
+def test_mesh_creation():
+    mesh = make_mesh({"data": 8})
+    assert mesh.shape["data"] == 8
+
+
+def test_sharded_step_matches_single_device():
+    set_seed(1993)
+    t1, _ = _setup(mesh=None)
+    v1, o1 = t1.init_state(jax.random.PRNGKey(0))
+    km = {"centers": {}, "assign": {}}
+    v1, o1, _, losses1 = t1.run_epoch(
+        v1, o1, jax.random.PRNGKey(1), 0, km, {}, 0, 0, 0.5
+    )
+
+    mesh = make_mesh({"data": 8})
+    set_seed(1993)
+    t8, _ = _setup(mesh=mesh)
+    v8, o8 = t8.init_state(jax.random.PRNGKey(0))
+    km8 = {"centers": {}, "assign": {}}
+    v8, o8, _, losses8 = t8.run_epoch(
+        v8, o8, jax.random.PRNGKey(1), 0, km8, {}, 0, 0, 0.5
+    )
+    np.testing.assert_allclose(losses8, losses1, rtol=2e-4, atol=2e-4)
+    # parameters after the epoch agree too
+    p1 = jax.tree_util.tree_leaves(v1["params"])
+    p8 = jax.tree_util.tree_leaves(v8["params"])
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_latent_and_kmeans():
+    mesh = make_mesh({"data": 8})
+    t8, _ = _setup(mesh=mesh)
+    v8, _ = t8.init_state(jax.random.PRNGKey(0))
+    lat = np.asarray(t8.latent(v8, 0))
+    assert lat.shape == (128, 20) and np.isfinite(lat).all()
+    km = t8.update_kmeans(v8, jax.random.PRNGKey(5), {"centers": {}, "assign": {}})
+    assert np.asarray(km["centers"][0]).shape == (3, 20)

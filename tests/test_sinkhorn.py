@@ -130,3 +130,14 @@ def test_compute_transport_map_shape_and_finite(rng):
     R = compute_transport_map(a, b, cfg)
     assert R.shape == (8, 9)
     assert np.isfinite(R).all() and (R >= 0).all()
+
+
+def test_degenerate_near_duplicate_clouds(rng):
+    """Early-training centroid collapse: near-identical point clouds must not
+    overflow (regression for the bench failure: median cost ~ 0)."""
+    base = rng.normal(size=(6, 4))
+    a = base + rng.normal(scale=1e-9, size=base.shape)
+    b = np.vstack([base + rng.normal(scale=1e-9, size=base.shape),
+                   base[:2] + 5.0])  # a couple of far points
+    R = compute_transport_map(a, b, dict(PARAMS, growth_iters=3))
+    assert np.isfinite(R).all() and (R >= 0).all()

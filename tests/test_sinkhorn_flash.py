@@ -1,0 +1,62 @@
+"""Factored (cost-matrix-free) Sinkhorn vs the dense engines, and the
+blockwise plan reductions used by the large-scale analyze path."""
+import numpy as np
+from scipy.spatial.distance import cdist
+
+from spadot_tpu.ops.sinkhorn import sinkhorn_duality_gap_np
+from spadot_tpu.ops.sinkhorn_flash import (
+    cost_median_factored,
+    plan_reductions,
+    sinkhorn_factored,
+)
+
+PARAMS = dict(
+    lambda1=0.1, lambda2=5.0, epsilon=0.05, batch_size=5,
+    tolerance=1e-8, epsilon0=1, max_iter=10_000_000,
+)
+
+
+def _xy(rng, I=60, J=75, d=12):
+    return rng.normal(0, 2, (I, d)), rng.normal(0.5, 2, (J, d))
+
+
+def test_factored_matches_dense(rng):
+    X0, X1 = _xy(rng)
+    C = cdist(X0, X1, "sqeuclidean")
+    C = C / np.median(C)
+    G = rng.uniform(0.5, 2, X0.shape[0])
+    R_np = sinkhorn_duality_gap_np(C, G, **PARAMS)
+    R_fl = sinkhorn_factored(X0, X1, G, block=32, dtype=np.float32, **PARAMS)
+    np.testing.assert_allclose(R_fl, R_np, rtol=5e-3, atol=1e-8)
+
+
+def test_factored_block_size_invariance(rng):
+    X0, X1 = _xy(rng, 50, 40)
+    R1 = sinkhorn_factored(X0, X1, block=8, dtype=np.float32, **PARAMS)
+    R2 = sinkhorn_factored(X0, X1, block=64, dtype=np.float32, **PARAMS)
+    np.testing.assert_allclose(R1, R2, rtol=2e-3, atol=1e-9)
+
+
+def test_plan_reductions_match_dense(rng):
+    X0, X1 = _xy(rng, 45, 55)
+    G = np.ones(45)
+    f, g, s, eps_final = sinkhorn_factored(
+        X0, X1, G, return_plan=False, dtype=np.float32, block=16, **PARAMS
+    )
+    C = cdist(X0, X1, "sqeuclidean") / s
+    R = np.exp((f[:, None] + g[None, :] - C) / eps_final) / 55
+    M1 = rng.integers(0, 2, size=(55, 3)).astype(np.float64)
+    rows, cols, agg = plan_reductions(
+        f, g, np.asarray(X0, np.float32), np.asarray(X1, np.float32),
+        s=s, eps_final=eps_final, M1=M1, block=16,
+    )
+    np.testing.assert_allclose(rows, R.sum(axis=1), rtol=2e-3)
+    np.testing.assert_allclose(cols, R.sum(axis=0), rtol=2e-3)
+    np.testing.assert_allclose(agg, R @ M1, rtol=2e-3, atol=1e-10)
+
+
+def test_cost_median_sampled_close(rng):
+    X0, X1 = _xy(rng, 400, 300, 5)
+    exact = cost_median_factored(X0, X1, scale_samples=10**9)
+    sampled = cost_median_factored(X0, X1, scale_samples=50_000)
+    assert abs(sampled / exact - 1) < 0.05

@@ -78,3 +78,20 @@ def test_make_batches_padding():
     assert idx.shape == (3, 4)
     assert mask.sum() == 10
     assert (idx < 10).all()
+
+
+def test_svgp_only_ablation_mode():
+    """VAE-only encoder ablation (GAT off) — BASELINE.json config 2."""
+    from spadot_tpu.train.loop import Trainer, get_latent, train_spadot
+
+    adata = make_synthetic_adata(n_per_tp=80, n_genes=20, n_tp=1, seed=3)
+    cfg = _tiny_config(adata, maxiter=2)
+    cfg["encoder_mode"] = "svgp"
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+    trainer, variables, _, host_state, loss_df = train_spadot(data, cfg)
+    assert (loss_df["GAT_KL"] == 0).all()
+    assert (loss_df["alignment"] == 0).all()
+    assert (loss_df["SVGP_KL"] != 0).all()
+    lat = get_latent(trainer, variables, data, adata)
+    assert lat.shape == (80, cfg["z_dim"] // 2)
