@@ -67,7 +67,8 @@ def main():
     )
 
     cfg = default_config()
-    cfg.update(input_dim=n_genes, timepoints=list(range(n_tp)))
+    cfg.update(input_dim=n_genes, timepoints=list(range(n_tp)),
+               equal_inducing_split=True)  # one compiled step for all tps
     set_seed(int(cfg["seed"]))
     data = prepare_data(adata, cfg)
     trainer = Trainer(cfg, data)

@@ -60,20 +60,34 @@ def prepare_data(adata, model_config):
     """
     loc = standardize_locations(adata)
     n_total = loc.shape[0]
-    inducing_idx = random.sample(range(n_total), int(model_config["inducing_point_nums"]))
-    inducing_points = loc[inducing_idx, :]
-
     timepoints = model_config["timepoints"]
     tp_to_idx = {tp: i for i, tp in enumerate(timepoints)}
     tp_assign = np.argmax(loc[:, 2:], axis=1)
+    tp_values = adata.obs["timepoint"].to_numpy()
 
     inducing_points_dict, N_train_dict = OrderedDict(), OrderedDict()
-    ind_tp = np.argmax(inducing_points[:, 2:], axis=1)
-    tp_values = adata.obs["timepoint"].to_numpy()
-    for tp in timepoints:
-        i = tp_to_idx[tp]
-        inducing_points_dict[tp] = inducing_points[ind_tp == i, :2].copy()
-        N_train_dict[tp] = int(np.sum(tp_values == tp))
+    if model_config.get("equal_inducing_split"):
+        # TPU-friendly variant: equal inducing counts per timepoint, so every
+        # timepoint shares ONE compiled training step (the reference's global
+        # sample gives per-timepoint counts proportional to timepoint sizes,
+        # i.e. different SVGP shapes per timepoint)
+        m_per = int(model_config["inducing_point_nums"]) // len(timepoints)
+        for tp in timepoints:
+            i = tp_to_idx[tp]
+            rows = np.where(tp_assign == i)[0]
+            pick = random.sample(range(len(rows)), min(m_per, len(rows)))
+            inducing_points_dict[tp] = loc[rows[pick], :2].copy()
+            N_train_dict[tp] = int(np.sum(tp_values == tp))
+    else:
+        inducing_idx = random.sample(
+            range(n_total), int(model_config["inducing_point_nums"])
+        )
+        inducing_points = loc[inducing_idx, :]
+        ind_tp = np.argmax(inducing_points[:, 2:], axis=1)
+        for tp in timepoints:
+            i = tp_to_idx[tp]
+            inducing_points_dict[tp] = inducing_points[ind_tp == i, :2].copy()
+            N_train_dict[tp] = int(np.sum(tp_values == tp))
 
     X = adata.toarray().astype(np.float32)
     tp_data = OrderedDict()
