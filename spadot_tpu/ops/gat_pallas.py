@@ -37,7 +37,10 @@ def _agg_kernel(nbr_ref, alpha_ref, wx_hbm, out_ref, win_ref, sem,
     # the 128-wide node tile
     t = pl.program_id(0)
     start = t * tile - window
-    start_c = jnp.clip(start, 0, jnp.maximum(n_rows - win_ref.shape[0], 0))
+    # upper clip bound rounded down to the sublane tiling (8) so Mosaic can
+    # prove the DMA slice start is aligned
+    hi = (max(n_rows - win_ref.shape[0], 0) // 8) * 8
+    start_c = pl.multiple_of(jnp.clip(start, 0, hi), 8)
     # DMA the feature window HBM -> VMEM once per tile
     dma = pltpu.make_async_copy(
         wx_hbm.at[pl.ds(start_c, win_ref.shape[0])], win_ref, sem
@@ -48,16 +51,26 @@ def _agg_kernel(nbr_ref, alpha_ref, wx_hbm, out_ref, win_ref, sem,
     rel_all = nbr_ref[:] - start_c  # (K, tile)
     W_rows = win_ref.shape[0]
 
-    def body(k, acc):
+    # Mosaic has no vector gather from VMEM; instead accumulate a selection
+    # matrix S[i, w] = sum_k alpha[i, k]*[rel[i, k] == w] on the VPU and do
+    # the whole gather+weighted-sum as ONE MXU matmul S @ window.
+    col = jax.lax.broadcasted_iota(jnp.int32, (out_ref.shape[0], W_rows), 1)
+    alpha_all = alpha_ref[:]
+
+    # static unroll over the K neighbor slots (K <= max_neighbors+1 = 31):
+    # traced indices into values lower to dynamic_slice, which Mosaic lacks
+    S = jnp.zeros((out_ref.shape[0], W_rows), jnp.float32)
+    for k in range(K):
         rel = rel_all[k, :]
         valid = jnp.logical_and(rel >= 0, rel < W_rows)
-        rel_c = jnp.clip(rel, 0, W_rows - 1)
-        rows = win_ref[rel_c]  # (tile, F) VMEM gather
-        w = jnp.where(valid, alpha_ref[k, :], 0.0)
-        return acc + w[:, None] * rows
-
-    acc0 = jnp.zeros(out_ref.shape, jnp.float32)
-    out_ref[:] = jax.lax.fori_loop(0, K, body, acc0)
+        w = jnp.where(valid, alpha_all[k, :], 0.0)
+        S = S + jnp.where(col == rel[:, None], w[:, None], 0.0)
+    # HIGHEST precision: S holds attention weights; default bf16 MXU passes
+    # cost ~1e-2 relative error, visible in the loss
+    out_ref[:] = jnp.dot(
+        S, win_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 @functools.partial(
@@ -109,7 +122,9 @@ def _window_validity(nbr, nbr_mask, n, tile, window):
     idx = jnp.arange(nbr.shape[0])
     t = idx // tile
     W_rows = min(tile + 2 * window, max(n, 8))
-    start = jnp.clip(t * tile - window, 0, max(n - W_rows, 0))
+    # must mirror the kernel's aligned clip EXACTLY (see _agg_kernel)
+    hi = (max(n - W_rows, 0) // 8) * 8
+    start = jnp.clip(t * tile - window, 0, hi)
     rel = nbr - start[:, None]
     inside = jnp.logical_and(rel >= 0, rel < W_rows)
     return jnp.logical_and(inside, nbr_mask > 0)

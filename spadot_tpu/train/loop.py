@@ -221,7 +221,8 @@ class Trainer:
             jnp.asarray(use_kmeans, jnp.float32),
             jnp.asarray(use_ot, jnp.float32),
         )
-        return variables, opt_state, rng, np.asarray(losses)
+        # losses stay on device — the caller syncs once per epoch at most
+        return variables, opt_state, rng, losses
 
     def latent(self, variables, tp):
         lat = self._latent_jit(variables, self.tp_dev[tp], self.svgp_states[tp])
@@ -311,16 +312,17 @@ def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, me
         t0 = _time.time()
         key, ep_key, km_key = jax.random.split(key, 3)
         random.shuffle(tp_indexed)
-        epoch_losses = np.zeros(len(LOSS_NAMES))
+        tp_losses = []
         rng = ep_key
         for tp_i, tp in tp_indexed:
             variables, opt_state, rng, losses = trainer.run_epoch(
                 variables, opt_state, rng, tp, km, gammas, tp_i, epoch, beta1s[epoch]
             )
-            epoch_losses += losses
+            tp_losses.append(losses)  # device arrays; no host sync here
         km = trainer.update_kmeans(variables, km_key, km)
         if (epoch + 1) % ot_every == 0:
             gammas = trainer.update_ot(km, gammas)
+        epoch_losses = np.sum(np.asarray(tp_losses), axis=0)  # one sync/epoch
         loss_rows.append(epoch_losses)
         if epoch % 10 == 0:
             logger.info(

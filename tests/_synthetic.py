@@ -10,7 +10,7 @@ def make_synthetic_adata(
 ):
     """Spots on a 2-D grid with domain-structured expression per timepoint."""
     rng = np.random.default_rng(seed)
-    Xs, obs_tp, coords = [], [], []
+    Xs, obs_tp, coords, doms = [], [], [], []
     for t in range(n_tp):
         xy = rng.uniform(0, 10, size=(n_per_tp, 2))
         dom = (xy[:, 0] * n_domains / 10).astype(int).clip(0, n_domains - 1)
@@ -21,8 +21,9 @@ def make_synthetic_adata(
         Xs.append(expr)
         obs_tp.extend([t] * n_per_tp)
         coords.append(xy)
+        doms.append(dom)
     X = np.vstack(Xs)
-    obs = pd.DataFrame({"timepoint": obs_tp})
+    obs = pd.DataFrame({"timepoint": obs_tp, "true_domain": np.concatenate(doms)})
     obs.index = [f"cell{i}" for i in range(len(obs_tp))]
     return AnnData(
         X, obs=obs, obsm={"spatial": np.vstack(coords)},
