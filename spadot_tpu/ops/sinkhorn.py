@@ -303,6 +303,151 @@ def _robust_cost_scale(C):
         return mean if mean > 0 else 1.0
     return med
 
+def sinkhorn_fixed_iters(
+    C, G, lambda1, lambda2, epsilon, epsilon0, scaling_iter=3000,
+    inner_iter_max=50, extra_iter=1000, **ignored,
+):
+    """Fixed-iteration variant with warm-started exponential epsilon decay —
+    the capability of the reference's transport_stablev2
+    (ot_solvers.py:452-531): epsilon_i = (epsilon0-epsilon)*exp(-n) + epsilon
+    advanced every `inner_iter_max` iterations, then `extra_iter` polish
+    iterations at the final epsilon. Log-domain, so the tau-absorption
+    bookkeeping of the original is unnecessary.
+    """
+    C = np.asarray(C, dtype=np.float64)
+    I, J = C.shape
+    dx, dy = np.ones(I) / I, np.ones(J) / J
+    p = np.asarray(G, dtype=np.float64)
+    q = np.ones(J) * np.average(p)
+    log_p, log_q = np.log(p), np.log(q)
+    log_dx, log_dy = np.log(dx), np.log(dy)
+    f, g = np.zeros(I), np.zeros(J)
+
+    def eps_at(n):
+        return (epsilon0 - epsilon) * np.exp(-n) + epsilon
+
+    eps_index = 0
+    since_adjust = 0
+    eps_i = epsilon0
+    for _ in range(int(scaling_iter)):
+        a1 = lambda1 / (lambda1 + eps_i)
+        a2 = lambda2 / (lambda2 + eps_i)
+        f = a1 * (eps_i * log_p - eps_i * _lse_rows((g[None, :] - C) / eps_i + log_dy[None, :]))
+        g = a2 * (eps_i * log_q - eps_i * _lse_rows(((f[:, None] - C) / eps_i + log_dx[:, None]).T))
+        since_adjust += 1
+        if since_adjust == inner_iter_max:
+            eps_index += 1
+            since_adjust = 0
+            eps_i = eps_at(eps_index)
+    a1 = lambda1 / (lambda1 + eps_i)
+    a2 = lambda2 / (lambda2 + eps_i)
+    for _ in range(int(extra_iter)):
+        f = a1 * (eps_i * log_p - eps_i * _lse_rows((g[None, :] - C) / eps_i + log_dy[None, :]))
+        g = a2 * (eps_i * log_q - eps_i * _lse_rows(((f[:, None] - C) / eps_i + log_dx[:, None]).T))
+    R = np.exp((f[:, None] + g[None, :] - C) / eps_i)
+    return R / J
+
+
+def sinkhorn_balanced(C, epsilon, n_iter=2000, tol=1e-9):
+    """Plain balanced entropic OT between uniform marginals (the capability
+    of the reference's POT 'sinkhorn' method, ot_solvers.py:82-83), solved in
+    the log domain."""
+    C = np.asarray(C, dtype=np.float64)
+    I, J = C.shape
+    log_a = np.full(I, -np.log(I))
+    log_b = np.full(J, -np.log(J))
+    f, g = np.zeros(I), np.zeros(J)
+    for _ in range(int(n_iter)):
+        f_new = epsilon * (log_a - _lse_rows((g[None, :] - C) / epsilon))
+        g_new = epsilon * (log_b - _lse_rows(((f_new[:, None] - C) / epsilon).T))
+        if max(np.abs(f_new - f).max(), np.abs(g_new - g).max()) < tol:
+            f, g = f_new, g_new
+            break
+        f, g = f_new, g_new
+    return np.exp((f[:, None] + g[None, :] - C) / epsilon)
+
+
+def solve_ot(feats, ot_solver, ot_config, gammas, days, g_est):
+    """Sequential transport over consecutive days (parity: ot_solvers.py:39-46):
+    gamma_i couples feats[i] -> feats[i+1] with growth g_est[i]^delta_days."""
+    for i in range(len(feats) - 1):
+        delta_days = float(days[i + 1]) - float(days[i])
+        g = np.power(np.asarray(g_est[i], dtype=np.float64), delta_days)
+        gammas[f"{i}_{i + 1}"] = ot_solver(feats[i], feats[i + 1], ot_config, G=g)
+    return gammas
+
+
+def get_total_ot_loss(feats, indices, gammas):
+    """Mean transport cost across consecutive-day pairs on sampled submatrices
+    of the plans (parity: ot_solvers.py:49-69, without the torch/cuda detour).
+
+    feats: (bsz, days, dim) array; indices: (bsz, days) int row indices into
+    each day's plan axis.
+    """
+    feats = np.asarray(feats, dtype=np.float64)
+    indices = np.asarray(indices)
+    days = feats.shape[1]
+    total = 0.0
+    from scipy.spatial.distance import cdist
+
+    for i in range(days - 1):
+        gamma = np.asarray(gammas[f"{i}_{i+1}"], dtype=np.float64)
+        sub = gamma[indices[:, i]][:, indices[:, i + 1]]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sub = sub / sub.sum(axis=1, keepdims=True)
+        sub = np.nan_to_num(sub, nan=0.0, posinf=0.0, neginf=0.0)
+        cost = cdist(feats[:, i], feats[:, i + 1], metric="euclidean")
+        total += np.mean(sub * cost)
+    return total / (days - 1)
+
+
+def compute_transport_map_pot(a, b, config, C=None):
+    """Method-switched plain-OT entry (capability of ot_solvers.py:72-92's
+    POT path, self-contained): 'sinkhorn' = balanced entropic,
+    'unbalanced' = the duality-gap engine, 'emd' = exact LP via scipy."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if C is None:
+        from scipy.spatial.distance import cdist
+
+        C = cdist(a, b, metric="sqeuclidean")
+    method = config.get("method", "sinkhorn")
+    if method == "sinkhorn":
+        return sinkhorn_balanced(C, config["epsilon"])
+    if method == "unbalanced":
+        return sinkhorn_duality_gap_np(
+            C / _robust_cost_scale(C), np.ones(C.shape[0]),
+            lambda1=config.get("lambda", config.get("lambda1", 0.1)),
+            lambda2=config.get("lambda", config.get("lambda2", 5.0)),
+            epsilon=config["epsilon"], batch_size=config.get("batch_size", 5),
+            tolerance=config.get("tolerance", 1e-8),
+            epsilon0=config.get("epsilon0", 1),
+            max_iter=config.get("max_iter", 1e7),
+        )
+    if method == "emd":
+        return _emd_lp(C)
+    raise ValueError(f"unknown OT method {method!r}")
+
+
+def _emd_lp(C):
+    """Exact earth-mover distance plan between uniform marginals via linprog."""
+    from scipy.optimize import linprog
+    from scipy.sparse import lil_matrix
+
+    I, J = C.shape
+    A = lil_matrix((I + J, I * J))
+    for i in range(I):
+        A[i, i * J : (i + 1) * J] = 1.0
+    for j in range(J):
+        A[I + j, j::J] = 1.0
+    bvec = np.concatenate([np.full(I, 1.0 / I), np.full(J, 1.0 / J)])
+    res = linprog(C.ravel(), A_eq=A.tocsr()[:-1], b_eq=bvec[:-1],
+                  bounds=(0, None), method="highs")
+    if not res.success:
+        raise RuntimeError(f"EMD LP failed: {res.message}")
+    return res.x.reshape(I, J)
+
+
 def compute_transport_map(a, b, config, C=None, G=None, backend=None):
     """Transport plan between two point clouds (rows of a -> rows of b).
 

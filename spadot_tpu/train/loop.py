@@ -305,9 +305,15 @@ def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, me
     ot_every = int(model_config["ot_config"]["ot_epochs"])
 
     logger.info("Training SpaDOT model...")
+    import contextlib
     import time as _time
 
+    from spadot_tpu.utils.logging import maybe_profile
+
     t_train0 = _time.time()
+    # SPADOT_PROFILE=1 wraps the epoch loop in a jax.profiler trace
+    profile_cm = maybe_profile()
+    profile_cm.__enter__()
     for epoch in range(start_epoch, maxiter):
         t0 = _time.time()
         key, ep_key, km_key = jax.random.split(key, 3)
@@ -333,6 +339,7 @@ def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, me
         if checkpoint_path and (epoch + 1) % 25 == 0:
             _save_state(checkpoint_path, trainer, variables, opt_state, km,
                         gammas, key, epoch, loss_rows)
+    profile_cm.__exit__(None, None, None)
     logger.info("Training finished in %ds.", int(_time.time() - t_train0))
     loss_df = pd.DataFrame(
         np.asarray(loss_rows, dtype=np.float64).reshape(-1, len(LOSS_NAMES)),

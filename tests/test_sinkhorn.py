@@ -141,3 +141,61 @@ def test_degenerate_near_duplicate_clouds(rng):
                    base[:2] + 5.0])  # a couple of far points
     R = compute_transport_map(a, b, dict(PARAMS, growth_iters=3))
     assert np.isfinite(R).all() and (R >= 0).all()
+
+
+def test_fixed_iters_variant_close_to_duality_gap(rng):
+    from spadot_tpu.ops.sinkhorn import sinkhorn_fixed_iters
+
+    C = _random_problem(rng)
+    G = np.ones(C.shape[0])
+    R_dg = sinkhorn_duality_gap_np(C, G, **PARAMS)
+    R_fx = sinkhorn_fixed_iters(
+        C, G, lambda1=0.1, lambda2=5.0, epsilon=0.05, epsilon0=1.0,
+        scaling_iter=3000, inner_iter_max=50, extra_iter=1000,
+    )
+    # both converge to the same fixed point of the final-epsilon problem
+    np.testing.assert_allclose(R_fx, R_dg, rtol=1e-4, atol=1e-10)
+
+
+def test_balanced_sinkhorn_marginals(rng):
+    from spadot_tpu.ops.sinkhorn import sinkhorn_balanced
+
+    C = _random_problem(rng, 8, 11)
+    R = sinkhorn_balanced(C, epsilon=0.1)
+    np.testing.assert_allclose(R.sum(axis=1), 1 / 8, rtol=1e-6)
+    np.testing.assert_allclose(R.sum(axis=0), 1 / 11, rtol=1e-6)
+
+
+def test_emd_lp_matches_balanced_limit(rng):
+    from spadot_tpu.ops.sinkhorn import compute_transport_map_pot
+
+    a = rng.normal(size=(6, 3))
+    b = rng.normal(size=(7, 3))
+    R = compute_transport_map_pot(a, b, {"method": "emd"})
+    np.testing.assert_allclose(R.sum(axis=1), 1 / 6, atol=1e-9)
+    np.testing.assert_allclose(R.sum(axis=0), 1 / 7, atol=1e-9)
+    # EMD cost must lower-bound any entropic plan's cost
+    from scipy.spatial.distance import cdist
+
+    C = cdist(a, b, "sqeuclidean")
+    R_e = compute_transport_map_pot(a, b, {"method": "sinkhorn", "epsilon": 0.05})
+    assert (R * C).sum() <= (R_e * C).sum() + 1e-9
+
+
+def test_solve_ot_and_total_loss(rng):
+    from spadot_tpu.ops.sinkhorn import (
+        compute_transport_map,
+        get_total_ot_loss,
+        solve_ot,
+    )
+
+    feats = [rng.normal(size=(9, 4)) for _ in range(3)]
+    gammas = {}
+    solve_ot(feats, lambda a, b, cfg, G: compute_transport_map(a, b, cfg, G=G),
+             dict(PARAMS, growth_iters=1), gammas, days=[0, 1, 2],
+             g_est=[np.ones(9)] * 2)
+    assert set(gammas) == {"0_1", "1_2"}
+    stacked = np.stack(feats, axis=1)  # (9, 3, 4)
+    idx = np.tile(np.arange(9)[:, None], (1, 3))
+    loss = get_total_ot_loss(stacked, idx, gammas)
+    assert np.isfinite(loss) and loss > 0
