@@ -277,6 +277,54 @@ def sinkhorn_factored(
     return R / J
 
 
+def sinkhorn_factored_sharded(
+    X0, X1, G=None, *, mesh, lambda1=0.1, lambda2=5.0, epsilon=0.05,
+    epsilon0=1.0, batch_size=5, tolerance=1e-8, max_iter=10_000_000,
+    block=1024, dtype=np.float32, **ignored,
+):
+    """Factored Sinkhorn with the source rows sharded over the mesh's `data`
+    axis (SURVEY.md §5 "sharded Sinkhorn ... all-reduce of column marginals").
+
+    The solver body is the same pure function as the single-device path;
+    GSPMD partitions it: the row-logsumexp is embarrassingly row-parallel on
+    the X0 shards, and the column-logsumexp's cross-shard combine lowers to
+    the psum XLA inserts automatically. Returns the dual potentials
+    (f, g, cost_scale, eps_final) — at sharded scales the plan is consumed
+    through `plan_reductions`/`plan_block`.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    X0 = np.asarray(X0, dtype=dtype)
+    X1 = np.asarray(X1, dtype=dtype)
+    I, J = X0.shape[0], X1.shape[0]
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if I % n_dev:
+        raise ValueError(f"row count {I} must divide the mesh size {n_dev}")
+    s = cost_median_factored(X0, X1)
+    G = np.ones(I) if G is None else np.asarray(G)
+    q = np.full(J, G.mean())
+
+    solver = _make_solver(
+        I, J, X0.shape[1], dtype, float(lambda1), float(lambda2),
+        float(epsilon), float(epsilon0), int(batch_size), float(tolerance),
+        int(max_iter), int(block), use_pallas=False,
+    )
+    axis = mesh.axis_names[0]
+    row_sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    X0_d = jax.device_put(jnp.asarray(X0), row_sh)
+    X1_d = jax.device_put(jnp.asarray(X1), rep)
+    p_d = jax.device_put(jnp.asarray(G, dtype), row_sh)
+    q_d = jax.device_put(jnp.asarray(q, dtype), rep)
+    f, g = jax.jit(solver, out_shardings=(row_sh, rep))(
+        X0_d, X1_d, p_d, q_d, jnp.asarray(1.0 / s, dtype)
+    )
+    eps_final = _stage_epsilons(epsilon, epsilon0)[-1]
+    return np.asarray(f), np.asarray(g), s, eps_final
+
+
 def plan_reductions(f, g, X0, X1, s, eps_final, M1=None, block=1024):
     """Blockwise reductions over the implicit plan R/J: returns
     (row_sums (I,), col_sums (J,), agg (I, S) = (R/J) @ M1 if M1 given).

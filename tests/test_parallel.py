@@ -69,3 +69,22 @@ def test_sharded_latent_and_kmeans():
     assert lat.shape == (128, 20) and np.isfinite(lat).all()
     km = t8.update_kmeans(v8, jax.random.PRNGKey(5), {"centers": {}, "assign": {}})
     assert np.asarray(km["centers"][0]).shape == (3, 20)
+
+
+def test_sharded_factored_sinkhorn_matches_single_device(rng):
+    from spadot_tpu.ops.sinkhorn_flash import (
+        sinkhorn_factored,
+        sinkhorn_factored_sharded,
+    )
+
+    X0 = rng.normal(0, 2, (64, 12)).astype(np.float32)
+    X1 = rng.normal(0.5, 2, (72, 12)).astype(np.float32)
+    G = rng.uniform(0.5, 2.0, 64)
+    f1, g1, s1, e1 = sinkhorn_factored(
+        X0, X1, G, return_plan=False, block=16, use_pallas=False,
+    )
+    mesh = make_mesh({"data": 8})
+    f8, g8, s8, e8 = sinkhorn_factored_sharded(X0, X1, G, mesh=mesh, block=16)
+    assert s1 == s8 and e1 == e8
+    np.testing.assert_allclose(f8, f1, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(g8, g1, rtol=2e-4, atol=2e-5)
