@@ -46,10 +46,18 @@ def main():
     from spadot_tpu.train.loop import Trainer
     from spadot_tpu.utils.rng import set_seed
 
-    n_tp = 4
-    n_per_tp = int(os.environ.get("BENCH_SPOTS", 2500))
-    n_genes = int(os.environ.get("BENCH_GENES", 2954))
-    measure_epochs = int(os.environ.get("BENCH_EPOCHS", 3))
+    mode = os.environ.get("BENCH_MODE", "chickenheart")
+    if mode == "atlas":
+        # BASELINE.json config 5: 100k+ spots/timepoint
+        n_tp = int(os.environ.get("BENCH_TPS", 2))
+        n_per_tp = int(os.environ.get("BENCH_SPOTS", 102400))
+        n_genes = int(os.environ.get("BENCH_GENES", 2954))
+        measure_epochs = int(os.environ.get("BENCH_EPOCHS", 2))
+    else:
+        n_tp = int(os.environ.get("BENCH_TPS", 4))
+        n_per_tp = int(os.environ.get("BENCH_SPOTS", 2500))
+        n_genes = int(os.environ.get("BENCH_GENES", 2954))
+        measure_epochs = int(os.environ.get("BENCH_EPOCHS", 3))
 
     rng = np.random.default_rng(0)
     Xs, coords, tps = [], [], []
@@ -69,6 +77,8 @@ def main():
     cfg = default_config()
     cfg.update(input_dim=n_genes, timepoints=list(range(n_tp)),
                equal_inducing_split=True)  # one compiled step for all tps
+    if mode == "atlas":
+        cfg.update(batch_size=4096, full_graph_gat=False, gat_window=2048)
     set_seed(int(cfg["seed"]))
     data = prepare_data(adata, cfg)
     trainer = Trainer(cfg, data)
@@ -106,7 +116,10 @@ def main():
     sec_per_epoch = (time.perf_counter() - t0) / measure_epochs
 
     print(json.dumps({
-        "metric": "chickenheart_scale_epoch_time",
+        "metric": (
+            "chickenheart_scale_epoch_time" if mode != "atlas"
+            else "atlas_100k_epoch_time"
+        ),
         "value": round(sec_per_epoch, 4),
         "unit": "s/epoch",
         "vs_baseline": round(BASELINE_SEC_PER_EPOCH / sec_per_epoch, 2),

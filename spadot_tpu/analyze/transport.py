@@ -98,6 +98,22 @@ def _transport_map_growth_factored(X0, X1, ot_config, growth_iters=3, M1=None):
     return duals, growths, agg
 
 
+def load_tmap(tmap_dir, d0, d1):
+    """Load a transport map from the OT/ directory written by ot_analysis
+    (analogue of wot.tmap.TransportMapModel.from_directory,
+    _analyze_utils.py:126). Returns an AnnData plan for dense maps, or a dict
+    of dual potentials for factored (large-scale) maps."""
+    from spadot_tpu.io import read_h5ad
+
+    dense = os.path.join(tmap_dir, f"tmaps_{d0}_{d1}.h5ad")
+    if os.path.exists(dense):
+        return read_h5ad(dense)
+    duals = os.path.join(tmap_dir, f"tmaps_duals_{d0}_{d1}.npz")
+    if os.path.exists(duals):
+        return dict(np.load(duals))
+    raise FileNotFoundError(f"no transport map for {d0}->{d1} in {tmap_dir}")
+
+
 def ot_analysis(args, adata, ot_config=None):
     """Compute all consecutive-day transport maps + transition tables
     (parity with OT_analysis, _analyze_utils.py:108-138)."""

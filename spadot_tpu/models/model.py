@@ -111,8 +111,13 @@ def forward_batch(
     kernel_type: str,
     jitter: float = 1e-2,
     train: bool = True,
+    gat_window: int = 0,
 ):
     """One batch forward pass -> losses + latent (SpaDOT.py:52-94).
+
+    gat_window > 0 restricts GAT message passing to a contiguous row window
+    around the batch (O(window) per step — the scaling mode for 100k+ spots);
+    0 = exact full-graph.
 
     tp_data: dict with Y (n, G), coords (n, 2), nbr (n, K), nbr_mask (n, K),
       N_train (scalar).
@@ -159,12 +164,39 @@ def forward_batch(
         svgp_sample = terms["p_m"] + eps_s * jnp.sqrt(terms["p_v"])
 
     if mode in ("dual", "gat"):
-        # --- GAT branch: full-graph message passing, batch rows extracted ---
-        gat_mu_full, gat_var_full = net.apply(
-            vars_nostats, Y, nbr, nbr_mask, method=SpaDOTNet.encode_gat
-        )
-        gat_mu = gat_mu_full[batch_idx]
-        gat_var = gat_var_full[batch_idx]
+        if gat_window:
+            # --- windowed minibatch GAT: message passing restricted to the
+            # [batch_start - W, batch_end + W) row window. Spots are
+            # Morton-ordered and batches contiguous (data/pipeline.py), so
+            # the window covers the receptive field up to rare truncated
+            # boundary edges — the deterministic analogue of the reference's
+            # sampled 2-hop subgraphs, at O(window) instead of O(n) per step.
+            n = Y.shape[0]
+            b = batch_idx.shape[0]
+            win_size = min(n, b + 2 * int(gat_window))
+            win_start = jnp.clip(
+                jnp.min(batch_idx) - int(gat_window), 0, n - win_size
+            )
+            Y_win = jax.lax.dynamic_slice_in_dim(Y, win_start, win_size, 0)
+            nbr_win = jax.lax.dynamic_slice_in_dim(nbr, win_start, win_size, 0)
+            msk_win = jax.lax.dynamic_slice_in_dim(nbr_mask, win_start, win_size, 0)
+            rel = nbr_win - win_start
+            inside = jnp.logical_and(rel >= 0, rel < win_size)
+            rel = jnp.clip(rel, 0, win_size - 1)
+            msk_win = jnp.where(inside, msk_win, 0.0)
+            gat_mu_w, gat_var_w = net.apply(
+                vars_nostats, Y_win, rel, msk_win, method=SpaDOTNet.encode_gat
+            )
+            pos = jnp.clip(batch_idx - win_start, 0, win_size - 1)
+            gat_mu = gat_mu_w[pos]
+            gat_var = gat_var_w[pos]
+        else:
+            # --- full-graph message passing, batch rows extracted ---
+            gat_mu_full, gat_var_full = net.apply(
+                vars_nostats, Y, nbr, nbr_mask, method=SpaDOTNet.encode_gat
+            )
+            gat_mu = gat_mu_full[batch_idx]
+            gat_var = gat_var_full[batch_idx]
         eps_g = jax.random.normal(rng_gat, gat_mu.shape, gat_mu.dtype)
         gat_sample = gat_mu + eps_g * jnp.sqrt(gat_var)
         gat_kl_el = 1.0 + jnp.log(gat_var) - gat_mu**2 - gat_var

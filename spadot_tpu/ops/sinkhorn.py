@@ -58,7 +58,7 @@ def _lse_rows(M):
 
 def sinkhorn_duality_gap_np(
     C, G, lambda1, lambda2, epsilon, batch_size, tolerance, epsilon0,
-    max_iter, **ignored,
+    max_iter, profiling=False, **ignored,
 ):
     """float64 log-domain solver with the duality-gap guarantee.
 
@@ -115,6 +115,9 @@ def sinkhorn_duality_gap_np(
                     _dual_evolution_gap_np(f, f_prev, eps_i),
                     _dual_evolution_gap_np(g, g_prev, eps_i),
                 )
+        if profiling:  # ot_config['profiling'] parity (ot_solvers.py:244-245)
+            print(f"sinkhorn stage {e}: eps={eps_i:.4f} iters={current_iter} "
+                  f"gap={duality_gap:.3e}")
     if np.isnan(duality_gap):
         import os, time
 
@@ -479,4 +482,6 @@ def compute_transport_map(a, b, config, C=None, G=None, backend=None):
         from spadot_tpu.native.ot_cpu import sinkhorn_duality_gap_cpu
 
         return sinkhorn_duality_gap_cpu(C, G, **kwargs)
-    return sinkhorn_duality_gap_np(C, G, **kwargs)
+    return sinkhorn_duality_gap_np(
+        C, G, profiling=bool(config.get("profiling", False)), **kwargs
+    )

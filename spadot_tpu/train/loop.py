@@ -55,6 +55,11 @@ class Trainer:
         # latent width differs from z_dim in single-branch ablation modes
         mode = str(model_config.get("encoder_mode", "dual"))
         self.latent_dim = self.z_dim if mode == "dual" else self.z_dim // 2
+        # O(window) minibatch GAT for large spot counts (full graph when 0)
+        self.gat_window = (
+            0 if model_config.get("full_graph_gat", True)
+            else int(model_config.get("gat_window", 512))
+        )
 
         dtype = jnp.float32
         self.tp_dev = OrderedDict()
@@ -134,7 +139,7 @@ class Trainer:
                 losses, latent, new_state = forward_batch(
                     self.net, vars_in, sub, tp_dev, svgp_state, idx, msk,
                     kernel_scale=self.kernel_scale, kernel_type=self.kernel_type,
-                    train=True,
+                    train=True, gat_window=self.gat_window,
                 )
                 km = use_kmeans * kmeans_loss(
                     latent, idx, msk, km_assign, km_centers, self.latent_dim

@@ -95,3 +95,17 @@ def test_svgp_only_ablation_mode():
     assert (loss_df["SVGP_KL"] != 0).all()
     lat = get_latent(trainer, variables, data, adata)
     assert lat.shape == (80, cfg["z_dim"] // 2)
+
+
+def test_windowed_gat_mode_trains():
+    """O(window) minibatch GAT (full_graph_gat: false) for large spot counts."""
+    from spadot_tpu.train.loop import train_spadot
+
+    adata = make_synthetic_adata(n_per_tp=120, n_genes=24, n_tp=1, seed=5)
+    cfg = _tiny_config(adata, maxiter=2)
+    cfg.update(full_graph_gat=False, gat_window=32, batch_size=48)
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+    trainer, variables, _, _, loss_df = train_spadot(data, cfg)
+    assert np.isfinite(loss_df.to_numpy()).all()
+    assert (loss_df["GAT_KL"] != 0).all()
