@@ -240,7 +240,6 @@ def gat_attention_pallas(
     alpha = jax.nn.softmax(e, axis=1)
     alpha = jnp.where(nbr_mask[:, :, None] > 0, alpha, 0.0)  # (n, K, H)
 
-    Wx_flat = Wx.reshape(n, H * F).astype(jnp.float32)
     outs = []
     for hh in range(H):  # per-head aggregation shares the window DMA pattern
         out_h = aggregate_windowed(
@@ -249,7 +248,6 @@ def gat_attention_pallas(
         )
         outs.append(out_h)
     out = jnp.stack(outs, axis=1)  # (n, H, F)
-    del Wx_flat
     if concat:
         out = out.reshape(n, H * F)
     else:

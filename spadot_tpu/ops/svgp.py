@@ -21,7 +21,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_solve, cholesky
+from jax.scipy.linalg import cho_solve, cholesky, solve_triangular
 
 from spadot_tpu.ops.kernels import kernel_diag, kernel_matrix
 
@@ -37,7 +37,7 @@ def svgp_shared(Z, kernel_type="Gaussian", kernel_scale=0.1, jitter=1e-2):
     """Precompute quantities shared across batches and latent dims for a
     fixed inducing set Z (the reference keeps Z non-trainable: svgp.py:24-25).
 
-    Returns dict with K_mm and its jittered Cholesky.
+    Returns dict with K_mm and its jittered Cholesky L_mm (K_mm + jI = L Lᵀ).
     """
     with jax.default_matmul_precision("highest"):
         K_mm = kernel_matrix(Z, Z, kernel_type, kernel_scale)
@@ -85,28 +85,45 @@ def _svgp_batch_terms_impl(
 
     K_nm = kernel_matrix(x, Z, kernel_type, kernel_scale)  # (b, m)
     K_nn = kernel_diag(x, kernel_type, kernel_scale) * mask  # (b,)
-    # W = K_nm @ K_mm^{-1}  (jittered), shared across dims
-    W = cho_solve((L_mm, True), K_nm.T).T  # (b, m)
-    diag_Qnn = jnp.sum(K_nm * W, axis=1)  # diag(K_nm K_mm^{-1} K_mn)
+    # whitened quantities (K̃ = K_mm + jitter·I = L Lᵀ):
+    U = solve_triangular(L_mm, K_nm.T, lower=True)  # L⁻¹ K_mn (m, b)
+    W = solve_triangular(L_mm.T, U, lower=False).T  # K_nm K̃⁻¹ (b, m)
+    C = solve_triangular(L_mm, K_mm, lower=True)  # L⁻¹ K_mm (m, m)
+    diag_Qnn = jnp.sum(U * U, axis=0)  # diag(K_nm K̃⁻¹ K_mn)
 
     logdet_Kmm = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_mm)))
+    eye_m = jnp.eye(m, dtype=K_mm.dtype)
 
     def per_dim(y_l, var_l):
         prec = mask / var_l  # masked precision (b,)
-        Kmn_prec_Knm = (K_nm * prec[:, None]).T @ K_nm  # (m, m)
-        sigma_l = K_mm + ratio * Kmn_prec_Knm
-        L_sig = _jittered_chol(sigma_l, jitter)
+        # Σ + jI = K̃ + ratio·K_mn Λ K_nm = L (I + ratio·U Λ Uᵀ) Lᵀ = L B Lᵀ.
+        # B has eigenvalues >= 1, so its UNJITTERED Cholesky is numerically
+        # robust at any data scale — the direct chol(Σ) the reference inverts
+        # (svgp.py:74-75) goes indefinite in float32 once ratio·b·prec is
+        # large (observed at batch 4096, m 600).
+        B = eye_m + ratio * (U * prec[None, :]) @ U.T
+        Lb = cholesky(B, lower=True)
+
+        def sig_solve(X):
+            # (Σ + jI)^{-1} X via four triangular solves
+            t = solve_triangular(L_mm, X, lower=True)
+            t = solve_triangular(Lb, t, lower=True)
+            t = solve_triangular(Lb.T, t, lower=False)
+            return solve_triangular(L_mm.T, t, lower=False)
+
         rhs = K_nm.T @ (y_l * prec)  # (m,)
-        sig_inv_rhs = cho_solve((L_sig, True), rhs)
+        sig_inv_rhs = sig_solve(rhs)
         # posterior at x (svgp.py:76-79)
         p_m = ratio * (K_nm @ sig_inv_rhs)
-        V2 = cho_solve((L_sig, True), K_nm.T)  # (m, b)
+        V2 = sig_solve(K_nm.T)  # (m, b)
         diag_Snn = jnp.sum(K_nm * V2.T, axis=1)
         p_v = K_nn - diag_Qnn + diag_Snn
         p_v = jnp.maximum(p_v, 1e-10)  # guard for the sqrt in sampling
-        # mu_hat / A_hat (svgp.py:81-82)
+        # mu_hat / A_hat (svgp.py:81-82); A_hat = Cᵀ B⁻¹ C = GᵀG is PSD by
+        # construction (G = Lb⁻¹ C)
         mu_hat = ratio * (K_mm @ sig_inv_rhs)  # (m,)
-        A_hat = K_mm @ cho_solve((L_sig, True), K_mm)  # (m, m)
+        G = solve_triangular(Lb, C, lower=True)
+        A_hat = G.T @ G
         # KL term (svgp.py:86-94)
         L_A = _jittered_chol(A_hat, jitter)
         logdet_A = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_A)))

@@ -49,6 +49,14 @@ def preprocess(args):
             "The `spatial` key in adata.obsm is not a 2D numpy array. Please make "
             "sure spatial coordinates are correctly provided."
         )
+    # count sanity (the normalization pipeline assumes non-negative counts;
+    # log1p of negatives silently produces NaNs)
+    Xmin = adata.X.min() if not sp.issparse(adata.X) else adata.X.data.min() if adata.X.nnz else 0
+    if Xmin < 0:
+        logger.warning(
+            "adata.X contains negative values — preprocess expects raw counts; "
+            "normalization/log1p will produce NaNs for negative entries."
+        )
     preprocessed = preprocess_adata(args, adata)
     preprocessed.write_h5ad(
         os.path.join(args.output_dir, args.prefix + os.path.basename(data_dir))

@@ -78,7 +78,6 @@ class Trainer:
             if mesh is not None:
                 dev = shard_tp_data(dev, mesh)
             self.tp_dev[tp] = dev
-            self.batches = None  # per-tp batches fetched from data below
             Z = jnp.asarray(data["inducing_points"][tp], dtype)
             self.svgp_states[tp] = svgp_shared(
                 Z, self.kernel_type, self.kernel_scale
@@ -310,7 +309,6 @@ def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, me
     ot_every = int(model_config["ot_config"]["ot_epochs"])
 
     logger.info("Training SpaDOT model...")
-    import contextlib
     import time as _time
 
     from spadot_tpu.utils.logging import maybe_profile

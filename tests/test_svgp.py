@@ -141,3 +141,24 @@ def test_kernel_matrix_matches_cdist(rng):
         np.asarray(kernel_matrix(jnp.asarray(x), jnp.asarray(y), "Quadratic", 0.1)),
         1 - d2 / (d2 + 0.1), atol=1e-5, rtol=1e-5,
     )
+
+
+def test_svgp_extreme_scale_stays_finite(rng):
+    """Regression: chol(Sigma) went indefinite in f32 at large ratio*b*prec
+    (batch 4096, m 600, heavy padding) — the whitened B = I + c U Lambda U^T
+    factorization must stay finite at any scale."""
+    b, m, L = 4096, 600, 10
+    x = rng.uniform(-2, 2, size=(b, 2)).astype(np.float32)
+    Z = rng.uniform(-2, 2, size=(m, 2)).astype(np.float32)
+    mu = rng.normal(size=(b, L)).astype(np.float32)
+    var = np.exp(rng.normal(-2, 2, size=(b, L))).astype(np.float32)  # small vars
+    mask = np.zeros(b, np.float32)
+    mask[:512] = 1.0  # heavily padded batch
+    shared = svgp_shared(jnp.asarray(Z), "Gaussian", SCALE, JITTER)
+    out = svgp_batch_terms(
+        jnp.asarray(x), jnp.asarray(mu), jnp.asarray(var), jnp.asarray(mask),
+        102400.0, shared["Z"], shared["K_mm"], shared["L_mm"],
+        kernel_scale=SCALE, jitter=JITTER,
+    )
+    for k in ("p_m", "p_v", "recon", "kl"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
