@@ -189,6 +189,137 @@ aggregate_windowed.defvjp(_agg_fwd, _agg_bwd)
 
 
 # ---------------------------------------------------------------------------
+# multi-head fused kernel: all heads share the window DMA and the per-slot
+# selection compare; per-head selection matrices feed per-head MXU matmuls
+# ---------------------------------------------------------------------------
+
+def _agg_mh_kernel(nbr_ref, alpha_ref, wx_hbm, out_ref, win_ref, sem,
+                   *, tile: int, window: int, K: int, H: int, n_rows: int):
+    t = pl.program_id(0)
+    start = t * tile - window
+    hi = (max(n_rows - win_ref.shape[0], 0) // 8) * 8
+    start_c = pl.multiple_of(jnp.clip(start, 0, hi), 8)
+    dma = pltpu.make_async_copy(
+        wx_hbm.at[pl.ds(start_c, win_ref.shape[0])], win_ref, sem
+    )
+    dma.start()
+    dma.wait()
+
+    rel_all = nbr_ref[:] - start_c  # (K, tile)
+    W_rows = win_ref.shape[0]
+    HF = out_ref.shape[1]
+    F = HF // H
+    col = jax.lax.broadcasted_iota(jnp.int32, (out_ref.shape[0], W_rows), 1)
+    alpha_all = alpha_ref[:]  # (H*K, tile), head-major
+
+    S = [jnp.zeros((out_ref.shape[0], W_rows), jnp.float32) for _ in range(H)]
+    for k in range(K):
+        rel = rel_all[k, :]
+        valid = jnp.logical_and(rel >= 0, rel < W_rows)
+        sel = col == rel[:, None]  # shared across heads
+        for h in range(H):
+            w = jnp.where(valid, alpha_all[h * K + k, :], 0.0)
+            S[h] = S[h] + jnp.where(sel, w[:, None], 0.0)
+    for h in range(H):
+        out_ref[:, h * F : (h + 1) * F] = jnp.dot(
+            S[h], win_ref[:, h * F : (h + 1) * F],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "window", "interpret"))
+def _aggregate_windowed_mh_raw(Wx, alpha, nbr, *, tile=128, window=256,
+                               interpret=False):
+    """All-head in-window aggregation. Wx: (n, H, F); alpha: (n, K, H)."""
+    n, H, F = Wx.shape
+    K = nbr.shape[1]
+    n_t = (n + tile - 1) // tile
+    n_pad = n_t * tile
+    W_rows = min(tile + 2 * window, max(n, 8))
+    nbr_t = jnp.pad(nbr, ((0, n_pad - n), (0, 0))).T  # (K, n_pad)
+    # (H*K, n_pad), head-major rows
+    alpha_t = jnp.pad(alpha, ((0, n_pad - n), (0, 0), (0, 0)))
+    alpha_t = alpha_t.transpose(2, 1, 0).reshape(H * K, n_pad)
+
+    kernel = functools.partial(
+        _agg_mh_kernel, tile=tile, window=window, K=K, H=H, n_rows=n
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_t,),
+        in_specs=[
+            pl.BlockSpec((K, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H * K, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((tile, H * F), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, H * F), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((W_rows, H * F), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(nbr_t, alpha_t, Wx.reshape(n, H * F))
+    return out[:n].reshape(n, H, F)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def aggregate_windowed_mh(Wx, alpha, nbr, nbr_mask, tile=128, window=256,
+                          interpret=False):
+    """Multi-head windowed aggregation + exact sparse correction.
+
+    out[i, h] = sum_k alpha[i, k, h] * Wx[nbr[i, k], h]; linear in both
+    inputs, XLA backward. NOTE: on current Mosaic this fused variant lowers
+    ~280x slower than H separate aggregate_windowed calls (the per-(k,h)
+    select chain defeats vectorization) — kept as an opt-in for future
+    compiler versions; gat_attention_pallas uses the per-head path.
+    """
+    n, H, F = Wx.shape
+    covered = _window_validity(nbr, nbr_mask, n, tile, window)
+    alpha_m = alpha * nbr_mask[:, :, None]
+    out = _aggregate_windowed_mh_raw(
+        Wx, alpha_m, nbr, tile=tile, window=window, interpret=interpret
+    )
+    missed = jnp.logical_and(nbr_mask > 0, ~covered)
+    corr_w = jnp.where(missed[:, :, None], alpha_m, 0.0)
+
+    def corr_body(acc, k):
+        return acc + corr_w[:, k, :, None] * Wx[nbr[:, k]], None
+
+    corr, _ = jax.lax.scan(
+        corr_body, jnp.zeros_like(Wx), jnp.arange(nbr.shape[1])
+    )
+    return out + corr
+
+
+def _agg_mh_fwd(Wx, alpha, nbr, nbr_mask, tile, window, interpret):
+    out = aggregate_windowed_mh(Wx, alpha, nbr, nbr_mask, tile, window, interpret)
+    return out, (Wx, alpha, nbr, nbr_mask)
+
+
+def _agg_mh_bwd(tile, window, interpret, res, g):
+    Wx, alpha, nbr, nbr_mask = res
+    K = nbr.shape[1]
+    w = alpha * nbr_mask[:, :, None]
+
+    def dalpha_body(_, k):
+        return None, jnp.sum(g * Wx[nbr[:, k]], axis=2)  # (n, H)
+
+    _, dalpha_t = jax.lax.scan(dalpha_body, None, jnp.arange(K))
+    dalpha = dalpha_t.transpose(1, 0, 2) * nbr_mask[:, :, None]
+
+    def dwx_body(acc, k):
+        return acc.at[nbr[:, k]].add(w[:, k, :, None] * g), None
+
+    dWx, _ = jax.lax.scan(dwx_body, jnp.zeros_like(Wx), jnp.arange(K))
+    return dWx, dalpha, None, None
+
+
+aggregate_windowed_mh.defvjp(_agg_mh_fwd, _agg_mh_bwd)
+
+
+# ---------------------------------------------------------------------------
 # full GAT layer using the fused aggregation
 # ---------------------------------------------------------------------------
 
@@ -222,7 +353,7 @@ def pallas_gat_supported():
 
 def gat_attention_pallas(
     h, nbr, nbr_mask, W, att_src, att_dst, bias, *, concat=True,
-    negative_slope=0.2, tile=128, window=512, interpret=False,
+    negative_slope=0.2, tile=128, window=256, interpret=False,
 ):
     """Drop-in replacement for ops/gat.py:gat_attention with the windowed
     Pallas aggregation on the (n, K, H*F) hot path. The (n, K, H) attention
@@ -240,13 +371,17 @@ def gat_attention_pallas(
     alpha = jax.nn.softmax(e, axis=1)
     alpha = jnp.where(nbr_mask[:, :, None] > 0, alpha, 0.0)  # (n, K, H)
 
-    outs = []
-    for hh in range(H):  # per-head aggregation shares the window DMA pattern
-        out_h = aggregate_windowed(
+    # per-head kernel calls: measured 13 ms/head at n=102400 on v5e; the
+    # fused multi-head variant (aggregate_windowed_mh) is numerically
+    # identical but lowers ~280x slower on current Mosaic (the interleaved
+    # per-(k,h) select chain defeats its vectorizer), so it stays opt-in.
+    outs = [
+        aggregate_windowed(
             Wx.astype(jnp.float32)[:, hh, :], alpha[:, :, hh], nbr, nbr_mask,
             tile, window, interpret,
         )
-        outs.append(out_h)
+        for hh in range(H)
+    ]
     out = jnp.stack(outs, axis=1)  # (n, H, F)
     if concat:
         out = out.reshape(n, H * F)

@@ -75,3 +75,32 @@ def test_full_gat_layer_pallas_matches_xla(rng):
         np.testing.assert_allclose(
             np.asarray(o_pls), np.asarray(o_xla), atol=2e-5
         )
+
+
+def test_multihead_aggregation_and_gradients(rng):
+    from spadot_tpu.ops.gat_pallas import aggregate_windowed_mh
+
+    n, K, H, F = 200, 5, 3, 8
+    Wx = jnp.asarray(rng.normal(size=(n, H, F)), jnp.float32)
+    alpha = jnp.asarray(rng.uniform(size=(n, K, H)), jnp.float32)
+    nbr = jnp.asarray(rng.integers(0, n, size=(n, K)), jnp.int32)
+    mask = jnp.asarray(rng.uniform(size=(n, K)) > 0.2, jnp.float32)
+
+    def ref(Wx, alpha):
+        out = jnp.zeros_like(Wx)
+        for k in range(K):
+            w = alpha[:, k, :] * mask[:, k][:, None]
+            out = out + w[:, :, None] * Wx[nbr[:, k]]
+        return out
+
+    got = aggregate_windowed_mh(Wx, alpha, nbr, mask, 64, 16, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(Wx, alpha)), atol=2e-5)
+
+    gp = jax.grad(lambda W, a: jnp.sum(
+        aggregate_windowed_mh(W, a, nbr, mask, 64, 16, True) ** 2), argnums=(0, 1)
+    )(Wx, alpha)
+    gr = jax.grad(lambda W, a: jnp.sum(ref(W, a) ** 2), argnums=(0, 1))(Wx, alpha)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gr[0]), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(gp[1]), np.asarray(gr[1] * mask[:, :, None]), atol=2e-4
+    )
