@@ -76,7 +76,6 @@ def _transport_map_growth_factored(X0, X1, ot_config, growth_iters=3, M1=None):
 
     Returns (duals dict, growths, agg) with agg = (R/J) @ M1 when M1 given.
     """
-    from spadot_tpu.ops.sinkhorn import _stage_epsilons
     from spadot_tpu.ops.sinkhorn_flash import plan_reductions, sinkhorn_factored
 
     kwargs = _ot_kwargs(ot_config)

@@ -14,7 +14,6 @@ weighted aggregation runs as a `lax.scan` over the K neighbor slots with an
 (n, H·F) accumulator — O(n·K·H) + O(n·H·F) live memory instead of O(n·K·H·F).
 A fused Pallas kernel for this op lives in `gat_pallas.py`.
 """
-from functools import partial
 
 import jax
 import jax.numpy as jnp

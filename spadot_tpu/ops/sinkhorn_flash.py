@@ -21,7 +21,6 @@ thresholds, duality gap) match ops/sinkhorn.py exactly and are differentially
 tested against it.
 """
 import math
-from functools import partial
 
 import numpy as np
 

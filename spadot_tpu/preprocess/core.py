@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 import scipy.sparse as sp
 
-from spadot_tpu.io import AnnData, concat, read_h5ad
+from spadot_tpu.io import concat, read_h5ad
 from spadot_tpu.preprocess.norm import log1p, normalize_total, scale
 from spadot_tpu.utils.logging import logger
 

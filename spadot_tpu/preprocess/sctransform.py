@@ -19,7 +19,6 @@ in JAX — thousands of independent GLMs per MXU-friendly batched step —
 processed in gene chunks to bound memory. Host numpy handles only the tiny
 regularization smoothers.
 """
-from functools import partial
 
 import numpy as np
 import pandas as pd
