@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import scipy.sparse as sp
 
-from spadot_tpu.ops.stats import acat_combine, fdr_by, quadform_pvalues
+from spadot_tpu.ops.stats import acat_combine_batch, fdr_by, quadform_pvalues
 from spadot_tpu.utils.logging import logger
 
 
@@ -97,7 +97,7 @@ def sparkx(count, location, genenames, option="mixture"):
             results.append(_sparkx_single_kernel(count, loc_t))
 
     allpvals = np.column_stack([r["pval"].to_numpy() for r in results])
-    comb = np.array([acat_combine(row) for row in allpvals])
+    comb = acat_combine_batch(allpvals)
     pBY = fdr_by(comb)
     res = pd.DataFrame(
         {"combinedPval": comb, "adjustedPval": pBY}, index=genenames

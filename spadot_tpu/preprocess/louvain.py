@@ -23,7 +23,13 @@ def pca(X, n_comps=50):
 
 def gauss_knn_graph(X, n_neighbors=100, n_pcs=30):
     """Adaptive gaussian affinities on the kNN graph (scanpy 'gauss'-style:
-    per-point bandwidth from the local neighbor-distance scale)."""
+    per-point bandwidth from the local neighbor-distance scale).
+
+    Built vectorized: weights computed as numpy arrays, symmetrized by
+    elementwise max through one scipy sparse pass (a python edge loop here
+    cost ~1 min per timepoint at 3k genes x 100 neighbors)."""
+    import scipy.sparse as sp
+
     Xp = X[:, : min(n_pcs, X.shape[1])]
     n = Xp.shape[0]
     k = min(n_neighbors, n - 1)
@@ -31,18 +37,12 @@ def gauss_knn_graph(X, n_neighbors=100, n_pcs=30):
     dist, idx = nbrs.kneighbors(Xp)
     dist, idx = dist[:, 1:], idx[:, 1:]
     sigma = np.maximum(dist[:, -1] / 2.0, 1e-12)
-    G = nx.Graph()
-    G.add_nodes_from(range(n))
-    for i in range(n):
-        for j_pos in range(k):
-            j = int(idx[i, j_pos])
-            w = float(np.exp(-(dist[i, j_pos] ** 2) / (2 * sigma[i] * sigma[j])))
-            if G.has_edge(i, j):
-                if G[i][j]["weight"] < w:
-                    G[i][j]["weight"] = w
-            else:
-                G.add_edge(i, j, weight=w)
-    return G
+    rows = np.repeat(np.arange(n), k)
+    cols = idx.ravel()
+    w = np.exp(-(dist.ravel() ** 2) / (2.0 * sigma[rows] * sigma[cols]))
+    A = sp.coo_matrix((w, (rows, cols)), shape=(n, n)).tocsr()
+    A = A.maximum(A.T)  # undirected, keep the larger directed weight
+    return nx.from_scipy_sparse_array(A)
 
 
 def cluster_svgs(svg_mat, k=10, seed=1993):
