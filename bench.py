@@ -127,4 +127,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # transient remote-TPU worker errors: retry once
+        print(f"# bench attempt failed ({type(e).__name__}: {e}); retrying once",
+              file=sys.stderr)
+        time.sleep(20)
+        main()

@@ -46,7 +46,6 @@ def _jax_fit_chunk(y_chunk, log_umi, n_newton=60, n_theta=10):
 
     x = log_umi
     n = x.shape[0]
-    sx = jnp.sum(x)
     tol = 1e-9
 
     def fit_one(y):
@@ -104,7 +103,7 @@ def _jax_fit_chunk(y_chunk, log_umi, n_newton=60, n_theta=10):
     return jax.jit(jax.vmap(fit_one))(y_chunk)
 
 
-def fit_poisson_genes(umi, log_umi, chunk=512, dtype=np.float64):
+def fit_poisson_genes(umi, log_umi, chunk=2048, dtype=np.float64):
     """Per-gene GLM fits over all genes. umi: (G, n) sparse/dense."""
     import jax.numpy as jnp
 
@@ -183,7 +182,7 @@ def _row_log_gmean(umi, eps=1.0):
 def sctransform(
     umi, genes, cells, *, n_cells=None, n_genes=2000, min_cells=5,
     variable_features_n=None, variable_features_rv_th=1.3,
-    bw_adjust=3.0, seed=1448145, do_correct_umi=True, chunk=512,
+    bw_adjust=3.0, seed=1448145, do_correct_umi=True, chunk=2048,
 ):
     """Run SCTransform. umi: (G, n) sparse counts (genes x cells).
 

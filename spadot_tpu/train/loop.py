@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 
 from spadot_tpu.config import load_model_config, resolve_dtype
-from spadot_tpu.utils.logging import logger, timed
+from spadot_tpu.utils.logging import logger
 from spadot_tpu.utils.rng import enable_compilation_cache, set_seed
 
 LOSS_NAMES = ["elbo", "Recon", "SVGP_KL", "GAT_KL", "alignment", "KMeans", "OT"]
