@@ -109,3 +109,34 @@ def test_windowed_gat_mode_trains():
     trainer, variables, _, _, loss_df = train_spadot(data, cfg)
     assert np.isfinite(loss_df.to_numpy()).all()
     assert (loss_df["GAT_KL"] != 0).all()
+
+
+def test_string_timepoints_end_to_end(tmp_path):
+    """Real datasets carry non-numeric timepoint labels (e.g. 'D4')."""
+    from spadot_tpu.train.loop import get_latent, train_spadot
+
+    adata = make_synthetic_adata(n_per_tp=80, n_genes=20, n_tp=2, seed=9)
+    adata.obs["timepoint"] = np.where(
+        adata.obs["timepoint"].to_numpy() == 0, "D4", "D7"
+    )
+    cfg = _tiny_config(adata, maxiter=3)
+    cfg["timepoints"] = sorted(adata.obs["timepoint"].unique().tolist())
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+    trainer, variables, _, host_state, loss_df = train_spadot(data, cfg)
+    assert np.isfinite(loss_df.to_numpy()).all()
+    assert any(k == "D4_D7" for k in host_state["gammas"])
+    lat = get_latent(trainer, variables, data, adata)
+    assert set(lat.obs["timepoint"]) == {"D4", "D7"}
+
+    # analyze stage with string timepoints
+    from types import SimpleNamespace
+
+    from spadot_tpu.analyze.core import analyze
+
+    p = str(tmp_path / "lat.h5ad")
+    lat.write_h5ad(p)
+    analyze(SimpleNamespace(data=p, output_dir=str(tmp_path), prefix="",
+                            n_clusters=[3, 3]))
+    assert (tmp_path / "D4_domains.png").exists()
+    assert (tmp_path / "transition_table_0_1.h5ad").exists()
