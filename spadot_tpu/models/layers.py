@@ -11,7 +11,7 @@ Architecture parity with the reference (layer sizes/normalization/activation):
 Xavier-uniform kernel init everywhere, matching encoder.py:15,23,42-48.
 BatchNorm supports a row mask so padded batch rows never pollute statistics.
 """
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -24,17 +24,21 @@ _XAVIER = nn.initializers.xavier_uniform()
 class SVGPEncoder(nn.Module):
     hidden_dims: Sequence[int]
     z_dim: int
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool, mask=None):
+        kw = dict(kernel_init=_XAVIER, param_dtype=self.param_dtype,
+                  dtype=self.param_dtype)
         bn_mask = None if mask is None else mask[:, None].astype(bool)
         for width in self.hidden_dims:
-            x = nn.Dense(width, kernel_init=_XAVIER)(x)
+            x = nn.Dense(width, **kw)(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                param_dtype=self.param_dtype, dtype=self.param_dtype,
             )(x, mask=bn_mask)
             x = nn.leaky_relu(x, 0.01)
-        z = nn.Dense(self.z_dim * 2, kernel_init=_XAVIER)(x)
+        z = nn.Dense(self.z_dim * 2, **kw)(x)
         mu, logvar = jnp.split(z, 2, axis=1)
         # clamp keeps exp() finite in float32 (the reference trains float64,
         # where exp saturates at 709 instead of 88; behavior unchanged within
@@ -47,16 +51,17 @@ class GATLayer(nn.Module):
     heads: int
     concat: bool = True
     use_pallas: bool = False
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h, nbr, nbr_mask):
         F_in = h.shape[-1]
         H, F = self.heads, self.out_features
-        W = self.param("W", _XAVIER, (F_in, H * F))
-        att_src = self.param("att_src", _XAVIER, (H, F))
-        att_dst = self.param("att_dst", _XAVIER, (H, F))
+        W = self.param("W", _XAVIER, (F_in, H * F), self.param_dtype)
+        att_src = self.param("att_src", _XAVIER, (H, F), self.param_dtype)
+        att_dst = self.param("att_dst", _XAVIER, (H, F), self.param_dtype)
         bias_shape = (H * F,) if self.concat else (F,)
-        bias = self.param("bias", nn.initializers.zeros, bias_shape)
+        bias = self.param("bias", nn.initializers.zeros, bias_shape, self.param_dtype)
         if self.use_pallas:
             from spadot_tpu.ops.gat_pallas import gat_attention_pallas
 
@@ -73,10 +78,11 @@ class GATEncoder(nn.Module):
     num_heads: int
     z_dim: int
     use_pallas: bool = False
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h, nbr, nbr_mask):
-        kw = dict(use_pallas=self.use_pallas)
+        kw = dict(use_pallas=self.use_pallas, param_dtype=self.param_dtype)
         h = nn.leaky_relu(
             GATLayer(self.hidden_dim, self.num_heads, concat=True, **kw)(h, nbr, nbr_mask), 0.01
         )
@@ -84,7 +90,8 @@ class GATEncoder(nn.Module):
             GATLayer(self.hidden_dim, self.num_heads, concat=True, **kw)(h, nbr, nbr_mask), 0.01
         )
         h = GATLayer(self.hidden_dim, self.num_heads, concat=False, **kw)(h, nbr, nbr_mask)
-        z = nn.Dense(self.z_dim * 2, kernel_init=_XAVIER)(h)
+        z = nn.Dense(self.z_dim * 2, kernel_init=_XAVIER,
+                     param_dtype=self.param_dtype, dtype=self.param_dtype)(h)
         mu, logvar = jnp.split(z, 2, axis=1)
         return mu, jnp.exp(jnp.clip(logvar, -15.0, 15.0))
 
@@ -92,11 +99,14 @@ class GATEncoder(nn.Module):
 class Decoder(nn.Module):
     hidden_dims: Sequence[int]
     output_dim: int
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z):
+        kw = dict(kernel_init=_XAVIER, param_dtype=self.param_dtype,
+                  dtype=self.param_dtype)
         for width in self.hidden_dims:
-            z = nn.Dense(width, kernel_init=_XAVIER)(z)
-            z = nn.LayerNorm()(z)
+            z = nn.Dense(width, **kw)(z)
+            z = nn.LayerNorm(param_dtype=self.param_dtype, dtype=self.param_dtype)(z)
             z = nn.leaky_relu(z, 0.01)
-        return nn.Dense(self.output_dim, kernel_init=_XAVIER)(z)
+        return nn.Dense(self.output_dim, **kw)(z)

@@ -36,21 +36,26 @@ class SpaDOTNet(nn.Module):
     # encoder_mode: 'dual' (reference), 'svgp' (VAE-only ablation,
     # BASELINE.json config 2), or 'gat' (graph-only ablation)
     encoder_mode: str = "dual"
+    param_dtype: Any = None  # None -> float32
 
     def setup(self):
         self.svgp_z_dim = self.z_dim // 2
         self.gat_z_dim = self.z_dim // 2
+        pdt = self.param_dtype if self.param_dtype is not None else jnp.float32
         self.svgp_encoder = SVGPEncoder(
-            hidden_dims=tuple(self.svgp_encoder_layers), z_dim=self.svgp_z_dim
+            hidden_dims=tuple(self.svgp_encoder_layers), z_dim=self.svgp_z_dim,
+            param_dtype=pdt,
         )
         self.gat_encoder = GATEncoder(
             hidden_dim=self.gat_encoder_hidden,
             num_heads=self.gat_attention_heads,
             z_dim=self.gat_z_dim,
             use_pallas=self.use_pallas,
+            param_dtype=pdt,
         )
         self.decoder = Decoder(
-            hidden_dims=tuple(self.decoder_layers), output_dim=self.input_dim
+            hidden_dims=tuple(self.decoder_layers), output_dim=self.input_dim,
+            param_dtype=pdt,
         )
 
     def encode_svgp(self, y, *, train: bool, mask=None):
@@ -81,7 +86,9 @@ def build_net(model_config: Dict[str, Any]) -> SpaDOTNet:
         raise ValueError(
             f"encoder_mode must be one of 'dual', 'svgp', 'gat'; got {mode!r}"
         )
-    use_pallas = bool(model_config.get("use_pallas", True))
+    dtype_name = str(model_config.get("dtype", "float32")).lower()
+    f64 = dtype_name in ("float64", "f64", "double")
+    use_pallas = bool(model_config.get("use_pallas", True)) and not f64
     if use_pallas:
         from spadot_tpu.ops.gat_pallas import pallas_gat_supported
 
@@ -95,6 +102,7 @@ def build_net(model_config: Dict[str, Any]) -> SpaDOTNet:
         decoder_layers=tuple(model_config["decoder_layers"]),
         use_pallas=use_pallas,
         encoder_mode=str(model_config.get("encoder_mode", "dual")),
+        param_dtype=(jnp.float64 if f64 else jnp.float32),
     )
 
 

@@ -61,7 +61,16 @@ class Trainer:
             else int(model_config.get("gat_window", 512))
         )
 
-        dtype = jnp.float32
+        # float32 by default; `dtype: float64` (with jax x64 enabled by
+        # resolve_dtype) runs the data/SVGP path in f64 for parity ablations
+        # against the reference's float64 training (SpaDOT/train.py:27)
+        name = str(model_config.get("dtype", "float32")).lower()
+        dtype = jnp.float64 if name in ("float64", "f64", "double") else jnp.float32
+        if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            from spadot_tpu.config import resolve_dtype
+
+            resolve_dtype(model_config)
+        self.dtype = dtype
         self.tp_dev = OrderedDict()
         self.svgp_states = OrderedDict()
         from spadot_tpu.parallel.mesh import shard_tp_data
@@ -107,8 +116,14 @@ class Trainer:
         )
         if "batch_stats" not in variables:
             variables = {"params": variables["params"], "batch_stats": {}}
+        variables = dict(variables)
+        # flax BatchNorm initializes running stats in float32 regardless of
+        # param_dtype; align them so the scan carry dtype is stable in f64 mode
+        variables["batch_stats"] = self.jax.tree_util.tree_map(
+            lambda x: x.astype(self.dtype), variables["batch_stats"]
+        )
         opt_state = self.tx.init(variables["params"])
-        return dict(variables), opt_state
+        return variables, opt_state
 
     # -- jitted epoch over one timepoint ------------------------------------
     def _epoch_impl(
@@ -197,13 +212,13 @@ class Trainer:
         have_km = km["centers"].get(tp) is not None
         use_kmeans = 1.0 if (epoch >= 1 and have_km) else 0.0
         centers = (
-            km["centers"][tp] if have_km else jnp.zeros((k, z), jnp.float32)
+            km["centers"][tp] if have_km else jnp.zeros((k, z), self.dtype)
         )
         assign = (
             km["assign"][tp] if have_km else jnp.zeros((n,), jnp.int32)
         )
-        prev_centers = jnp.zeros((k, z), jnp.float32)
-        gamma_rn = jnp.zeros((k, k), jnp.float32)
+        prev_centers = jnp.zeros((k, z), self.dtype)
+        gamma_rn = jnp.zeros((k, k), self.dtype)
         use_ot = 0.0
         if epoch >= int(self.config["ot_epoch"]) and tp_i != 0:
             prev_tp = self.timepoints[tp_i - 1]
@@ -214,16 +229,16 @@ class Trainer:
                 with np.errstate(divide="ignore", invalid="ignore"):
                     gamma = gamma / rs
                 gamma = np.nan_to_num(gamma, nan=0.0, posinf=0.0, neginf=0.0)
-                gamma_rn = jnp.asarray(gamma, jnp.float32)
+                gamma_rn = jnp.asarray(gamma, self.dtype)
                 prev_centers = km["centers"][prev_tp]
                 use_ot = 1.0
         batch_idx, batch_mask = self.tp_batches[tp]
         variables, opt_state, rng, losses = self._epoch_jit(
             variables, opt_state, rng, self.tp_dev[tp], self.svgp_states[tp],
             batch_idx, batch_mask, centers, assign, prev_centers, gamma_rn,
-            jnp.asarray(beta1, jnp.float32),
-            jnp.asarray(use_kmeans, jnp.float32),
-            jnp.asarray(use_ot, jnp.float32),
+            jnp.asarray(beta1, self.dtype),
+            jnp.asarray(use_kmeans, self.dtype),
+            jnp.asarray(use_ot, self.dtype),
         )
         # losses stay on device — the caller syncs once per epoch at most
         return variables, opt_state, rng, losses

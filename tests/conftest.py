@@ -22,6 +22,8 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: each test sees the same deterministic stream whether
+    # run alone or in the full suite
     return np.random.default_rng(1993)

@@ -140,3 +140,23 @@ def test_string_timepoints_end_to_end(tmp_path):
                             n_clusters=[3, 3]))
     assert (tmp_path / "D4_domains.png").exists()
     assert (tmp_path / "transition_table_0_1.h5ad").exists()
+
+
+def test_float64_parity_mode_runs():
+    """dtype: float64 — the reference's precision (SpaDOT/train.py:27)."""
+    import jax
+
+    from spadot_tpu.train.loop import train_spadot
+
+    adata = make_synthetic_adata(n_per_tp=60, n_genes=16, n_tp=1, seed=2)
+    cfg = _tiny_config(adata, maxiter=2)
+    cfg["dtype"] = "float64"
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+    try:
+        trainer, variables, _, _, loss_df = train_spadot(data, cfg)
+        assert np.isfinite(loss_df.to_numpy()).all()
+        lat = trainer.latent(variables, 0)
+        assert lat.dtype == np.float64
+    finally:
+        jax.config.update("jax_enable_x64", False)
