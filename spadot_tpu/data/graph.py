@@ -12,6 +12,34 @@ import numpy as np
 from sklearn.neighbors import NearestNeighbors
 
 
+def reverse_graph(nbr: np.ndarray, nbr_mask: np.ndarray):
+    """Reverse padded adjacency: for each node j, the (i, k) pairs with
+    nbr[i, k] == j, padded to the max in-degree.
+
+    Returns (rev_src (n, Kr) int32: the i's, rev_slot (n, Kr) int32: the k's,
+    rev_mask (n, Kr) float32). Used to express the GAT aggregation backward
+    dWx[j] = sum_{(i,k): nbr[i,k]=j} w[i,k]·g[i] as a plain padded GATHER
+    over the reverse lists instead of K sequential scatter-adds.
+    """
+    n, K = nbr.shape
+    ii, kk = np.nonzero(nbr_mask > 0)
+    jj = nbr[ii, kk]
+    order = np.argsort(jj, kind="stable")
+    ii, kk, jj = ii[order], kk[order], jj[order]
+    counts = np.bincount(jj, minlength=n)
+    Kr = max(int(counts.max()) if len(jj) else 1, 1)
+    rev_src = np.zeros((n, Kr), np.int32)
+    rev_slot = np.zeros((n, Kr), np.int32)
+    rev_mask = np.zeros((n, Kr), np.float32)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    # vectorized fill: position of each edge within its target's bucket
+    pos = np.arange(len(jj)) - starts[jj]
+    rev_src[jj, pos] = ii
+    rev_slot[jj, pos] = kk
+    rev_mask[jj, pos] = 1.0
+    return rev_src, rev_slot, rev_mask
+
+
 def effective_k(n_obs: int, knn_cutoff: int, max_neighbors: int) -> int:
     k = min(int(max_neighbors), int(knn_cutoff) * int(round(n_obs / 1000.0)))
     return max(k, 1)

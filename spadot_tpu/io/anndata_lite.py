@@ -241,6 +241,12 @@ def _read_array(node):
         categories = _read_array(node["categories"])
         codes = node["codes"][()]
         return pd.Categorical.from_codes(codes, categories=pd.Index(np.ravel(categories)))
+    if enc in ("nullable-integer", "nullable-boolean"):
+        values = np.asarray(node["values"][()])
+        mask = np.asarray(node["mask"][()]).astype(bool)
+        out = values.astype(np.float64)
+        out[mask] = np.nan  # mask marks missing entries in the anndata spec
+        return out
     if enc in ("dict", ""):
         return {k: _read_array(node[k]) for k in node.keys()}
     raise ValueError(f"Unsupported h5ad encoding: {enc!r} at {node.name}")
@@ -260,7 +266,15 @@ def _read_dataframe(group):
     for key in col_order if col_order else [k for k in group.keys() if k != index_key]:
         if key == index_key or key not in group:
             continue
-        val = _read_array(group[key])
+        try:
+            val = _read_array(group[key])
+        except ValueError:
+            # unknown column encoding: skip the column rather than fail the
+            # whole file — the pipeline only requires specific columns
+            import warnings
+
+            warnings.warn(f"skipping obs/var column {key!r} (unsupported encoding)")
+            continue
         if isinstance(val, np.ndarray):
             val = np.ravel(val)
         cols[key] = val

@@ -268,6 +268,12 @@ class Trainer:
         from spadot_tpu.ops.sinkhorn import compute_transport_map
 
         ot_cfg = self.config["ot_config"]
+        # the training-path problems are tiny (k x k centroid matrices), so
+        # the "jax" device backend would be pure dispatch overhead here —
+        # map it to the float64 host engine; "cpu" (native .so) is honored
+        backend = ot_cfg.get("backend", "numpy")
+        if backend == "jax":
+            backend = "numpy"
         for i in range(len(self.timepoints) - 1):
             cur, nxt = self.timepoints[i], self.timepoints[i + 1]
             if km["centers"].get(cur) is None or km["centers"].get(nxt) is None:
@@ -275,9 +281,7 @@ class Trainer:
             gamma = compute_transport_map(
                 np.asarray(km["centers"][cur], np.float64),
                 np.asarray(km["centers"][nxt], np.float64),
-                dict(ot_cfg), G=None,
-                backend=ot_cfg.get("backend", "numpy")
-                if ot_cfg.get("backend") != "jax" else "numpy",
+                dict(ot_cfg), G=None, backend=backend,
             )
             gammas[f"{cur}_{nxt}"] = np.asarray(gamma)
         return gammas

@@ -82,3 +82,37 @@ def test_anndata_upstream_compat(tmp_path):
     ad.write_h5ad(path)
     up = anndata.read_h5ad(path)
     np.testing.assert_allclose(np.asarray(up.X), ad.toarray())
+
+
+def test_nullable_and_unknown_encodings(tmp_path):
+    """Real anndata files carry nullable-integer columns and occasionally
+    exotic encodings — read what we can, skip what we can't."""
+    import h5py
+    import warnings
+
+    ad = _make()
+    path = str(tmp_path / "n.h5ad")
+    ad.write_h5ad(path)
+    with h5py.File(path, "r+") as f:
+        g = f["obs"].create_group("n_counts")
+        g.attrs["encoding-type"] = "nullable-integer"
+        g.attrs["encoding-version"] = "0.1.0"
+        g.create_dataset("values", data=np.arange(12))
+        mask = np.zeros(12, bool)
+        mask[3] = True
+        g.create_dataset("mask", data=mask)
+        weird = f["obs"].create_group("weird")
+        weird.attrs["encoding-type"] = "某-unknown"
+        order = list(f["obs"].attrs["column-order"]) + [b"n_counts", b"weird"]
+        f["obs"].attrs["column-order"] = np.array(
+            [o.decode() if isinstance(o, bytes) else o for o in order], dtype=object
+        )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ad2 = read_h5ad(path)
+    assert "n_counts" in ad2.obs.columns
+    assert np.isnan(ad2.obs["n_counts"].iloc[3])
+    assert ad2.obs["n_counts"].iloc[0] == 0
+    assert "weird" not in ad2.obs.columns
+    # required pipeline columns intact
+    assert ad2.obs["timepoint"].tolist() == ad.obs["timepoint"].tolist()
