@@ -88,3 +88,26 @@ def test_sharded_factored_sinkhorn_matches_single_device(rng):
     assert s1 == s8 and e1 == e8
     np.testing.assert_allclose(f8, f1, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(g8, g1, rtol=2e-4, atol=2e-5)
+
+
+def test_windowed_gat_on_mesh():
+    """Windowed minibatch GAT + spot-sharded mesh combine correctly."""
+    from spadot_tpu.train.loop import Trainer
+
+    adata = make_synthetic_adata(n_per_tp=128, n_genes=24, n_tp=1)
+    cfg = default_config()
+    cfg.update(
+        input_dim=24, timepoints=[0], maxiter=1, ot_epoch=1, batch_size=32,
+        inducing_point_nums=20, gat_encoder_hidden=8, gat_attention_heads=2,
+        svgp_encoder_layers=[16, 8], decoder_layers=[8, 16], n_clusters=3,
+        full_graph_gat=False, gat_window=16,
+    )
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+    mesh = make_mesh({"data": 8})
+    tr = Trainer(cfg, data, mesh=mesh)
+    v, o = tr.init_state(jax.random.PRNGKey(0))
+    v, o, _, losses = tr.run_epoch(
+        v, o, jax.random.PRNGKey(1), 0, {"centers": {}, "assign": {}}, {}, 0, 0, 0.5
+    )
+    assert np.isfinite(np.asarray(losses)).all()

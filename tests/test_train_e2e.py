@@ -160,3 +160,43 @@ def test_float64_parity_mode_runs():
         assert lat.dtype == np.float64
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_resume_mid_training_continues(tmp_path):
+    """Interrupted-training resume: autosave at epoch N, resume completes the
+    remaining epochs with the full loss history intact."""
+    from spadot_tpu.train.loop import _save_state, train_spadot
+    from spadot_tpu.train.checkpoint import load_checkpoint
+
+    adata = make_synthetic_adata(n_per_tp=60, n_genes=16, n_tp=1, seed=4)
+    cfg = _tiny_config(adata, maxiter=4)
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+
+    # run the first phase manually and save a mid-training checkpoint
+    import jax
+
+    from spadot_tpu.train.loop import Trainer
+
+    trainer = Trainer(cfg, data)
+    variables, opt_state = trainer.init_state(jax.random.PRNGKey(0))
+    km = {"centers": {}, "assign": {}}
+    rows = []
+    rng = jax.random.PRNGKey(1)
+    for epoch in range(2):
+        variables, opt_state, rng, losses = trainer.run_epoch(
+            variables, opt_state, rng, 0, km, {}, 0, epoch, 0.5
+        )
+        rows.append(np.asarray(losses))
+        km = trainer.update_kmeans(variables, jax.random.PRNGKey(9 + epoch), km)
+    ckpt = str(tmp_path / "auto.ckpt")
+    _save_state(ckpt, trainer, variables, opt_state, km, {},
+                jax.random.PRNGKey(2), 1, rows)
+
+    resume_state = load_checkpoint(ckpt)
+    trainer2, v2, o2, host, loss_df = train_spadot(
+        data, cfg, resume_state=resume_state
+    )
+    assert len(loss_df) == 4  # 2 restored + 2 new epochs
+    assert np.isfinite(loss_df.to_numpy()).all()
+    np.testing.assert_allclose(loss_df.iloc[0].to_numpy(), rows[0], rtol=1e-6)
