@@ -82,7 +82,15 @@ def build_knn_graph(coords: np.ndarray, k: int):
     k = min(k, n - 1)
     nbrs = NearestNeighbors(n_neighbors=k + 1, algorithm="auto").fit(coords)
     _, indices = nbrs.kneighbors(coords)
-    indices = indices[:, 1 : k + 1]  # drop the query point itself
-    nbr = np.concatenate([np.arange(n, dtype=np.int64)[:, None], indices], axis=1)
+    # drop the query point explicitly by IDENTITY, not by assuming it sits in
+    # column 0 — with duplicate coordinates sklearn breaks the distance-0 tie
+    # arbitrarily, and positional dropping would discard a true neighbor
+    # while duplicating the self-loop
+    rows = np.arange(n)
+    is_self = indices == rows[:, None]
+    # keep the first k non-self entries of each row (stable order)
+    keep_order = np.argsort(is_self, axis=1, kind="stable")  # non-self first
+    indices = np.take_along_axis(indices, keep_order, axis=1)[:, :k]
+    nbr = np.concatenate([rows[:, None], indices], axis=1)
     mask = np.ones_like(nbr, dtype=np.float32)
     return nbr.astype(np.int32), mask

@@ -62,7 +62,9 @@ class GATLayer(nn.Module):
         att_dst = self.param("att_dst", _XAVIER, (H, F), self.param_dtype)
         bias_shape = (H * F,) if self.concat else (F,)
         bias = self.param("bias", nn.initializers.zeros, bias_shape, self.param_dtype)
-        if self.use_pallas:
+        # Mosaic requires the per-head feature width to be lane-aligned
+        # (multiples of 128); small widths take the XLA path
+        if self.use_pallas and self.out_features % 128 == 0:
             from spadot_tpu.ops.gat_pallas import gat_attention_pallas
 
             return gat_attention_pallas(

@@ -136,8 +136,10 @@ def forward_batch(
     Y, coords = tp_data["Y"], tp_data["coords"]
     nbr, nbr_mask = tp_data["nbr"], tp_data["nbr_mask"]
     N_train = tp_data["N_train"]
+    # both branches emit z_dim // 2 dims (the encoders are built with that
+    # width — SpaDOT.py:12-13's "in case z_dim is odd" convention)
     svgp_L = net.z_dim // 2
-    gat_L = net.z_dim - net.z_dim // 2
+    gat_L = net.z_dim // 2
 
     y_b = Y[batch_idx] * batch_mask[:, None]
     x_b = coords[batch_idx]

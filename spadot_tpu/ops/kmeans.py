@@ -58,7 +58,15 @@ def _lloyd(X, centers, mask, n_iter):
         inertia = jnp.sum(jnp.min(d2, axis=1) * mask)
         return (new_centers, inertia), None
 
-    (centers, inertia), _ = jax.lax.scan(step, (centers, jnp.inf), None, length=n_iter)
+    (centers, _), _ = jax.lax.scan(step, (centers, jnp.inf), None, length=n_iter)
+    # inertia of the RETURNED centers (the scan's last inertia lags one
+    # update behind, which would bias the multi-restart selection)
+    d2 = (
+        jnp.sum(X * X, axis=1)[:, None]
+        - 2.0 * X @ centers.T
+        + jnp.sum(centers * centers, axis=1)[None, :]
+    )
+    inertia = jnp.sum(jnp.min(d2, axis=1) * mask)
     return centers, inertia
 
 

@@ -88,7 +88,6 @@ def sinkhorn_duality_gap_np(
         inner = batch_size if final else 5
         duality_gap = np.inf
         while duality_gap > threshold:
-            f_prev, g_prev = f, g
             for _ in range(inner):
                 f_old, g_old = f, g
                 f = alpha1 * (

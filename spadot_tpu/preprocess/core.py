@@ -21,11 +21,14 @@ from spadot_tpu.preprocess.norm import log1p, normalize_total, scale
 from spadot_tpu.utils.logging import logger
 
 SEED = 1993
-random.seed(SEED)
 
 
 def preprocess(args):
     """Preprocess the data for SpaDOT model training."""
+    # seed at ENTRY, not import (reference seeds at module import,
+    # preprocess.py:7-8 — a global side effect we deliberately avoid)
+    random.seed(SEED)
+    np.random.seed(SEED)
     data_dir = os.path.abspath(args.data)
     if not getattr(args, "output_dir", None):
         args.output_dir = os.path.dirname(data_dir)

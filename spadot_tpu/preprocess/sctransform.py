@@ -46,7 +46,10 @@ def _jax_fit_chunk(y_chunk, log_umi, n_newton=60, n_theta=10):
 
     x = log_umi
     n = x.shape[0]
-    tol = 1e-9
+    # convergence threshold must be representable in the compute dtype: the
+    # reference's 1e-9 (float64 numpy) is below float32 resolution and would
+    # burn the full iteration budget without converging
+    tol = 1e-9 if y_chunk.dtype == jnp.float64 else 2e-6
 
     def fit_one(y):
         b0 = jnp.log(jnp.maximum(jnp.mean(y), 1e-12))

@@ -52,9 +52,11 @@ class Trainer:
         self.kernel_scale = float(model_config["kernel_scale"])
         self.n_clusters = int(model_config["n_clusters"])
         self.z_dim = int(model_config["z_dim"])
-        # latent width differs from z_dim in single-branch ablation modes
+        # latent width: each branch emits z_dim // 2 dims (odd z_dim rounds
+        # down, matching the reference's SVGP_z+GAT_z decoder input)
         mode = str(model_config.get("encoder_mode", "dual"))
-        self.latent_dim = self.z_dim if mode == "dual" else self.z_dim // 2
+        half = self.z_dim // 2
+        self.latent_dim = 2 * half if mode == "dual" else half
         # O(window) minibatch GAT for large spot counts (full graph when 0)
         self.gat_window = (
             0 if model_config.get("full_graph_gat", True)
@@ -319,6 +321,10 @@ def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, me
                 km["assign"][tp] = jnp.asarray(a)
         loss_rows = [np.asarray(r) for r in resume_state["loss_rows"]]
         key = jnp.asarray(resume_state["rng"])
+        # restore the host python RNG (drives the per-epoch timepoint
+        # shuffle) so a resumed run replays the uninterrupted trajectory
+        if resume_state["meta"].get("py_random_state") is not None:
+            random.setstate(resume_state["meta"]["py_random_state"])
         logger.info("resumed from epoch %d", start_epoch)
     else:
         variables, opt_state = trainer.init_state(init_key)
@@ -334,34 +340,33 @@ def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, me
 
     t_train0 = _time.time()
     # SPADOT_PROFILE=1 wraps the epoch loop in a jax.profiler trace
-    profile_cm = maybe_profile()
-    profile_cm.__enter__()
-    for epoch in range(start_epoch, maxiter):
-        t0 = _time.time()
-        key, ep_key, km_key = jax.random.split(key, 3)
-        random.shuffle(tp_indexed)
-        tp_losses = []
-        rng = ep_key
-        for tp_i, tp in tp_indexed:
-            variables, opt_state, rng, losses = trainer.run_epoch(
-                variables, opt_state, rng, tp, km, gammas, tp_i, epoch, beta1s[epoch]
-            )
-            tp_losses.append(losses)  # device arrays; no host sync here
-        km = trainer.update_kmeans(variables, km_key, km)
-        if (epoch + 1) % ot_every == 0:
-            gammas = trainer.update_ot(km, gammas)
-        epoch_losses = np.sum(np.asarray(tp_losses), axis=0)  # one sync/epoch
-        loss_rows.append(epoch_losses)
-        if epoch % 10 == 0:
-            logger.info(
-                "Epoch %d: %.1fs, ELBO: %.6f, Recon: %.6f, SVGP_KL: %.6f, "
-                "GAT_KL: %.6f, align: %.6f, KMeans: %.6f, OT: %.6f",
-                epoch + 1, _time.time() - t0, *epoch_losses,
-            )
-        if checkpoint_path and (epoch + 1) % 25 == 0:
-            _save_state(checkpoint_path, trainer, variables, opt_state, km,
-                        gammas, key, epoch, loss_rows)
-    profile_cm.__exit__(None, None, None)
+    with maybe_profile():
+        for epoch in range(start_epoch, maxiter):
+            t0 = _time.time()
+            key, ep_key, km_key = jax.random.split(key, 3)
+            random.shuffle(tp_indexed)
+            tp_losses = []
+            rng = ep_key
+            for tp_i, tp in tp_indexed:
+                variables, opt_state, rng, losses = trainer.run_epoch(
+                    variables, opt_state, rng, tp, km, gammas, tp_i, epoch,
+                    beta1s[epoch]
+                )
+                tp_losses.append(losses)  # device arrays; no host sync here
+            km = trainer.update_kmeans(variables, km_key, km)
+            if (epoch + 1) % ot_every == 0:
+                gammas = trainer.update_ot(km, gammas)
+            epoch_losses = np.sum(np.asarray(tp_losses), axis=0)  # one sync/epoch
+            loss_rows.append(epoch_losses)
+            if epoch % 10 == 0:
+                logger.info(
+                    "Epoch %d: %.1fs, ELBO: %.6f, Recon: %.6f, SVGP_KL: %.6f, "
+                    "GAT_KL: %.6f, align: %.6f, KMeans: %.6f, OT: %.6f",
+                    epoch + 1, _time.time() - t0, *epoch_losses,
+                )
+            if checkpoint_path and (epoch + 1) % 25 == 0:
+                _save_state(checkpoint_path, trainer, variables, opt_state, km,
+                            gammas, key, epoch, loss_rows)
     logger.info("Training finished in %ds.", int(_time.time() - t_train0))
     loss_df = pd.DataFrame(
         np.asarray(loss_rows, dtype=np.float64).reshape(-1, len(LOSS_NAMES)),
@@ -389,7 +394,7 @@ def _save_state(path, trainer, variables, opt_state, km, gammas, key, epoch, los
             "gammas": gammas,
             "rng": key,
             "loss_rows": loss_rows,
-            "meta": {"epoch": epoch},
+            "meta": {"epoch": epoch, "py_random_state": random.getstate()},
         },
     )
 
@@ -423,10 +428,18 @@ def train(args):
     if device:
         platform = device.split(":")[0].lower()
         if platform in ("cpu", "tpu", "gpu"):
+            previous = jax.config.jax_platforms
             try:
                 jax.config.update("jax_platforms", platform)
+                jax.devices()  # force backend init NOW so failure is catchable
             except Exception:
-                logger.warning("could not select platform %r; using default", platform)
+                # e.g. --device tpu (the default) on a CPU-only host: fall
+                # back to whatever backend the installation provides
+                jax.config.update("jax_platforms", previous)
+                logger.warning(
+                    "platform %r unavailable; using default backend %s",
+                    platform, jax.default_backend(),
+                )
 
     enable_compilation_cache()
     logger.info("Loading data...")
@@ -458,8 +471,23 @@ def train(args):
     ckpt_path = os.path.join(args.output_dir, args.prefix + "SpaDOT_autosave.ckpt")
 
     logger.info("Training model...")
+    mesh = None
+    mesh_shape = model_config.get("mesh_shape")
+    if mesh_shape:
+        from spadot_tpu.parallel.mesh import make_mesh
+
+        need = int(np.prod(list(mesh_shape.values())))
+        if len(jax.devices()) >= need:
+            mesh = make_mesh(mesh_shape)
+            logger.info("training on a %s mesh over %d devices", mesh_shape, need)
+        else:
+            logger.warning(
+                "mesh_shape %s needs %d devices but only %d available; "
+                "training single-device", mesh_shape, need, len(jax.devices()),
+            )
     trainer, variables, opt_state, host_state, loss_df = train_spadot(
-        data, model_config, resume_state=resume_state, checkpoint_path=ckpt_path
+        data, model_config, resume_state=resume_state, checkpoint_path=ckpt_path,
+        mesh=mesh
     )
     loss_df.to_csv(args.output_dir + os.sep + "loss.csv")
     if getattr(args, "save_model", False):

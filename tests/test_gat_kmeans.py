@@ -77,3 +77,17 @@ def test_kmeans_masked_rows_ignored(rng):
     mask = jnp.asarray([1.0] * 40 + [0.0] * 4)
     centers, labels, _ = kmeans_fit(jax.random.PRNGKey(1), jnp.asarray(X), 2, mask=mask)
     assert np.abs(np.asarray(centers)).max() < 10  # outliers never selected
+
+
+def test_knn_graph_duplicate_coordinates():
+    """Duplicate spatial coordinates must not drop true neighbors or double
+    the self-loop (sklearn breaks distance-0 ties arbitrarily)."""
+    from spadot_tpu.data.graph import build_knn_graph
+
+    coords = np.array([[0.0, 0.0], [0.0, 0.0], [1.0, 0.0], [2.0, 0.0]])
+    nbr, mask = build_knn_graph(coords, k=2)
+    for i in range(4):
+        assert nbr[i, 0] == i  # self in slot 0
+        assert i not in nbr[i, 1:]  # and nowhere else
+    # the duplicate pair must list each other as nearest neighbor
+    assert 1 in nbr[0, 1:] and 0 in nbr[1, 1:]

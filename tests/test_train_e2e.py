@@ -200,3 +200,19 @@ def test_resume_mid_training_continues(tmp_path):
     assert len(loss_df) == 4  # 2 restored + 2 new epochs
     assert np.isfinite(loss_df.to_numpy()).all()
     np.testing.assert_allclose(loss_df.iloc[0].to_numpy(), rows[0], rtol=1e-6)
+
+
+def test_odd_z_dim():
+    """z_dim=21 -> each branch emits 10 dims, latent is 20-wide (the
+    reference's 'in case input z_dim is odd' convention, SpaDOT.py:34)."""
+    from spadot_tpu.train.loop import get_latent, train_spadot
+
+    adata = make_synthetic_adata(n_per_tp=60, n_genes=16, n_tp=1, seed=6)
+    cfg = _tiny_config(adata, maxiter=2)
+    cfg["z_dim"] = 21
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+    trainer, variables, _, _, loss_df = train_spadot(data, cfg)
+    assert np.isfinite(loss_df.to_numpy()).all()
+    lat = get_latent(trainer, variables, data, adata)
+    assert lat.shape == (60, 20)
