@@ -91,3 +91,16 @@ def test_load_tmap_roundtrip(rng, tmp_path):
     assert tmap.shape == (40, 40)
     with pytest.raises(FileNotFoundError):
         load_tmap(str(tmp_path / "OT"), 5, 6)
+
+
+def test_analyze_single_timepoint(rng, tmp_path):
+    """One timepoint: domains plot but no transitions (empty day loop)."""
+    from spadot_tpu.analyze.core import analyze
+
+    ad = _latent_adata(rng, n_per_tp=60, n_tp=1)
+    path = str(tmp_path / "latent.h5ad")
+    ad.write_h5ad(path)
+    analyze(SimpleNamespace(data=path, output_dir=str(tmp_path), prefix="",
+                            n_clusters=[3]))
+    assert (tmp_path / "0_domains.png").exists()
+    assert not any(f.startswith("transition") for f in os.listdir(tmp_path))
