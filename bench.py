@@ -115,6 +115,11 @@ def main():
     jax.block_until_ready(variables["params"])
     sec_per_epoch = (time.perf_counter() - t0) / measure_epochs
 
+    # vs_baseline: the reference's 3.0 s/epoch covers ~10k spots total; for
+    # other sizes compare per-spot throughput (the reference scales worse
+    # than linearly — its dense adjacency alone is O(n^2) — so this is
+    # conservative in our favor at atlas scale)
+    baseline_equiv = BASELINE_SEC_PER_EPOCH * (n_tp * n_per_tp) / 10_000.0
     print(json.dumps({
         "metric": (
             "chickenheart_scale_epoch_time" if mode != "atlas"
@@ -122,7 +127,7 @@ def main():
         ),
         "value": round(sec_per_epoch, 4),
         "unit": "s/epoch",
-        "vs_baseline": round(BASELINE_SEC_PER_EPOCH / sec_per_epoch, 2),
+        "vs_baseline": round(baseline_equiv / sec_per_epoch, 2),
     }))
 
 
