@@ -75,8 +75,16 @@ def main():
     )
 
     cfg = default_config()
+    # Reference inducing-point semantics by default: 1200 sampled globally ->
+    # proportional (multinomial) per-tp counts (_train_utils.py:40-58), which
+    # means one compiled step PER timepoint shape. BENCH_EQUAL_SPLIT=1 forces
+    # equal per-tp counts (one executable for all tps — measured on-par at
+    # steady state, docs/performance.md).
+    equal_split = os.environ.get("BENCH_EQUAL_SPLIT", "0") == "1"
     cfg.update(input_dim=n_genes, timepoints=list(range(n_tp)),
-               equal_inducing_split=True)  # one compiled step for all tps
+               equal_inducing_split=equal_split)
+    if os.environ.get("BENCH_INDUCING"):
+        cfg["inducing_point_nums"] = int(os.environ["BENCH_INDUCING"])
     if mode == "atlas":
         cfg.update(batch_size=4096, full_graph_gat=False, gat_window=2048)
     set_seed(int(cfg["seed"]))
@@ -87,10 +95,24 @@ def main():
     gammas = {}
     rng_key = jax.random.PRNGKey(1)
 
+    # capture per-tp epoch-step arg shapes (for XLA cost analysis -> MFU)
+    _real_epoch_jit = trainer._epoch_jit
+    _cap_tp = {"tp": None}
+    _cap_args = {}
+
+    def _capturing_epoch_jit(*a):
+        _cap_args[_cap_tp["tp"]] = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), a
+        )
+        return _real_epoch_jit(*a)
+
+    trainer._epoch_jit = _capturing_epoch_jit
+
     # warmup epoch 0 (compile) + epoch 1 (kmeans/ot paths active)
     for epoch in range(2):
         t = time.perf_counter()
         for tp_i, tp in enumerate(trainer.timepoints):
+            _cap_tp["tp"] = tp
             variables, opt_state, rng_key, _ = trainer.run_epoch(
                 variables, opt_state, rng_key, tp, km, gammas, tp_i, epoch, 0.5
             )
@@ -102,6 +124,7 @@ def main():
     t = time.perf_counter()
     gammas = trainer.update_ot(km, gammas)
     print(f"# warmup ot: {time.perf_counter()-t:.1f}s", file=sys.stderr)
+    trainer._epoch_jit = _real_epoch_jit
     jax.block_until_ready(variables["params"])
 
     # steady state: full epochs at the post-ot_epoch cadence
@@ -114,6 +137,37 @@ def main():
         km = trainer.update_kmeans(variables, jax.random.PRNGKey(100 + epoch), km)
     jax.block_until_ready(variables["params"])
     sec_per_epoch = (time.perf_counter() - t0) / measure_epochs
+
+    # FLOPs per epoch from XLA's own cost model (per-tp executables lowered
+    # AOT — persistent-cache hit, no recompile) -> MFU against the chip's
+    # bf16 MXU peak. Training-step compute only (the KMeans refresh included
+    # in the measured time is NOT counted), so mfu is slightly conservative.
+    def _flops_of(cost):
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        return float((cost or {}).get("flops", 0.0) or 0.0)
+
+    flops_per_epoch = None
+    try:
+        flops_per_epoch = sum(
+            _flops_of(
+                trainer._epoch_jit.lower(*_cap_args[tp]).compile().cost_analysis()
+            )
+            for tp in trainer.timepoints
+        )
+    except Exception as e:
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
+    _PEAK_FLOPS = {  # bf16 MXU peak per chip
+        "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
+        "v4": 275e12, "v6 lite": 918e12, "v6e": 918e12,
+    }
+    kind = jax.devices()[0].device_kind.lower()
+    peak = next((v for k, v in _PEAK_FLOPS.items() if k in kind), None)
+    mfu = (
+        round(flops_per_epoch / sec_per_epoch / peak, 4)
+        if flops_per_epoch and peak else None
+    )
 
     # vs_baseline: the reference's 3.0 s/epoch covers ~10k spots total; for
     # other sizes compare per-spot throughput (the reference scales worse
@@ -128,6 +182,10 @@ def main():
         "value": round(sec_per_epoch, 4),
         "unit": "s/epoch",
         "vs_baseline": round(baseline_equiv / sec_per_epoch, 2),
+        "inducing_split": "equal" if equal_split else "reference_proportional",
+        "flops_per_epoch": flops_per_epoch,
+        "mfu": mfu,
+        "device": jax.devices()[0].device_kind,
     }))
 
 

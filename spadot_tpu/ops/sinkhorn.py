@@ -222,8 +222,14 @@ def _jax_solver(C, p, q, lambda1, lambda2, epsilon, epsilon0, batch_size,
     f = jnp.zeros((I,), dtype)
     g = jnp.zeros((J,), dtype)
     it0 = jnp.zeros((), jnp.int32)
+    eps_ladder = _stage_epsilons(epsilon, epsilon0)
+    # Plan epsilon: the final-stage value, unless the iteration budget dies in
+    # an earlier stage — then the plan must be exponentiated at THAT stage's
+    # epsilon (numpy twin :103-106; reference bail ot_func.cpp:821-824).
+    eps_plan = jnp.asarray(eps_ladder[-1], dtype)
+    exhausted = jnp.zeros((), bool)
 
-    for e, eps_i in enumerate(_stage_epsilons(epsilon, epsilon0)):
+    for e, eps_i in enumerate(eps_ladder):
         final = e == EPSILON_SCALINGS
         alpha1 = lambda1 / (lambda1 + eps_i)
         alpha2 = lambda2 / (lambda2 + eps_i)
@@ -255,9 +261,11 @@ def _jax_solver(C, p, q, lambda1, lambda2, epsilon, epsilon0, batch_size,
         f, g, _, it0 = jax.lax.while_loop(
             cond, body, (f, g, jnp.asarray(jnp.inf, dtype), it0)
         )
+        hit = jnp.logical_and(jnp.logical_not(exhausted), it0 >= max_iter)
+        eps_plan = jnp.where(hit, jnp.asarray(eps_i, dtype), eps_plan)
+        exhausted = jnp.logical_or(exhausted, hit)
 
-    eps_last = _stage_epsilons(epsilon, epsilon0)[-1]
-    R = jnp.exp((f[:, None] + g[None, :] - C) / eps_last)
+    R = jnp.exp((f[:, None] + g[None, :] - C) / eps_plan)
     return R / J
 
 

@@ -309,8 +309,16 @@ def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, me
     if resume_state is not None:
         import jax.numpy as jnp
 
-        variables = jax.tree_util.tree_map(jnp.asarray, resume_state["variables"])
-        opt_state = jax.tree_util.tree_map(jnp.asarray, resume_state["opt_state"])
+        from spadot_tpu.train.checkpoint import restore_model_state
+
+        # checkpoints store flat arrays only (no pickled pytree structure);
+        # rebuild the structure from a fresh init and pour the arrays back in
+        variables, opt_state = trainer.init_state(init_key)
+        variables, opt_state = restore_model_state(
+            variables, opt_state, resume_state["model_state"]
+        )
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
+        opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
         start_epoch = int(resume_state["meta"]["epoch"]) + 1
         gammas = {k: np.asarray(v) for k, v in resume_state["gammas"].items()}
         for tp in trainer.timepoints:
@@ -397,6 +405,33 @@ def _save_state(path, trainer, variables, opt_state, km, gammas, key, epoch, los
             "meta": {"epoch": epoch, "py_random_state": random.getstate()},
         },
     )
+
+
+def _save_reference_weights(path, variables):
+    """Write the reference's model artifact name (SpaDOT/train.py:40 writes
+    `SpaDOT_model.pth` via torch.save). A genuine torch-loadable state dict:
+    flattened param/batch-stat paths -> torch tensors, so reference-era
+    tooling that does `torch.load(...pth)` keeps working. The richer resumable
+    state lives in the .ckpt next to it."""
+    import jax
+    import torch
+
+    from flax import serialization
+
+    sd = serialization.to_state_dict(
+        jax.tree_util.tree_map(lambda x: np.asarray(x), variables)
+    )
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}.{k}" if prefix else str(k), v)
+        else:
+            flat[prefix] = torch.from_numpy(np.asarray(node).copy())
+
+    walk("", sd)
+    torch.save(flat, path)
 
 
 def get_latent(trainer, variables, data, adata):
@@ -495,6 +530,10 @@ def train(args):
             os.path.join(args.output_dir, "SpaDOT_model.ckpt"),
             trainer, variables, opt_state, host_state["km"], host_state["gammas"],
             host_state["rng"], host_state["last_epoch"], host_state["loss_rows"],
+        )
+        # reference artifact-name parity (SpaDOT/train.py:40)
+        _save_reference_weights(
+            os.path.join(args.output_dir, "SpaDOT_model.pth"), variables
         )
         logger.info("Model saved to %s", args.output_dir)
     latent_adata = get_latent(trainer, variables, data, adata)

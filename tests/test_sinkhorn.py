@@ -111,6 +111,23 @@ def test_jax_backend_matches_np(rng):
     np.testing.assert_allclose(R_jax, R_np, rtol=5e-3, atol=1e-7)
 
 
+@pytest.mark.parametrize("max_iter", [3, 7, 23])
+def test_jax_backend_max_iter_exhaustion_matches_np(rng, max_iter):
+    """When the iteration budget dies in an EARLY epsilon stage, the plan must
+    be exponentiated at that stage's epsilon (numpy backend :103-106), not the
+    final ladder epsilon — differential check at tiny max_iter."""
+    C = _random_problem(rng)
+    G = np.ones(C.shape[0])
+    params = dict(PARAMS, max_iter=max_iter)
+    R_np = sinkhorn_duality_gap_np(C, G, **params)
+    R_jax = np.asarray(sinkhorn_duality_gap_jax(C, G, **params))
+    np.testing.assert_allclose(R_jax, R_np, rtol=5e-3, atol=1e-7)
+    # and the exhausted plan differs materially from the converged one,
+    # i.e. this test would catch the old wrong-epsilon exponentiation
+    R_full = sinkhorn_duality_gap_np(C, G, **PARAMS)
+    assert np.abs(R_np - R_full).max() > 1e-3
+
+
 def test_marginal_penalties_behave(rng):
     """Row marginal is loosely constrained (lambda1=0.1), column tightly
     (lambda2=5): column sums should track q much closer than rows track p."""

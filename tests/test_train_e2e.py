@@ -193,6 +193,11 @@ def test_resume_mid_training_continues(tmp_path):
     _save_state(ckpt, trainer, variables, opt_state, km, {},
                 jax.random.PRNGKey(2), 1, rows)
 
+    # the checkpoint is a plain npz: loadable with allow_pickle=False (no
+    # code execution on load) and carries a version field
+    with np.load(ckpt, allow_pickle=False) as z:
+        assert int(z["__ckpt_version__"]) == 2
+
     resume_state = load_checkpoint(ckpt)
     trainer2, v2, o2, host, loss_df = train_spadot(
         data, cfg, resume_state=resume_state
@@ -200,6 +205,44 @@ def test_resume_mid_training_continues(tmp_path):
     assert len(loss_df) == 4  # 2 restored + 2 new epochs
     assert np.isfinite(loss_df.to_numpy()).all()
     np.testing.assert_allclose(loss_df.iloc[0].to_numpy(), rows[0], rtol=1e-6)
+    # restored params are bit-identical to what was saved
+    import jax as _jax
+
+    leaves_saved = _jax.tree_util.tree_leaves(variables)
+    # rebuild through the same restore path train_spadot used
+    from spadot_tpu.train.checkpoint import restore_model_state
+
+    v_fresh, o_fresh = trainer.init_state(_jax.random.PRNGKey(123))
+    v_rest, _ = restore_model_state(v_fresh, o_fresh, resume_state["model_state"])
+    for a, b in zip(leaves_saved, _jax.tree_util.tree_leaves(v_rest)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reference_pth_artifact(tmp_path):
+    """--save_model writes the reference's artifact name SpaDOT_model.pth
+    (SpaDOT/train.py:40) as a genuine torch-loadable state dict."""
+    import torch
+
+    from spadot_tpu.train.loop import _save_reference_weights, Trainer
+
+    adata = make_synthetic_adata(n_per_tp=60, n_genes=16, n_tp=1, seed=4)
+    cfg = _tiny_config(adata, maxiter=1)
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+    import jax
+
+    trainer = Trainer(cfg, data)
+    variables, _ = trainer.init_state(jax.random.PRNGKey(0))
+    p = str(tmp_path / "SpaDOT_model.pth")
+    _save_reference_weights(p, variables)
+    sd = torch.load(p, weights_only=True)
+    assert isinstance(sd, dict) and len(sd)
+    n_params = sum(v.numel() for v in sd.values())
+    import jax as _jax
+
+    assert n_params == sum(
+        int(np.prod(x.shape)) for x in _jax.tree_util.tree_leaves(variables)
+    )
 
 
 def test_odd_z_dim():
