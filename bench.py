@@ -85,6 +85,8 @@ def main():
                equal_inducing_split=equal_split)
     if os.environ.get("BENCH_INDUCING"):
         cfg["inducing_point_nums"] = int(os.environ["BENCH_INDUCING"])
+    if os.environ.get("BENCH_CFG"):  # ad-hoc config overrides, JSON dict
+        cfg.update(json.loads(os.environ["BENCH_CFG"]))
     if mode == "atlas":
         cfg.update(batch_size=4096, full_graph_gat=False, gat_window=2048)
     set_seed(int(cfg["seed"]))

@@ -15,7 +15,7 @@ from collections import OrderedDict
 
 import numpy as np
 
-from spadot_tpu.data.graph import build_knn_graph, effective_k
+from spadot_tpu.data.graph import build_knn_graph, effective_k, reverse_graph
 
 
 def standardize_locations(adata):
@@ -106,12 +106,17 @@ def prepare_data(adata, model_config):
         spatial_raw = np.asarray(adata.obsm["spatial"])[rows]
         k = effective_k(n, model_config["knn_cutoff"], model_config["max_neighbors"])
         nbr, nbr_mask = build_knn_graph(spatial_raw, k)
+        # reverse padded lists -> scatter-free GAT backward (ops/gat.py)
+        rev_src, rev_slot, rev_mask = reverse_graph(nbr, nbr_mask)
         batch_idx, batch_mask = make_batches(n, batch_size)
         tp_data[tp] = {
             "Y": X[rows],
             "coords": coords_tp,
             "nbr": nbr,
             "nbr_mask": nbr_mask,
+            "rev_src": rev_src,
+            "rev_slot": rev_slot,
+            "rev_mask": rev_mask,
             "N_train": float(n),
             "batch_idx": batch_idx,
             "batch_mask": batch_mask,

@@ -47,31 +47,62 @@ class SVGPEncoder(nn.Module):
 
 
 class GATLayer(nn.Module):
+    """One GAT layer with a size-gated execution policy.
+
+    All shapes are static under jit, so the path is chosen at trace time from
+    the row count n (measured on TPU v5e, 4 heads x 512 features, fwd+bwd per
+    layer — docs/performance.md "GAT path selection"):
+
+      - n >= pallas_min_n: windowed Pallas MXU aggregation + XLA scatter
+        backward (38.4 ms vs 51.8 XLA-autodiff at n=8704);
+      - n <= rev_max_n:    XLA scan + scatter-free reverse-list backward
+        (3.9 ms vs 4.6 autodiff / 5.2 pallas at n=2500 — the ChickenHeart
+        regime);
+      - in between:        XLA scan + plain autodiff (12.6 ms at n=4000).
+
+    rev_mode: "auto" (the gate above), "force" (reverse-list backward
+    whenever lists are provided), "off" (never).
+    """
+
     out_features: int
     heads: int
     concat: bool = True
     use_pallas: bool = False
     param_dtype: Any = jnp.float32
+    rev_mode: str = "auto"
+    pallas_min_n: int = 4500
+    rev_max_n: int = 3500
 
     @nn.compact
-    def __call__(self, h, nbr, nbr_mask):
+    def __call__(self, h, nbr, nbr_mask, rev=None):
         F_in = h.shape[-1]
+        n = h.shape[0]
         H, F = self.heads, self.out_features
         W = self.param("W", _XAVIER, (F_in, H * F), self.param_dtype)
         att_src = self.param("att_src", _XAVIER, (H, F), self.param_dtype)
         att_dst = self.param("att_dst", _XAVIER, (H, F), self.param_dtype)
         bias_shape = (H * F,) if self.concat else (F,)
         bias = self.param("bias", nn.initializers.zeros, bias_shape, self.param_dtype)
+        if self.rev_mode == "off":
+            rev = None
         # Mosaic requires the per-head feature width to be lane-aligned
-        # (multiples of 128); small widths take the XLA path
-        if self.use_pallas and self.out_features % 128 == 0:
+        # (multiples of 128); small widths always take the XLA path
+        pallas_sel = (
+            self.use_pallas and self.out_features % 128 == 0
+            and n >= self.pallas_min_n
+        )
+        if pallas_sel:
             from spadot_tpu.ops.gat_pallas import gat_attention_pallas
 
             return gat_attention_pallas(
-                h, nbr, nbr_mask, W, att_src, att_dst, bias, concat=self.concat
+                h, nbr, nbr_mask, W, att_src, att_dst, bias, concat=self.concat,
+                rev=(rev if self.rev_mode == "force" else None),
             )
+        if self.rev_mode == "auto" and n > self.rev_max_n:
+            rev = None
         return gat_attention(
-            h, nbr, nbr_mask, W, att_src, att_dst, bias, concat=self.concat
+            h, nbr, nbr_mask, W, att_src, att_dst, bias, concat=self.concat,
+            rev=rev,
         )
 
 
@@ -81,17 +112,22 @@ class GATEncoder(nn.Module):
     z_dim: int
     use_pallas: bool = False
     param_dtype: Any = jnp.float32
+    rev_mode: str = "auto"
+    pallas_min_n: int = 4500
+    rev_max_n: int = 3500
 
     @nn.compact
-    def __call__(self, h, nbr, nbr_mask):
-        kw = dict(use_pallas=self.use_pallas, param_dtype=self.param_dtype)
+    def __call__(self, h, nbr, nbr_mask, rev=None):
+        kw = dict(use_pallas=self.use_pallas, param_dtype=self.param_dtype,
+                  rev_mode=self.rev_mode, pallas_min_n=self.pallas_min_n,
+                  rev_max_n=self.rev_max_n)
         h = nn.leaky_relu(
-            GATLayer(self.hidden_dim, self.num_heads, concat=True, **kw)(h, nbr, nbr_mask), 0.01
+            GATLayer(self.hidden_dim, self.num_heads, concat=True, **kw)(h, nbr, nbr_mask, rev), 0.01
         )
         h = nn.leaky_relu(
-            GATLayer(self.hidden_dim, self.num_heads, concat=True, **kw)(h, nbr, nbr_mask), 0.01
+            GATLayer(self.hidden_dim, self.num_heads, concat=True, **kw)(h, nbr, nbr_mask, rev), 0.01
         )
-        h = GATLayer(self.hidden_dim, self.num_heads, concat=False, **kw)(h, nbr, nbr_mask)
+        h = GATLayer(self.hidden_dim, self.num_heads, concat=False, **kw)(h, nbr, nbr_mask, rev)
         z = nn.Dense(self.z_dim * 2, kernel_init=_XAVIER,
                      param_dtype=self.param_dtype, dtype=self.param_dtype)(h)
         mu, logvar = jnp.split(z, 2, axis=1)

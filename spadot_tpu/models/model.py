@@ -37,6 +37,10 @@ class SpaDOTNet(nn.Module):
     # BASELINE.json config 2), or 'gat' (graph-only ablation)
     encoder_mode: str = "dual"
     param_dtype: Any = None  # None -> float32
+    # GAT execution policy (see models/layers.py:GATLayer docstring)
+    gat_rev_mode: str = "auto"
+    gat_pallas_min_n: int = 4500
+    gat_rev_max_n: int = 3500
 
     def setup(self):
         self.svgp_z_dim = self.z_dim // 2
@@ -52,6 +56,9 @@ class SpaDOTNet(nn.Module):
             z_dim=self.gat_z_dim,
             use_pallas=self.use_pallas,
             param_dtype=pdt,
+            rev_mode=self.gat_rev_mode,
+            pallas_min_n=self.gat_pallas_min_n,
+            rev_max_n=self.gat_rev_max_n,
         )
         self.decoder = Decoder(
             hidden_dims=tuple(self.decoder_layers), output_dim=self.input_dim,
@@ -61,8 +68,8 @@ class SpaDOTNet(nn.Module):
     def encode_svgp(self, y, *, train: bool, mask=None):
         return self.svgp_encoder(y, train=train, mask=mask)
 
-    def encode_gat(self, h, nbr, nbr_mask):
-        return self.gat_encoder(h, nbr, nbr_mask)
+    def encode_gat(self, h, nbr, nbr_mask, rev=None):
+        return self.gat_encoder(h, nbr, nbr_mask, rev)
 
     def decode(self, z):
         return self.decoder(z)
@@ -93,6 +100,13 @@ def build_net(model_config: Dict[str, Any]) -> SpaDOTNet:
         from spadot_tpu.ops.gat_pallas import pallas_gat_supported
 
         use_pallas = pallas_gat_supported()
+    # gat_rev_backward: true/"auto" -> size-gated reverse-list backward;
+    # "force" -> always when lists are present; false -> never
+    rev_cfg = model_config.get("gat_rev_backward", True)
+    rev_mode = (
+        rev_cfg if rev_cfg in ("auto", "force", "off")
+        else ("auto" if rev_cfg else "off")
+    )
     return SpaDOTNet(
         input_dim=int(model_config["input_dim"]),
         z_dim=int(model_config["z_dim"]),
@@ -103,6 +117,9 @@ def build_net(model_config: Dict[str, Any]) -> SpaDOTNet:
         use_pallas=use_pallas,
         encoder_mode=str(model_config.get("encoder_mode", "dual")),
         param_dtype=(jnp.float64 if f64 else jnp.float32),
+        gat_rev_mode=rev_mode,
+        gat_pallas_min_n=int(model_config.get("gat_pallas_min_n", 4500)),
+        gat_rev_max_n=int(model_config.get("gat_rev_max_n", 3500)),
     )
 
 
@@ -136,6 +153,12 @@ def forward_batch(
     Y, coords = tp_data["Y"], tp_data["coords"]
     nbr, nbr_mask = tp_data["nbr"], tp_data["nbr_mask"]
     N_train = tp_data["N_train"]
+    # reverse padded lists (data/graph.py:reverse_graph): present -> the GAT
+    # backward is scatter-free (gather-only over the reverse graph)
+    rev = (
+        (tp_data["rev_src"], tp_data["rev_slot"], tp_data["rev_mask"])
+        if "rev_src" in tp_data else None
+    )
     # both branches emit z_dim // 2 dims (the encoders are built with that
     # width — SpaDOT.py:12-13's "in case z_dim is odd" convention)
     svgp_L = net.z_dim // 2
@@ -194,8 +217,25 @@ def forward_batch(
             inside = jnp.logical_and(rel >= 0, rel < win_size)
             rel = jnp.clip(rel, 0, win_size - 1)
             msk_win = jnp.where(inside, msk_win, 0.0)
+            rev_win = None
+            if rev is not None:
+                # window-local reverse lists: slice rows (targets j), re-base
+                # sources to window coordinates, and drop reverse edges whose
+                # source row lies outside the window (their forward weight is
+                # zero there anyway — the slice graph only has in-window rows)
+                rsrc = jax.lax.dynamic_slice_in_dim(rev[0], win_start, win_size, 0)
+                rslot = jax.lax.dynamic_slice_in_dim(rev[1], win_start, win_size, 0)
+                rmask = jax.lax.dynamic_slice_in_dim(rev[2], win_start, win_size, 0)
+                rsrc_rel = rsrc - win_start
+                src_in = jnp.logical_and(rsrc_rel >= 0, rsrc_rel < win_size)
+                rev_win = (
+                    jnp.clip(rsrc_rel, 0, win_size - 1),
+                    rslot,
+                    jnp.where(src_in, rmask, 0.0),
+                )
             gat_mu_w, gat_var_w = net.apply(
-                vars_nostats, Y_win, rel, msk_win, method=SpaDOTNet.encode_gat
+                vars_nostats, Y_win, rel, msk_win, rev_win,
+                method=SpaDOTNet.encode_gat,
             )
             pos = jnp.clip(batch_idx - win_start, 0, win_size - 1)
             gat_mu = gat_mu_w[pos]
@@ -203,7 +243,7 @@ def forward_batch(
         else:
             # --- full-graph message passing, batch rows extracted ---
             gat_mu_full, gat_var_full = net.apply(
-                vars_nostats, Y, nbr, nbr_mask, method=SpaDOTNet.encode_gat
+                vars_nostats, Y, nbr, nbr_mask, rev, method=SpaDOTNet.encode_gat
             )
             gat_mu = gat_mu_full[batch_idx]
             gat_var = gat_var_full[batch_idx]

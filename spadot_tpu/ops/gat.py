@@ -13,14 +13,125 @@ materialized. Attention logits need only the (n, H) per-node scores, and the
 weighted aggregation runs as a `lax.scan` over the K neighbor slots with an
 (n, H·F) accumulator — O(n·K·H) + O(n·H·F) live memory instead of O(n·K·H·F).
 A fused Pallas kernel for this op lives in `gat_pallas.py`.
+
+Backward design: autodiff of the neighbor gathers would emit scatter-adds
+(slow on TPU — serialized HBM read-modify-write). With the host-precomputed
+REVERSE padded lists (data/graph.py:reverse_graph) every cotangent is itself
+a padded GATHER:
+
+    dWx[j]    = sum_{(i,k): nbr[i,k]=j} w[i,k]·g[i]
+              = sum_r rev_mask[j,r] · w[rev_src[j,r], rev_slot[j,r]]
+                                    · g[rev_src[j,r]]
+
+so both `gather_rows` and `nbr_aggregate` carry custom VJPs that scan the
+reverse lists — the backward pass has the same gather-only structure (and
+cost) as the forward. Callers that lack reverse lists (rev=None) fall back
+to plain autodiff.
 """
+
+import functools
 
 import jax
 import jax.numpy as jnp
 
 
+# ---------------------------------------------------------------------------
+# scatter-free primitives (custom VJP over reverse padded lists)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def gather_rows(x, nbr, rev_src, rev_slot, rev_mask):
+    """x[nbr] with a gather-only backward.
+
+    x: (n, H); nbr: (n, K) int32 -> (n, K, H).
+    Backward: dx[j, h] = sum_r rev_mask[j,r] · g[rev_src[j,r], rev_slot[j,r], h].
+    """
+    return x[nbr]
+
+
+def _gather_rows_fwd(x, nbr, rev_src, rev_slot, rev_mask):
+    return x[nbr], (nbr, rev_src, rev_slot, rev_mask, x.shape)
+
+
+def _gather_rows_bwd(res, g):
+    nbr, rev_src, rev_slot, rev_mask, x_shape = res
+    Kr = rev_src.shape[1]
+
+    def body(acc, r):
+        src, slot, m = rev_src[:, r], rev_slot[:, r], rev_mask[:, r]
+        # gather g at the (src, slot) edge positions: one flat row gather
+        contrib = g[src, slot] * m[:, None]
+        return acc + contrib, None
+
+    dx, _ = jax.lax.scan(
+        body, jnp.zeros(x_shape, g.dtype), jnp.arange(Kr)
+    )
+    return dx, None, None, None, None
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+@jax.custom_vjp
+def nbr_aggregate(Wx, w, nbr, rev_src, rev_slot, rev_mask):
+    """out[i] = sum_k w[i, k, :, None] * Wx[nbr[i, k]] — all heads in one scan.
+
+    Wx: (n, H, F); w: (n, K, H) (already masked). Backward is gather-only:
+    d_w by a forward-shaped scan over K, d_Wx by a scan over the reverse
+    lists (Kr slots).
+    """
+    return _aggregate_scan(Wx, w, nbr)
+
+
+def _aggregate_scan(Wx, w, nbr):
+    n, H, F = Wx.shape
+
+    def body(acc, k):
+        contrib = w[:, k, :, None] * Wx[nbr[:, k]]
+        return acc + contrib, None
+
+    acc0 = jnp.zeros((n, H, F), Wx.dtype)
+    out, _ = jax.lax.scan(body, acc0, jnp.arange(nbr.shape[1]))
+    return out
+
+
+def _nbr_aggregate_fwd(Wx, w, nbr, rev_src, rev_slot, rev_mask):
+    out = _aggregate_scan(Wx, w, nbr)
+    return out, (Wx, w, nbr, rev_src, rev_slot, rev_mask)
+
+
+def _nbr_aggregate_bwd(res, g):
+    Wx, w, nbr, rev_src, rev_slot, rev_mask = res
+    K = nbr.shape[1]
+    Kr = rev_src.shape[1]
+
+    # d_w[i,k,h] = <g[i,h,:], Wx[nbr[i,k],h,:]> — forward-shaped gather scan
+    def dw_body(_, k):
+        return None, jnp.einsum("nhf,nhf->nh", g, Wx[nbr[:, k]])
+
+    _, dw_t = jax.lax.scan(dw_body, None, jnp.arange(K))  # (K, n, H)
+    dw = dw_t.transpose(1, 0, 2)
+
+    # d_Wx[j] = sum_r rev_mask · w[rev_src, rev_slot] · g[rev_src]
+    def dwx_body(acc, r):
+        src, slot, m = rev_src[:, r], rev_slot[:, r], rev_mask[:, r]
+        wr = w[src, slot] * m[:, None]  # (n, H)
+        return acc + wr[:, :, None] * g[src], None
+
+    dWx, _ = jax.lax.scan(dwx_body, jnp.zeros_like(Wx), jnp.arange(Kr))
+    return dWx, dw, None, None, None, None
+
+
+nbr_aggregate.defvjp(_nbr_aggregate_fwd, _nbr_aggregate_bwd)
+
+
+# ---------------------------------------------------------------------------
+# the GAT layer
+# ---------------------------------------------------------------------------
+
 def gat_attention(
-    h, nbr, nbr_mask, W, att_src, att_dst, bias, *, concat=True, negative_slope=0.2
+    h, nbr, nbr_mask, W, att_src, att_dst, bias, *, concat=True,
+    negative_slope=0.2, rev=None,
 ):
     """One multi-head GAT layer.
 
@@ -35,6 +146,8 @@ def gat_attention(
       bias: (H*F,) if concat else (F,).
       concat: concatenate heads (layers 1-2 of the reference) or average
         (layer 3, encoder.py:45 concat=False).
+      rev: optional (rev_src, rev_slot, rev_mask) reverse padded lists
+        (data/graph.py:reverse_graph) — enables the scatter-free backward.
 
     Returns (n, H*F) if concat else (n, F).
     """
@@ -47,22 +160,21 @@ def gat_attention(
     e_dst = jnp.einsum("nhf,hf->nh", Wx, att_dst)  # center-side scores
 
     # logits over the K neighbor slots: (n, K, H)
-    e = e_dst[:, None, :] + e_src[nbr]
+    if rev is not None:
+        e_src_nbr = gather_rows(e_src, nbr, *rev)
+    else:
+        e_src_nbr = e_src[nbr]
+    e = e_dst[:, None, :] + e_src_nbr
     e = jax.nn.leaky_relu(e, negative_slope)
     e = jnp.where(nbr_mask[:, :, None] > 0, e, -jnp.inf)
     alpha = jax.nn.softmax(e, axis=1)
     alpha = jnp.where(nbr_mask[:, :, None] > 0, alpha, 0.0)
 
-    # weighted aggregation: scan over neighbor slots, (n, H, F) accumulator
-    Wx_flat = Wx  # (n, H, F)
-
-    def body(acc, k):
-        idx = nbr[:, k]
-        contrib = alpha[:, k, :, None] * Wx_flat[idx]
-        return acc + contrib, None
-
-    acc0 = jnp.zeros((n, H, F), Wx.dtype)
-    out, _ = jax.lax.scan(body, acc0, jnp.arange(nbr.shape[1]))
+    # weighted aggregation over neighbor slots, (n, H, F) accumulator
+    if rev is not None:
+        out = nbr_aggregate(Wx, alpha, nbr, *rev)
+    else:
+        out = _aggregate_scan(Wx, alpha, nbr)
 
     if concat:
         out = out.reshape(n, H * F)

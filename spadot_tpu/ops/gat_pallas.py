@@ -191,6 +191,58 @@ aggregate_windowed.defvjp(_agg_fwd, _agg_bwd)
 
 
 # ---------------------------------------------------------------------------
+# scatter-free variant: backward over host-precomputed REVERSE padded lists
+# (data/graph.py:reverse_graph). dWx[j] = sum_{(i,k): nbr[i,k]=j} w[i,k]·g[i]
+# is itself a padded weighted aggregation over (rev_src, rev-gathered w) — so
+# it reuses the SAME windowed MXU kernel (the reverse graph of a
+# Morton-ordered spatial k-NN graph is near-diagonal too), making the
+# backward cost symmetric with the forward instead of K serialized
+# scatter-adds.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def aggregate_windowed_rev(Wx, alpha, nbr, nbr_mask, rev_src, rev_slot,
+                           rev_mask, tile=128, window=512, interpret=False):
+    """aggregate_windowed with a gather-only, kernel-accelerated backward."""
+    return aggregate_windowed(Wx, alpha, nbr, nbr_mask, tile, window, interpret)
+
+
+def _agg_rev_fwd(Wx, alpha, nbr, nbr_mask, rev_src, rev_slot, rev_mask,
+                 tile, window, interpret):
+    out = aggregate_windowed(Wx, alpha, nbr, nbr_mask, tile, window, interpret)
+    return out, (Wx, alpha, nbr, nbr_mask, rev_src, rev_slot, rev_mask)
+
+
+def _agg_rev_bwd(tile, window, interpret, res, g):
+    Wx, alpha, nbr, nbr_mask, rev_src, rev_slot, rev_mask = res
+    K = nbr.shape[1]
+    w = alpha * nbr_mask
+
+    # d alpha[i,k] = <g[i], Wx[nbr[i,k]]> — forward-shaped gather scan
+    def dalpha_body(_, k):
+        return None, jnp.sum(g * Wx[nbr[:, k]], axis=1)
+
+    _, dalpha_t = jax.lax.scan(dalpha_body, None, jnp.arange(K))
+    dalpha = dalpha_t.T * nbr_mask
+
+    # d Wx via the reverse lists: gather each reverse edge's weight, then run
+    # the same windowed aggregation kernel with (rev_src, w_rev) as the graph
+    w_rev = rev_mask * w[rev_src, rev_slot]  # (n, Kr)
+    n = Wx.shape[0]
+    covered = _window_validity(rev_src, rev_mask, n, tile, window)
+    dWx = _aggregate_windowed_raw(
+        g, w_rev, rev_src, tile=tile, window=window, interpret=interpret
+    )
+    missed = jnp.logical_and(rev_mask > 0, ~covered)
+    corr_w = jnp.where(missed, w_rev, 0.0)
+    dWx = dWx + aggregate_reference(g, corr_w, rev_src, jnp.ones_like(rev_mask))
+    return dWx, dalpha, None, None, None, None, None
+
+
+aggregate_windowed_rev.defvjp(_agg_rev_fwd, _agg_rev_bwd)
+
+
+# ---------------------------------------------------------------------------
 # multi-head fused kernel: all heads share the window DMA and the per-slot
 # selection compare; per-head selection matrices feed per-head MXU matmuls
 # ---------------------------------------------------------------------------
@@ -355,11 +407,12 @@ def pallas_gat_supported():
 
 def gat_attention_pallas(
     h, nbr, nbr_mask, W, att_src, att_dst, bias, *, concat=True,
-    negative_slope=0.2, tile=128, window=256, interpret=False,
+    negative_slope=0.2, tile=128, window=256, interpret=False, rev=None,
 ):
     """Drop-in replacement for ops/gat.py:gat_attention with the windowed
     Pallas aggregation on the (n, K, H*F) hot path. The (n, K, H) attention
-    logits/softmax stay in XLA (exact over all edges)."""
+    logits/softmax stay in XLA (exact over all edges). With `rev` (reverse
+    padded lists) the backward is scatter-free and kernel-accelerated."""
     n = h.shape[0]
     HF = W.shape[1]
     H = att_src.shape[0]
@@ -367,7 +420,13 @@ def gat_attention_pallas(
     Wx = (h @ W).reshape(n, H, F)
     e_src = jnp.einsum("nhf,hf->nh", Wx, att_src)
     e_dst = jnp.einsum("nhf,hf->nh", Wx, att_dst)
-    e = e_dst[:, None, :] + e_src[nbr]
+    if rev is not None:
+        from spadot_tpu.ops.gat import gather_rows
+
+        e_src_nbr = gather_rows(e_src, nbr, *rev)
+    else:
+        e_src_nbr = e_src[nbr]
+    e = e_dst[:, None, :] + e_src_nbr
     e = jax.nn.leaky_relu(e, negative_slope)
     e = jnp.where(nbr_mask[:, :, None] > 0, e, -jnp.inf)
     alpha = jax.nn.softmax(e, axis=1)
@@ -377,13 +436,22 @@ def gat_attention_pallas(
     # fused multi-head variant (aggregate_windowed_mh) is numerically
     # identical but lowers ~280x slower on current Mosaic (the interleaved
     # per-(k,h) select chain defeats its vectorizer), so it stays opt-in.
-    outs = [
-        aggregate_windowed(
-            Wx.astype(jnp.float32)[:, hh, :], alpha[:, :, hh], nbr, nbr_mask,
-            tile, window, interpret,
-        )
-        for hh in range(H)
-    ]
+    if rev is not None:
+        outs = [
+            aggregate_windowed_rev(
+                Wx.astype(jnp.float32)[:, hh, :], alpha[:, :, hh], nbr,
+                nbr_mask, *rev, tile, window, interpret,
+            )
+            for hh in range(H)
+        ]
+    else:
+        outs = [
+            aggregate_windowed(
+                Wx.astype(jnp.float32)[:, hh, :], alpha[:, :, hh], nbr,
+                nbr_mask, tile, window, interpret,
+            )
+            for hh in range(H)
+        ]
     out = jnp.stack(outs, axis=1)  # (n, H, F)
     if concat:
         out = out.reshape(n, H * F)

@@ -51,7 +51,9 @@ def shard_tp_data(dev, mesh):
     s_spot = spot_sharding(mesh)
     s_rep = replicated(mesh)
     for k, v in dev.items():
-        if hasattr(v, "ndim") and v.ndim >= 1 and k in ("Y", "coords", "nbr", "nbr_mask"):
+        if hasattr(v, "ndim") and v.ndim >= 1 and k in (
+            "Y", "coords", "nbr", "nbr_mask", "rev_src", "rev_slot", "rev_mask"
+        ):
             arr = _pad_rows(np.asarray(v), n_dev)
             sharded[k] = jax.device_put(arr, s_spot)
         else:

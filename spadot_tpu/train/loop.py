@@ -86,6 +86,12 @@ class Trainer:
                 "nbr_mask": jnp.asarray(d["nbr_mask"], dtype),
                 "N_train": jnp.asarray(d["N_train"], dtype),
             }
+            rev_cfg = model_config.get("gat_rev_backward", True)
+            if "rev_src" in d and rev_cfg not in (False, "off"):
+                # scatter-free GAT backward lists (ops/gat.py)
+                dev["rev_src"] = jnp.asarray(d["rev_src"])
+                dev["rev_slot"] = jnp.asarray(d["rev_slot"])
+                dev["rev_mask"] = jnp.asarray(d["rev_mask"], dtype)
             if mesh is not None:
                 dev = shard_tp_data(dev, mesh)
             self.tp_dev[tp] = dev

@@ -49,6 +49,46 @@ def test_gat_matches_naive(rng):
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_gat_rev_backward_matches_autodiff(rng):
+    """gat_attention with reverse lists (scatter-free custom VJP) must match
+    plain autodiff in BOTH output and parameter/input gradients."""
+    import jax
+
+    from spadot_tpu.data.graph import reverse_graph
+
+    n, F_in, H, F, K = 40, 6, 2, 4, 5
+    h = jnp.asarray(rng.normal(size=(n, F_in)), jnp.float32)
+    nbr = rng.integers(0, n, size=(n, K))
+    nbr[:, 0] = np.arange(n)
+    nbr_mask = (rng.uniform(size=(n, K)) > 0.2).astype(np.float32)
+    nbr_mask[:, 0] = 1.0
+    rev = tuple(map(jnp.asarray, reverse_graph(nbr, nbr_mask)))
+    nbr_j, mask_j = jnp.asarray(nbr), jnp.asarray(nbr_mask)
+    W = jnp.asarray(rng.normal(size=(F_in, H * F)), jnp.float32)
+    a_src = jnp.asarray(rng.normal(size=(H, F)), jnp.float32)
+    a_dst = jnp.asarray(rng.normal(size=(H, F)), jnp.float32)
+    for concat in (True, False):
+        bias = jnp.asarray(
+            rng.normal(size=(H * F,) if concat else (F,)), jnp.float32
+        )
+
+        def loss(h, W, a_src, a_dst, rev=None):
+            out = gat_attention(
+                h, nbr_j, mask_j, W, a_src, a_dst, bias, concat=concat, rev=rev
+            )
+            return jnp.sum(out**2), out
+
+        (l_ref, o_ref), g_ref = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3), has_aux=True)(h, W, a_src, a_dst)
+        (l_rev, o_rev), g_rev = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3), has_aux=True)(h, W, a_src, a_dst, rev)
+        np.testing.assert_allclose(np.asarray(o_rev), np.asarray(o_ref), atol=1e-5)
+        for a, b in zip(g_rev, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+
+
 def test_kmeans_recovers_blobs(rng):
     import jax
 

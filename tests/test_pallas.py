@@ -55,6 +55,38 @@ def test_windowed_aggregation_gradients(rng):
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1] * mask), atol=1e-4)
 
 
+def test_windowed_aggregation_rev_gradients(rng):
+    """aggregate_windowed_rev (scatter-free backward over reverse lists,
+    kernel-accelerated) == autodiff of the dense reference."""
+    from spadot_tpu.data.graph import reverse_graph
+    from spadot_tpu.ops.gat_pallas import aggregate_windowed_rev
+
+    n, K, F = 200, 5, 8
+    Wx = jnp.asarray(rng.normal(size=(n, F)), jnp.float32)
+    alpha = jnp.asarray(rng.uniform(size=(n, K)), jnp.float32)
+    nbr = jnp.asarray(rng.integers(0, n, size=(n, K)), jnp.int32)
+    mask = jnp.asarray(rng.uniform(size=(n, K)) > 0.2, jnp.float32)
+    rev = tuple(map(jnp.asarray, reverse_graph(np.asarray(nbr), np.asarray(mask))))
+
+    def loss_p(Wx, alpha):
+        # narrow window: both the forward and the reverse-backward kernel
+        # must lean on their sparse corrections
+        return jnp.sum(
+            aggregate_windowed_rev(Wx, alpha, nbr, mask, *rev, 64, 16, True) ** 2
+        )
+
+    def loss_r(Wx, alpha):
+        return jnp.sum(aggregate_reference(Wx, alpha * mask, nbr, jnp.ones_like(mask)) ** 2)
+
+    got = aggregate_windowed_rev(Wx, alpha, nbr, mask, *rev, 64, 16, True)
+    ref = aggregate_reference(Wx, alpha * mask, nbr, jnp.ones_like(mask))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    gp = jax.grad(loss_p, argnums=(0, 1))(Wx, alpha)
+    gr = jax.grad(loss_r, argnums=(0, 1))(Wx, alpha)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gr[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1] * mask), atol=1e-4)
+
+
 def test_full_gat_layer_pallas_matches_xla(rng):
     n, K, H, Fh, Fin = 150, 6, 2, 8, 12
     h = jnp.asarray(rng.normal(size=(n, Fin)), jnp.float32)

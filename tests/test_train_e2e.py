@@ -245,6 +245,59 @@ def test_reference_pth_artifact(tmp_path):
     )
 
 
+@pytest.mark.parametrize("windowed", [False, True])
+def test_rev_backward_full_model_grad_equality(windowed):
+    """The scatter-free GAT backward (reverse padded lists) must produce the
+    SAME loss and parameter gradients as plain autodiff, through the whole
+    composite objective, in both full-graph and windowed-batch modes."""
+    import jax
+    import jax.numpy as jnp
+
+    from spadot_tpu.models.model import build_net, forward_batch
+    from spadot_tpu.train.loop import Trainer
+
+    adata = make_synthetic_adata(n_per_tp=90, n_genes=20, n_tp=1, seed=11)
+    cfg = _tiny_config(adata, maxiter=1)
+    if windowed:
+        cfg.update(full_graph_gat=False, gat_window=24, batch_size=32)
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+    trainer = Trainer(cfg, data)
+    variables, _ = trainer.init_state(jax.random.PRNGKey(0))
+    tp_dev = trainer.tp_dev[0]
+    assert "rev_src" in tp_dev  # pipeline must have wired the reverse lists
+    tp_norev = {k: v for k, v in tp_dev.items() if not k.startswith("rev_")}
+    idx, msk = trainer.tp_batches[0]
+    rng = jax.random.PRNGKey(3)
+
+    def loss_fn(params, td):
+        losses, _, _ = forward_batch(
+            trainer.net, {"params": params, "batch_stats": variables["batch_stats"]},
+            rng, td, trainer.svgp_states[0], idx[0], msk[0],
+            kernel_scale=trainer.kernel_scale, kernel_type=trainer.kernel_type,
+            train=False, gat_window=trainer.gat_window,
+        )
+        return (
+            losses["Recon"] + losses["GAT_KL"] + losses["SVGP_KL"]
+            + losses["alignment"]
+        )
+
+    l_rev, g_rev = jax.value_and_grad(loss_fn)(variables["params"], tp_dev)
+    l_ref, g_ref = jax.value_and_grad(loss_fn)(variables["params"], tp_norev)
+    np.testing.assert_allclose(float(l_rev), float(l_ref), rtol=1e-6)
+    flat_rev = jax.tree_util.tree_leaves_with_path(g_rev)
+    flat_ref = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(g_ref)
+    )
+    for path, a in flat_rev:
+        b = flat_ref[jax.tree_util.keystr(path)]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_odd_z_dim():
     """z_dim=21 -> each branch emits 10 dims, latent is 20-wide (the
     reference's 'in case input z_dim is odd' convention, SpaDOT.py:34)."""
