@@ -22,6 +22,8 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 # exact ChickenHeart run shape (reference examples/ChickenHeart.ipynb cell 2
 # output: "Timepoint: t, Number of cells: ...")
 TP_SPOTS = (747, 1966, 1916, 1967)

@@ -109,6 +109,17 @@ def prepare_data(adata, model_config):
         # reverse padded lists -> scatter-free GAT backward (ops/gat.py)
         rev_src, rev_slot, rev_mask = reverse_graph(nbr, nbr_mask)
         batch_idx, batch_mask = make_batches(n, batch_size)
+        # dense (n, n) adjacency for the small-n MXU attention path
+        # (ops/gat.py:gat_attention_dense) — only in full-graph mode and only
+        # below the gate where the n^2 mask is a few MB
+        adj = None
+        if (
+            model_config.get("full_graph_gat", True)
+            and n <= int(model_config.get("gat_dense_max_n", 4096))
+        ):
+            from spadot_tpu.ops.gat import dense_adjacency
+
+            adj = dense_adjacency(nbr, nbr_mask)
         tp_data[tp] = {
             "Y": X[rows],
             "coords": coords_tp,
@@ -122,6 +133,8 @@ def prepare_data(adata, model_config):
             "batch_mask": batch_mask,
             "obs_rows": rows,
         }
+        if adj is not None:
+            tp_data[tp]["adj"] = adj
     return {
         "timepoints": timepoints,
         "inducing_points": inducing_points_dict,

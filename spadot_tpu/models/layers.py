@@ -16,7 +16,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
-from spadot_tpu.ops.gat import gat_attention
+from spadot_tpu.ops.gat import gat_attention, gat_attention_dense
 
 _XAVIER = nn.initializers.xavier_uniform()
 
@@ -53,6 +53,9 @@ class GATLayer(nn.Module):
     the row count n (measured on TPU v5e, 4 heads x 512 features, fwd+bwd per
     layer — docs/performance.md "GAT path selection"):
 
+      - adj provided (small n, see data/pipeline.py gat_dense_max_n gate):
+        dense-adjacency attention — H batched (n, n) MXU matmuls, zero
+        gathers, autodiff backward is also matmuls;
       - n >= pallas_min_n: windowed Pallas MXU aggregation + XLA scatter
         backward (38.4 ms vs 51.8 XLA-autodiff at n=8704);
       - n <= rev_max_n:    XLA scan + scatter-free reverse-list backward
@@ -74,7 +77,7 @@ class GATLayer(nn.Module):
     rev_max_n: int = 3500
 
     @nn.compact
-    def __call__(self, h, nbr, nbr_mask, rev=None):
+    def __call__(self, h, nbr, nbr_mask, rev=None, adj=None):
         F_in = h.shape[-1]
         n = h.shape[0]
         H, F = self.heads, self.out_features
@@ -83,6 +86,10 @@ class GATLayer(nn.Module):
         att_dst = self.param("att_dst", _XAVIER, (H, F), self.param_dtype)
         bias_shape = (H * F,) if self.concat else (F,)
         bias = self.param("bias", nn.initializers.zeros, bias_shape, self.param_dtype)
+        if adj is not None:
+            return gat_attention_dense(
+                h, adj, W, att_src, att_dst, bias, concat=self.concat
+            )
         if self.rev_mode == "off":
             rev = None
         # Mosaic requires the per-head feature width to be lane-aligned
@@ -117,17 +124,17 @@ class GATEncoder(nn.Module):
     rev_max_n: int = 3500
 
     @nn.compact
-    def __call__(self, h, nbr, nbr_mask, rev=None):
+    def __call__(self, h, nbr, nbr_mask, rev=None, adj=None):
         kw = dict(use_pallas=self.use_pallas, param_dtype=self.param_dtype,
                   rev_mode=self.rev_mode, pallas_min_n=self.pallas_min_n,
                   rev_max_n=self.rev_max_n)
         h = nn.leaky_relu(
-            GATLayer(self.hidden_dim, self.num_heads, concat=True, **kw)(h, nbr, nbr_mask, rev), 0.01
+            GATLayer(self.hidden_dim, self.num_heads, concat=True, **kw)(h, nbr, nbr_mask, rev, adj), 0.01
         )
         h = nn.leaky_relu(
-            GATLayer(self.hidden_dim, self.num_heads, concat=True, **kw)(h, nbr, nbr_mask, rev), 0.01
+            GATLayer(self.hidden_dim, self.num_heads, concat=True, **kw)(h, nbr, nbr_mask, rev, adj), 0.01
         )
-        h = GATLayer(self.hidden_dim, self.num_heads, concat=False, **kw)(h, nbr, nbr_mask, rev)
+        h = GATLayer(self.hidden_dim, self.num_heads, concat=False, **kw)(h, nbr, nbr_mask, rev, adj)
         z = nn.Dense(self.z_dim * 2, kernel_init=_XAVIER,
                      param_dtype=self.param_dtype, dtype=self.param_dtype)(h)
         mu, logvar = jnp.split(z, 2, axis=1)

@@ -68,8 +68,8 @@ class SpaDOTNet(nn.Module):
     def encode_svgp(self, y, *, train: bool, mask=None):
         return self.svgp_encoder(y, train=train, mask=mask)
 
-    def encode_gat(self, h, nbr, nbr_mask, rev=None):
-        return self.gat_encoder(h, nbr, nbr_mask, rev)
+    def encode_gat(self, h, nbr, nbr_mask, rev=None, adj=None):
+        return self.gat_encoder(h, nbr, nbr_mask, rev, adj)
 
     def decode(self, z):
         return self.decoder(z)
@@ -242,8 +242,10 @@ def forward_batch(
             gat_var = gat_var_w[pos]
         else:
             # --- full-graph message passing, batch rows extracted ---
+            # (adj present -> dense small-n MXU attention, ops/gat.py)
             gat_mu_full, gat_var_full = net.apply(
-                vars_nostats, Y, nbr, nbr_mask, rev, method=SpaDOTNet.encode_gat
+                vars_nostats, Y, nbr, nbr_mask, rev, tp_data.get("adj"),
+                method=SpaDOTNet.encode_gat,
             )
             gat_mu = gat_mu_full[batch_idx]
             gat_var = gat_var_full[batch_idx]
@@ -337,8 +339,8 @@ def full_latent(net, variables, tp_data, svgp_state, *, kernel_scale, kernel_typ
     if mode in ("dual", "gat"):
         vars_nostats = {"params": variables["params"]}
         gat_mu, _ = net.apply(
-            vars_nostats, Y, tp_data["nbr"], tp_data["nbr_mask"],
-            method=SpaDOTNet.encode_gat,
+            vars_nostats, Y, tp_data["nbr"], tp_data["nbr_mask"], None,
+            tp_data.get("adj"), method=SpaDOTNet.encode_gat,
         )
         parts.append(gat_mu)
     return jnp.concatenate(parts, axis=1)

@@ -126,6 +126,64 @@ nbr_aggregate.defvjp(_nbr_aggregate_fwd, _nbr_aggregate_bwd)
 
 
 # ---------------------------------------------------------------------------
+# dense-adjacency path (small n): attention as H batched (n, n) MXU matmuls
+# ---------------------------------------------------------------------------
+
+def dense_adjacency(nbr, nbr_mask, dtype=jnp.float32):
+    """Host-side (n, n) {0,1} adjacency from the padded neighbor lists.
+
+    Intended to be called ONCE per timepoint on numpy inputs (data/pipeline);
+    at the small n where the dense path wins the n^2 mask is a few MB.
+    """
+    import numpy as np
+
+    nbr = np.asarray(nbr)
+    msk = np.asarray(nbr_mask) > 0
+    n = nbr.shape[0]
+    adj = np.zeros((n, n), dtype=np.float32)
+    rows = np.repeat(np.arange(n), nbr.shape[1]).reshape(n, -1)
+    adj[rows[msk], nbr[msk]] = 1.0
+    return adj.astype(dtype)
+
+
+def gat_attention_dense(
+    h, adj_mask, W, att_src, att_dst, bias, *, concat=True, negative_slope=0.2
+):
+    """One multi-head GAT layer over a dense (n, n) adjacency mask.
+
+    Same semantics as `gat_attention` (the (n, K) slots enumerate exactly the
+    adjacency entries), but every gather disappears: logits are a rank-1
+    broadcast, softmax is a masked dense row softmax, and aggregation is H
+    batched (n, n) @ (n, F) matmuls — pure MXU work whose autodiff backward
+    is also matmuls (dWx = alpha^T @ g, dalpha = g @ Wx^T). On TPU this wins
+    below ~4k rows where the scan-gather path is HBM-latency-bound (measured
+    in docs/performance.md); above that the n^2 terms lose to O(n*K).
+
+    adj_mask: (n, n) {0,1}, self-loops on the diagonal (so no row is empty).
+    """
+    n = h.shape[0]
+    HF = W.shape[1]
+    H = att_src.shape[0]
+    F = HF // H
+    Wx = (h @ W).reshape(n, H, F)
+    e_src = jnp.einsum("nhf,hf->nh", Wx, att_src)  # neighbor-side scores
+    e_dst = jnp.einsum("nhf,hf->nh", Wx, att_dst)  # center-side scores
+    # (H, n_center, n_neighbor) logits
+    e = e_dst.T[:, :, None] + e_src.T[:, None, :]
+    e = jax.nn.leaky_relu(e, negative_slope)
+    keep = adj_mask[None, :, :] > 0
+    e = jnp.where(keep, e, -jnp.inf)
+    alpha = jax.nn.softmax(e, axis=2)
+    alpha = jnp.where(keep, alpha, 0.0)
+    out = jnp.einsum("hij,jhf->ihf", alpha, Wx)
+    if concat:
+        out = out.reshape(n, H * F)
+    else:
+        out = jnp.mean(out, axis=1)
+    return out + bias
+
+
+# ---------------------------------------------------------------------------
 # the GAT layer
 # ---------------------------------------------------------------------------
 

@@ -92,6 +92,11 @@ class Trainer:
                 dev["rev_src"] = jnp.asarray(d["rev_src"])
                 dev["rev_slot"] = jnp.asarray(d["rev_slot"])
                 dev["rev_mask"] = jnp.asarray(d["rev_mask"], dtype)
+            if "adj" in d and mesh is None:
+                # dense small-n attention path (single-device only: on a mesh
+                # the row-sharded gather path is used so 1-dev and N-dev runs
+                # trace identically)
+                dev["adj"] = jnp.asarray(d["adj"], dtype)
             if mesh is not None:
                 dev = shard_tp_data(dev, mesh)
             self.tp_dev[tp] = dev

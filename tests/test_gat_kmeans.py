@@ -89,6 +89,55 @@ def test_gat_rev_backward_matches_autodiff(rng):
             )
 
 
+def test_gat_dense_matches_gather(rng):
+    """Dense-adjacency path (H batched n x n matmuls) must match the
+    gather path in output AND gradients on a real (duplicate-free) kNN
+    graph — the two enumerate exactly the same adjacency entries."""
+    import jax
+
+    from spadot_tpu.data.graph import build_knn_graph
+    from spadot_tpu.ops.gat import dense_adjacency, gat_attention_dense
+
+    n, F_in, H, F = 37, 6, 2, 4
+    xy = rng.uniform(0, 10, size=(n, 2))
+    nbr, nbr_mask = build_knn_graph(xy, 5)
+    adj = jnp.asarray(dense_adjacency(nbr, nbr_mask))
+    nbr_j, mask_j = jnp.asarray(nbr), jnp.asarray(jnp.float32(nbr_mask))
+    h = jnp.asarray(rng.normal(size=(n, F_in)), jnp.float32)
+    W = jnp.asarray(rng.normal(size=(F_in, H * F)), jnp.float32)
+    a_src = jnp.asarray(rng.normal(size=(H, F)), jnp.float32)
+    a_dst = jnp.asarray(rng.normal(size=(H, F)), jnp.float32)
+    for concat in (True, False):
+        bias = jnp.asarray(
+            rng.normal(size=(H * F,) if concat else (F,)), jnp.float32
+        )
+
+        def loss_gather(h, W, a_src, a_dst):
+            out = gat_attention(
+                h, nbr_j, mask_j, W, a_src, a_dst, bias, concat=concat
+            )
+            return jnp.sum(out**2), out
+
+        def loss_dense(h, W, a_src, a_dst):
+            out = gat_attention_dense(
+                h, adj, W, a_src, a_dst, bias, concat=concat
+            )
+            return jnp.sum(out**2), out
+
+        (_, o_ref), g_ref = jax.value_and_grad(
+            loss_gather, argnums=(0, 1, 2, 3), has_aux=True)(h, W, a_src, a_dst)
+        (_, o_d), g_d = jax.value_and_grad(
+            loss_dense, argnums=(0, 1, 2, 3), has_aux=True)(h, W, a_src, a_dst)
+        np.testing.assert_allclose(np.asarray(o_d), np.asarray(o_ref),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(g_d, g_ref):
+            # f32 summation-order noise: dense softmax reduces over the full
+            # masked row, the gather path over K slots
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+            )
+
+
 def test_kmeans_recovers_blobs(rng):
     import jax
 
