@@ -168,6 +168,28 @@ def test_kmeans_masked_rows_ignored(rng):
     assert np.abs(np.asarray(centers)).max() < 10  # outliers never selected
 
 
+def test_hilbert_locality_order():
+    """The vectorized Hilbert code is a bijection on a full grid and adjacent
+    codes are grid-adjacent cells (unit Manhattan steps along the curve)."""
+    from spadot_tpu.data.graph import _hilbert_code, locality_order
+
+    b = 4
+    xs, ys = np.meshgrid(np.arange(2**b), np.arange(2**b))
+    codes = _hilbert_code(
+        xs.ravel().astype(np.uint64), ys.ravel().astype(np.uint64), b
+    )
+    assert sorted(codes) == list(range(4**b))
+    order = np.argsort(codes)
+    px, py = xs.ravel()[order], ys.ravel()[order]
+    steps = np.abs(np.diff(px)) + np.abs(np.diff(py))
+    assert steps.max() == 1
+    # both methods return permutations
+    pts = np.random.default_rng(0).uniform(0, 1, size=(500, 2))
+    for method in ("morton", "hilbert"):
+        perm = locality_order(pts, method=method)
+        assert sorted(perm) == list(range(500))
+
+
 def test_knn_graph_duplicate_coordinates():
     """Duplicate spatial coordinates must not drop true neighbors or double
     the self-loop (sklearn breaks distance-0 ties arbitrarily)."""
