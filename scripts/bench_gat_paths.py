@@ -36,7 +36,7 @@ def timed(fn, *args, reps=20):
 
 def bench_n(n, rng):
     xy = rng.uniform(0, 10, size=(n, 2))
-    k = effective_k(n, 0.0, 32)
+    k = effective_k(n, 6, 30)  # config.yaml defaults
     nbr, msk = build_knn_graph(xy, k)
     rev = reverse_graph(nbr, msk)
     h = jnp.asarray(rng.normal(size=(n, F_IN)), jnp.float32)
@@ -54,18 +54,20 @@ def bench_n(n, rng):
 
     adj = jnp.asarray(dense_adjacency(np.asarray(nbr), np.asarray(msk)))
 
-    def loss_dense(h, W, a_s, a_d, b):
+    # adj passed as an ARGUMENT (as the train loop does) — closing over it
+    # would embed an n^2 constant in the HLO (remote compile rejects >~100MB)
+    def loss_dense(h, adj, W, a_s, a_d, b):
         out = gat_attention_dense(h, adj, W, a_s, a_d, b)
         return jnp.sum(out**2)
 
     g_auto = jax.jit(jax.grad(lambda *a: loss_gather(*a, False), argnums=(0, 1)))
     g_rev = jax.jit(jax.grad(lambda *a: loss_gather(*a, True), argnums=(0, 1)))
-    g_dense = jax.jit(jax.grad(loss_dense, argnums=(0, 1)))
+    g_dense = jax.jit(jax.grad(loss_dense, argnums=(0, 2)))
 
     r = {}
     r["xla_autodiff"] = timed(g_auto, h, W, a_s, a_d, b)
     r["xla_rev"] = timed(g_rev, h, W, a_s, a_d, b)
-    r["dense"] = timed(g_dense, h, W, a_s, a_d, b)
+    r["dense"] = timed(g_dense, h, adj, W, a_s, a_d, b)
 
     # agreement check (dense vs gather forward)
     o1 = gat_attention(h, nbr, msk, W, a_s, a_d, b)

@@ -39,26 +39,44 @@ def _plus_plus_init(key, X, k, mask):
 
 
 def _lloyd(X, centers, mask, n_iter):
-    """Fixed-iteration Lloyd; masked rows carry zero weight."""
+    """Early-stopping Lloyd; masked rows carry zero weight.
 
-    def step(carry, _):
-        centers, _ = carry
+    Runs until the assignment vector is a fixed point (at which point further
+    iterations are identity — the result is bit-identical to a fixed
+    ``n_iter`` scan) or ``n_iter`` is reached. A `lax.while_loop` with a
+    data-dependent predicate is jit-legal and saves ~80% of the iterations at
+    typical convergence (~10-20 rounds), which matters because this runs
+    every epoch inside the centroid refresh.
+    """
+
+    def assign_of(centers):
         d2 = (
             jnp.sum(X * X, axis=1)[:, None]
             - 2.0 * X @ centers.T
             + jnp.sum(centers * centers, axis=1)[None, :]
         )
-        assign = jnp.argmin(d2, axis=1)
+        # int32 regardless of x64 mode — the while carry dtype must be stable
+        return jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+    def cond(carry):
+        _, _, changed, it = carry
+        return jnp.logical_and(changed, it < n_iter)
+
+    def step(carry):
+        centers, prev_assign, _, it = carry
+        assign = assign_of(centers)
         onehot = jax.nn.one_hot(assign, centers.shape[0], dtype=X.dtype) * mask[:, None]
         counts = jnp.sum(onehot, axis=0)
         sums = onehot.T @ X
         new_centers = jnp.where(
             counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centers
         )
-        inertia = jnp.sum(jnp.min(d2, axis=1) * mask)
-        return (new_centers, inertia), None
+        changed = jnp.any(assign != prev_assign)
+        return new_centers, assign, changed, it + 1
 
-    (centers, _), _ = jax.lax.scan(step, (centers, jnp.inf), None, length=n_iter)
+    init = (centers, jnp.full((X.shape[0],), -1, jnp.int32), jnp.bool_(True),
+            jnp.asarray(0, jnp.int32))
+    centers, _, _, _ = jax.lax.while_loop(cond, step, init)
     # inertia of the RETURNED centers (the scan's last inertia lags one
     # update behind, which would bias the multi-restart selection)
     d2 = (
