@@ -117,6 +117,20 @@ class Trainer:
 
         self._epoch_jit = jax.jit(self._epoch_impl, donate_argnums=(0, 1))
         self._latent_jit = jax.jit(self._latent_impl)
+        self._refresh_jit = jax.jit(
+            self._refresh_impl, static_argnames=("n", "tp_i")
+        )
+        # staged tiny device constants: over the remote-TPU tunnel every
+        # host->device transfer costs a round trip, so the per-epoch scalars
+        # (beta1, use_kmeans, use_ot), the zero placeholders and the
+        # row-normalized transport plans are staged once and reused
+        self._scalar_cache = {}
+        self._zeros_kz = jnp.zeros((self.n_clusters, self.latent_dim), dtype)
+        self._zeros_kk = jnp.zeros((self.n_clusters, self.n_clusters), dtype)
+        self._zeros_assign = {
+            tp: jnp.zeros((self.tp_n[tp],), jnp.int32) for tp in self.timepoints
+        }
+        self._gamma_dev = {}
 
     # -- initialization -----------------------------------------------------
     def init_state(self, key):
@@ -217,41 +231,36 @@ class Trainer:
         )
 
     # -- public API ---------------------------------------------------------
+    def _scalar(self, value):
+        """Device scalar, staged once per distinct value (tunnel round trips)."""
+        key = float(value)
+        dev = self._scalar_cache.get(key)
+        if dev is None:
+            dev = self.jnp.asarray(key, self.dtype)
+            self._scalar_cache[key] = dev
+        return dev
+
     def run_epoch(self, variables, opt_state, rng, tp, km, gammas, tp_i, epoch, beta1):
         """One timepoint's epoch. km: dict with centers/assign per tp."""
-        jnp = self.jnp
-        k, z = self.n_clusters, self.latent_dim
-        n = self.tp_n[tp]
         have_km = km["centers"].get(tp) is not None
         use_kmeans = 1.0 if (epoch >= 1 and have_km) else 0.0
-        centers = (
-            km["centers"][tp] if have_km else jnp.zeros((k, z), self.dtype)
-        )
-        assign = (
-            km["assign"][tp] if have_km else jnp.zeros((n,), jnp.int32)
-        )
-        prev_centers = jnp.zeros((k, z), self.dtype)
-        gamma_rn = jnp.zeros((k, k), self.dtype)
+        centers = km["centers"][tp] if have_km else self._zeros_kz
+        assign = km["assign"][tp] if have_km else self._zeros_assign[tp]
+        prev_centers = self._zeros_kz
+        gamma_rn = self._zeros_kk
         use_ot = 0.0
         if epoch >= int(self.config["ot_epoch"]) and tp_i != 0:
             prev_tp = self.timepoints[tp_i - 1]
             gkey = f"{prev_tp}_{tp}"
-            if gkey in gammas and km["centers"].get(prev_tp) is not None:
-                gamma = np.asarray(gammas[gkey], np.float64)
-                rs = gamma.sum(axis=1, keepdims=True)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    gamma = gamma / rs
-                gamma = np.nan_to_num(gamma, nan=0.0, posinf=0.0, neginf=0.0)
-                gamma_rn = jnp.asarray(gamma, self.dtype)
+            if gkey in self._gamma_dev and km["centers"].get(prev_tp) is not None:
+                gamma_rn = self._gamma_dev[gkey]
                 prev_centers = km["centers"][prev_tp]
                 use_ot = 1.0
         batch_idx, batch_mask = self.tp_batches[tp]
         variables, opt_state, rng, losses = self._epoch_jit(
             variables, opt_state, rng, self.tp_dev[tp], self.svgp_states[tp],
             batch_idx, batch_mask, centers, assign, prev_centers, gamma_rn,
-            jnp.asarray(beta1, self.dtype),
-            jnp.asarray(use_kmeans, self.dtype),
-            jnp.asarray(use_ot, self.dtype),
+            self._scalar(beta1), self._scalar(use_kmeans), self._scalar(use_ot),
         )
         # losses stay on device — the caller syncs once per epoch at most
         return variables, opt_state, rng, losses
@@ -260,20 +269,41 @@ class Trainer:
         lat = self._latent_jit(variables, self.tp_dev[tp], self.svgp_states[tp])
         return lat[: self.tp_n[tp]]
 
-    def update_kmeans(self, variables, key, km):
-        """Per-epoch centroid refresh (_train_utils.py:255-269), on device."""
-        from spadot_tpu.ops.kmeans import kmeans_fit
+    def _refresh_impl(self, variables, tp_dev, svgp_state, key, *, n, tp_i):
+        """Latent extraction + KMeans refresh for one timepoint, fused into a
+        single dispatch (the per-epoch refresh is tunnel-latency-bound)."""
+        from spadot_tpu.ops.kmeans import _kmeans_fit_impl
 
         jax = self.jax
+        lat = self._latent_impl(variables, tp_dev, svgp_state)[:n]
+        sub = jax.random.fold_in(key, tp_i)
+        with jax.default_matmul_precision("highest"):
+            centers, labels, _ = _kmeans_fit_impl(
+                sub, lat, self.n_clusters, None, 10, 100
+            )
+        return centers, labels
+
+    def update_kmeans(self, variables, key, km):
+        """Per-epoch centroid refresh (_train_utils.py:255-269), on device —
+        one fused (latent + kmeans) dispatch per timepoint."""
         for i, tp in enumerate(self.timepoints):
-            lat = self.latent(variables, tp)
-            sub = jax.random.fold_in(key, i)
-            centers, labels, _ = kmeans_fit(
-                sub, lat, self.n_clusters, n_init=10, n_iter=100
+            centers, labels = self._refresh_jit(
+                variables, self.tp_dev[tp], self.svgp_states[tp], key,
+                n=self.tp_n[tp], tp_i=i,
             )
             km["centers"][tp] = centers
             km["assign"][tp] = labels
         return km
+
+    def stage_gammas(self, gammas):
+        """Stage row-normalized transport plans on device (resume path)."""
+        for gkey, gamma in gammas.items():
+            g = np.asarray(gamma, np.float64)
+            rs = g.sum(axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                g = g / rs
+            g = np.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0)
+            self._gamma_dev[gkey] = self.jnp.asarray(g, self.dtype)
 
     def update_ot(self, km, gammas):
         """Refresh transport plans between consecutive timepoints
@@ -297,6 +327,9 @@ class Trainer:
                 dict(ot_cfg), G=None, backend=backend,
             )
             gammas[f"{cur}_{nxt}"] = np.asarray(gamma)
+        # stage the row-normalized plans on device once per refresh (the
+        # epoch loop reads them every tp-epoch until the next refresh)
+        self.stage_gammas(gammas)
         return gammas
 
 
@@ -332,6 +365,7 @@ def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, me
         opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
         start_epoch = int(resume_state["meta"]["epoch"]) + 1
         gammas = {k: np.asarray(v) for k, v in resume_state["gammas"].items()}
+        trainer.stage_gammas(gammas)
         for tp in trainer.timepoints:
             c = resume_state["kmeans_centers"].get(str(tp))
             a = resume_state["kmeans_assign"].get(str(tp))
