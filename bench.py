@@ -96,8 +96,14 @@ def main():
     km = {"centers": {}, "assign": {}}
     gammas = {}
     rng_key = jax.random.PRNGKey(1)
+    fused = bool(getattr(trainer, "fused", False))
+    if fused:
+        km["_stacked"] = trainer._km_stacked
+        km["_have"] = False
+        order = list(range(len(trainer.timepoints)))
+    print(f"# fused_epoch: {fused}", file=sys.stderr)
 
-    # capture per-tp epoch-step arg shapes (for XLA cost analysis -> MFU)
+    # capture epoch-step arg shapes (for XLA cost analysis -> MFU)
     _real_epoch_jit = trainer._epoch_jit
     _cap_tp = {"tp": None}
     _cap_args = {}
@@ -109,41 +115,63 @@ def main():
         return _real_epoch_jit(*a)
 
     trainer._epoch_jit = _capturing_epoch_jit
+    if fused:
+        _real_fused_jit = trainer._fused_jit
+
+        def _capturing_fused_jit(*a):
+            _cap_args["fused"] = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), a
+            )
+            return _real_fused_jit(*a)
+
+        trainer._fused_jit = _capturing_fused_jit
+
+    def one_epoch(variables, opt_state, rng_key, epoch, km_seed):
+        if fused:
+            variables, opt_state, rng_key, _ = trainer.run_epoch_fused(
+                variables, opt_state, rng_key, jax.random.PRNGKey(km_seed),
+                order, km, epoch, 0.5,
+            )
+        else:
+            for tp_i, tp in enumerate(trainer.timepoints):
+                _cap_tp["tp"] = tp
+                variables, opt_state, rng_key, _ = trainer.run_epoch(
+                    variables, opt_state, rng_key, tp, km, gammas, tp_i,
+                    epoch, 0.5,
+                )
+            trainer.update_kmeans(variables, jax.random.PRNGKey(km_seed), km)
+        return variables, opt_state, rng_key
 
     # warmup epoch 0 (compile) + epoch 1 (kmeans/ot paths active)
     for epoch in range(2):
         t = time.perf_counter()
-        for tp_i, tp in enumerate(trainer.timepoints):
-            _cap_tp["tp"] = tp
-            variables, opt_state, rng_key, _ = trainer.run_epoch(
-                variables, opt_state, rng_key, tp, km, gammas, tp_i, epoch, 0.5
-            )
-            print(f"#   tp {tp}: {time.perf_counter()-t:.1f}s", file=sys.stderr, flush=True)
+        variables, opt_state, rng_key = one_epoch(
+            variables, opt_state, rng_key, epoch, 2 + epoch
+        )
         print(f"# warmup epoch {epoch}: {time.perf_counter()-t:.1f}s", file=sys.stderr)
-        t = time.perf_counter()
-        km = trainer.update_kmeans(variables, jax.random.PRNGKey(2 + epoch), km)
-        print(f"# warmup kmeans {epoch}: {time.perf_counter()-t:.1f}s", file=sys.stderr)
     t = time.perf_counter()
+    trainer.sync_km_views(km)
     gammas = trainer.update_ot(km, gammas)
     print(f"# warmup ot: {time.perf_counter()-t:.1f}s", file=sys.stderr)
     trainer._epoch_jit = _real_epoch_jit
+    if fused:
+        trainer._fused_jit = _real_fused_jit
     jax.block_until_ready(variables["params"])
 
     # steady state: full epochs at the post-ot_epoch cadence
     t0 = time.perf_counter()
     for epoch in range(60, 60 + measure_epochs):
-        for tp_i, tp in enumerate(trainer.timepoints):
-            variables, opt_state, rng_key, losses = trainer.run_epoch(
-                variables, opt_state, rng_key, tp, km, gammas, tp_i, epoch, 0.5
-            )
-        km = trainer.update_kmeans(variables, jax.random.PRNGKey(100 + epoch), km)
+        variables, opt_state, rng_key = one_epoch(
+            variables, opt_state, rng_key, epoch, 100 + epoch
+        )
     jax.block_until_ready(variables["params"])
     sec_per_epoch = (time.perf_counter() - t0) / measure_epochs
 
-    # FLOPs per epoch from XLA's own cost model (per-tp executables lowered
-    # AOT — persistent-cache hit, no recompile) -> MFU against the chip's
-    # bf16 MXU peak. Training-step compute only (the KMeans refresh included
-    # in the measured time is NOT counted), so mfu is slightly conservative.
+    # FLOPs per epoch from XLA's own cost model (executables lowered AOT —
+    # persistent-cache hit, no recompile) -> MFU against the chip's bf16 MXU
+    # peak. The fused executable includes the KMeans refresh; the per-tp path
+    # counts training steps only (its refresh FLOPs are not captured), so the
+    # per-tp mfu is slightly conservative.
     def _flops_of(cost):
         if isinstance(cost, (list, tuple)):
             cost = cost[0] if cost else {}
@@ -151,12 +179,17 @@ def main():
 
     flops_per_epoch = None
     try:
-        flops_per_epoch = sum(
-            _flops_of(
-                trainer._epoch_jit.lower(*_cap_args[tp]).compile().cost_analysis()
+        if fused:
+            flops_per_epoch = _flops_of(
+                trainer._fused_jit.lower(*_cap_args["fused"]).compile().cost_analysis()
             )
-            for tp in trainer.timepoints
-        )
+        else:
+            flops_per_epoch = sum(
+                _flops_of(
+                    trainer._epoch_jit.lower(*_cap_args[tp]).compile().cost_analysis()
+                )
+                for tp in trainer.timepoints
+            )
     except Exception as e:
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
 

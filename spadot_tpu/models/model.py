@@ -187,6 +187,8 @@ def forward_batch(
             x_b, qnet_mu, qnet_var, batch_mask, N_train,
             svgp_state["Z"], svgp_state["K_mm"], svgp_state["L_mm"],
             kernel_scale=kernel_scale, jitter=jitter, kernel_type=kernel_type,
+            m_mask=svgp_state.get("m_mask"),
+            kl_const=svgp_state.get("kl_const", 0.0),
         )
         inside_elbo = jnp.sum(terms["recon"]) - (b_eff / N_train) * jnp.sum(terms["kl"])
         ce = gauss_cross_entropy(terms["p_m"], terms["p_v"], qnet_mu, qnet_var)
@@ -314,16 +316,19 @@ def ot_loss(latent, batch_idx, batch_mask, assignments, centers, prev_centers, g
     return jnp.mean(gamma_rownorm * cost)
 
 
-def full_latent(net, variables, tp_data, svgp_state, *, kernel_scale, kernel_type, jitter=1e-2):
+def full_latent(net, variables, tp_data, svgp_state, *, kernel_scale, kernel_type, jitter=1e-2, row_mask=None):
     """Posterior means over all spots of a timepoint (no sampling) —
     all_latent_samples (SpaDOT.py:96-123): SVGP posterior p_m concat GAT mu.
 
     Runs in eval mode (BatchNorm running stats) with the full data as the
-    "batch" (N/b ratio = 1).
+    "batch" (N/b ratio = 1). row_mask marks real rows when the arrays are
+    row-padded (fused stacked-timepoint mode); padded rows get arbitrary
+    latents that callers must mask out.
     """
     Y, coords = tp_data["Y"], tp_data["coords"]
     n = Y.shape[0]
-    mask = jnp.ones(n, Y.dtype)
+    mask = jnp.ones(n, Y.dtype) if row_mask is None else row_mask
+    n_eff = jnp.asarray(n, Y.dtype) if row_mask is None else jnp.sum(row_mask)
     mode = net.encoder_mode
     parts = []
     if mode in ("dual", "svgp"):
@@ -331,9 +336,11 @@ def full_latent(net, variables, tp_data, svgp_state, *, kernel_scale, kernel_typ
             variables, Y, train=False, mask=None, method=SpaDOTNet.encode_svgp
         )
         terms = svgp_batch_terms(
-            coords, qnet_mu, qnet_var, mask, jnp.asarray(n, Y.dtype),
+            coords, qnet_mu, qnet_var, mask, n_eff,
             svgp_state["Z"], svgp_state["K_mm"], svgp_state["L_mm"],
             kernel_scale=kernel_scale, jitter=jitter, kernel_type=kernel_type,
+            m_mask=svgp_state.get("m_mask"),
+            kl_const=svgp_state.get("kl_const", 0.0),
         )
         parts.append(terms["p_m"])
     if mode in ("dual", "gat"):

@@ -45,10 +45,59 @@ def svgp_shared(Z, kernel_type="Gaussian", kernel_scale=0.1, jitter=1e-2):
     return {"Z": Z, "K_mm": K_mm, "L_mm": L_mm}
 
 
+def svgp_shared_padded(Z, m_max, kernel_type="Gaussian", kernel_scale=0.1,
+                       jitter=1e-2):
+    """`svgp_shared` padded to a static `m_max` inducing slots (the fused
+    stacked-timepoint epoch needs one shape across timepoints).
+
+    The padded block is chosen so every padded slot is EXACTLY inert given
+    that K_nm's padded columns are zeroed by `m_mask`:
+
+      K_mm -> blockdiag(K_mm, I),  L_mm -> blockdiag(L_mm, sqrt(1+jitter)·I)
+
+    (consistent with the jittered Cholesky of I). Padded slots then
+    contribute a closed-form constant to each latent dim's KL —
+      0.5·pad·( log(1+j) − log(1/(1+j)+j) − 1 + 1/(1+j)² )
+    (logdet_Kmm, logdet_A after its own jitter, the −m term, and
+    tr(K̃⁻¹Â) respectively) — which `svgp_batch_terms(kl_const=...)`
+    subtracts, so the padded ELBO equals the unpadded one exactly.
+
+    Returns (state dict with padded Z/K_mm/L_mm, m_mask (m_max,), kl_const).
+    """
+    import numpy as np
+
+    state = svgp_shared(Z, kernel_type, kernel_scale, jitter)
+    m = int(Z.shape[0])
+    pad = int(m_max) - m
+    if pad < 0:
+        raise ValueError(f"m_max {m_max} < m {m}")
+    dt = np.asarray(state["K_mm"]).dtype
+    K = np.eye(m_max, dtype=dt)
+    K[:m, :m] = np.asarray(state["K_mm"])
+    L = np.zeros((m_max, m_max), dtype=dt)
+    L[:m, :m] = np.asarray(state["L_mm"])
+    if pad:
+        L[m:, m:] = np.sqrt(1.0 + jitter) * np.eye(pad, dtype=dt)
+    Zp = np.zeros((m_max, Z.shape[1]), dtype=np.asarray(Z).dtype)
+    Zp[:m] = np.asarray(Z)
+    m_mask = np.zeros((m_max,), dtype=dt)
+    m_mask[:m] = 1.0
+    a = 1.0 / (1.0 + jitter)
+    kl_const = 0.5 * pad * (
+        np.log1p(jitter) - np.log(a + jitter) - 1.0 + a * a
+    )
+    return (
+        {"Z": jnp.asarray(Zp), "K_mm": jnp.asarray(K), "L_mm": jnp.asarray(L)},
+        jnp.asarray(m_mask),
+        float(kl_const),
+    )
+
+
 @partial(jax.jit, static_argnames=("kernel_type",))
 def svgp_batch_terms(
     x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
     kernel_scale=0.1, jitter=1e-2, kernel_type="Gaussian",
+    m_mask=None, kl_const=0.0,
 ):
     """Posterior means/vars and ELBO terms for one batch, all latent dims.
 
@@ -64,6 +113,10 @@ def svgp_batch_terms(
       recon: (L,) inside-ELBO reconstruction terms (svgp.py:96-104),
       kl: (L,) inside-ELBO KL terms (svgp.py:86-94).
 
+    m_mask/kl_const: padded-inducing support for the fused stacked-timepoint
+    epoch — zero columns of K_nm for padded slots and subtract their exact
+    closed-form KL constant (see `svgp_shared_padded`).
+
     All matmuls feeding the Cholesky factorizations run at full float32
     precision regardless of the global matmul default — bf16 MXU passes can
     make sigma_l numerically non-PSD and poison the whole model with NaNs.
@@ -71,19 +124,21 @@ def svgp_batch_terms(
     with jax.default_matmul_precision("highest"):
         return _svgp_batch_terms_impl(
             x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
-            kernel_scale, jitter, kernel_type,
+            kernel_scale, jitter, kernel_type, m_mask, kl_const,
         )
 
 
 def _svgp_batch_terms_impl(
     x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
-    kernel_scale, jitter, kernel_type,
+    kernel_scale, jitter, kernel_type, m_mask=None, kl_const=0.0,
 ):
     m = Z.shape[0]
     b_eff = jnp.maximum(jnp.sum(mask), 1.0)
     ratio = N_train / b_eff
 
     K_nm = kernel_matrix(x, Z, kernel_type, kernel_scale)  # (b, m)
+    if m_mask is not None:
+        K_nm = K_nm * m_mask[None, :]
     K_nn = kernel_diag(x, kernel_type, kernel_scale) * mask  # (b,)
     # whitened quantities (K̃ = K_mm + jitter·I = L Lᵀ):
     U = solve_triangular(L_mm, K_nm.T, lower=True)  # L⁻¹ K_mn (m, b)
@@ -133,7 +188,7 @@ def _svgp_batch_terms_impl(
             logdet_Kmm - logdet_A - m
             + jnp.trace(Kmm_inv_A)
             + jnp.sum(mu_hat * Kmm_inv_mu)
-        )
+        ) - kl_const
         # L3 reconstruction term (svgp.py:96-104)
         mean_vector = K_nm @ Kmm_inv_mu  # (b,)
         K_tilde = prec * (K_nn - diag_Qnn)

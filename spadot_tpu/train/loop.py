@@ -120,6 +120,33 @@ class Trainer:
         self._refresh_jit = jax.jit(
             self._refresh_impl, static_argnames=("n", "tp_i")
         )
+        # fused stacked-timepoint epoch: pad all per-tp shapes to a common
+        # (T, ...) stack so a WHOLE epoch — every timepoint's batch scan plus
+        # the KMeans refresh — is ONE dispatch, with the shuffled timepoint
+        # order passed as data. Over the remote-TPU tunnel the per-epoch
+        # round trips dominate wall clock (docs/performance.md), so this is
+        # the single biggest latency lever. Disabled on a mesh (per-tp path
+        # shards rows) and in windowed mode.
+        fused_cfg = str(model_config.get("fused_epoch", "auto")).lower()
+        self.fused = (
+            fused_cfg in ("auto", "true", "1")
+            and mesh is None
+            and self.gat_window == 0
+        )
+        if self.fused:
+            self._stacked = self._build_stacked(data)
+            self._fused_jit = jax.jit(
+                self._fused_epoch_impl, donate_argnums=(0, 1)
+            )
+            self._perm_cache = {}
+            self._flag_cache = {}
+            k, z = self.n_clusters, self.latent_dim
+            T = len(self.timepoints)
+            self._gamma_stack = jnp.zeros((T, k, k), dtype)
+            self._km_stacked = (
+                jnp.zeros((T, k, z), dtype),
+                jnp.zeros((T, self._stacked["Y"].shape[1]), jnp.int32),
+            )
         # staged tiny device constants: over the remote-TPU tunnel every
         # host->device transfer costs a round trip, so the per-epoch scalars
         # (beta1, use_kmeans, use_ot), the zero placeholders and the
@@ -153,17 +180,23 @@ class Trainer:
         return variables, opt_state
 
     # -- jitted epoch over one timepoint ------------------------------------
-    def _epoch_impl(
-        self, variables, opt_state, rng, tp_dev, svgp_state, batch_idx,
-        batch_mask, km_centers, km_assign, prev_centers, gamma_rn,
-        beta1, use_kmeans, use_ot,
+    def _make_batch_step(
+        self, tp_data, svgp_state, km_centers, km_assign, prev_centers,
+        gamma_rn, beta1, use_kmeans, use_ot, gated=False,
     ):
+        """Scan body for one optimizer step on one batch.
+
+        gated=False: scan xs are (idx, msk) — the per-timepoint path.
+        gated=True: xs are (idx, msk, valid); a 0-valid step (row padding of
+        the fused stacked-timepoint epoch) computes everything but commits
+        NOTHING — params, optimizer state and batch stats all keep their old
+        values, so a padded batch is exactly a no-op (AdamW's weight decay
+        and moment updates must not advance either).
+        """
         jax, jnp = self.jax, self.jnp
         import optax
 
-        from spadot_tpu.models.model import (
-            SpaDOTNet, forward_batch, kmeans_loss, ot_loss,
-        )
+        from spadot_tpu.models.model import forward_batch, kmeans_loss, ot_loss
 
         cfg = self.config
         lam1 = float(cfg["lambda1"])
@@ -172,13 +205,16 @@ class Trainer:
 
         def batch_step(carry, batch):
             variables, opt_state, rng = carry
-            idx, msk = batch
+            if gated:
+                idx, msk, valid = batch
+            else:
+                idx, msk = batch
             rng, sub = jax.random.split(rng)
 
             def loss_fn(params):
                 vars_in = {"params": params, "batch_stats": variables["batch_stats"]}
                 losses, latent, new_state = forward_batch(
-                    self.net, vars_in, sub, tp_dev, svgp_state, idx, msk,
+                    self.net, vars_in, sub, tp_data, svgp_state, idx, msk,
                     kernel_scale=self.kernel_scale, kernel_type=self.kernel_type,
                     train=True, gat_window=self.gat_window,
                 )
@@ -204,19 +240,39 @@ class Trainer:
             losses, km, otl, new_state = aux
             updates, new_opt = self.tx.update(grads, opt_state, variables["params"])
             params = optax.apply_updates(variables["params"], updates)
-            new_vars = {
-                "params": params,
-                "batch_stats": (
-                    new_state.get("batch_stats", variables["batch_stats"])
-                    if new_state else variables["batch_stats"]
-                ),
-            }
+            new_stats = (
+                new_state.get("batch_stats", variables["batch_stats"])
+                if new_state else variables["batch_stats"]
+            )
+            if gated:
+                keep = lambda new, old: jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(valid > 0, a, b), new, old
+                )
+                params = keep(params, variables["params"])
+                new_opt = keep(new_opt, opt_state)
+                new_stats = keep(new_stats, variables["batch_stats"])
+            new_vars = {"params": params, "batch_stats": new_stats}
             vec = jnp.stack(
                 [elbo, losses["Recon"], losses["SVGP_KL"], losses["GAT_KL"],
                  losses["alignment"], km, otl]
             )
+            if gated:
+                vec = vec * valid
             return (new_vars, new_opt, rng), vec
 
+        return batch_step
+
+    def _epoch_impl(
+        self, variables, opt_state, rng, tp_dev, svgp_state, batch_idx,
+        batch_mask, km_centers, km_assign, prev_centers, gamma_rn,
+        beta1, use_kmeans, use_ot,
+    ):
+        jax, jnp = self.jax, self.jnp
+
+        batch_step = self._make_batch_step(
+            tp_dev, svgp_state, km_centers, km_assign, prev_centers, gamma_rn,
+            beta1, use_kmeans, use_ot,
+        )
         (variables, opt_state, rng), vecs = jax.lax.scan(
             batch_step, (variables, opt_state, rng), (batch_idx, batch_mask)
         )
@@ -304,6 +360,248 @@ class Trainer:
                 g = g / rs
             g = np.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0)
             self._gamma_dev[gkey] = self.jnp.asarray(g, self.dtype)
+        if self.fused and gammas:
+            # chrono stack: row i holds the (tp_{i-1} -> tp_i) plan
+            k = self.n_clusters
+            stack = np.zeros((len(self.timepoints), k, k), np.float64)
+            for i in range(1, len(self.timepoints)):
+                gkey = f"{self.timepoints[i - 1]}_{self.timepoints[i]}"
+                if gkey in gammas:
+                    g = np.asarray(gammas[gkey], np.float64)
+                    rs = g.sum(axis=1, keepdims=True)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        g = g / rs
+                    stack[i] = np.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0)
+            self._gamma_stack = self.jnp.asarray(stack, self.dtype)
+
+    # -- fused stacked-timepoint epoch ---------------------------------------
+    def _build_stacked(self, data):
+        """Pad every per-timepoint array to common shapes and stack to (T, ...)
+        device arrays (chronological order). Padded ROWS carry a self-loop
+        sentinel (so no attention softmax row is ever empty), padded BATCHES
+        carry one sentinel row with zero step-validity (the gated batch step
+        commits nothing), and padded INDUCING slots are exactly inert via
+        `svgp_shared_padded`."""
+        import jax.numpy as jnp
+
+        from spadot_tpu.ops.svgp import svgp_shared_padded
+
+        tps = self.timepoints
+        T = len(tps)
+        td = data["tp_data"]
+        np_dt = np.float64 if self.dtype == jnp.float64 else np.float32
+        n_max = max(self.tp_n[tp] for tp in tps)
+        G = td[tps[0]]["Y"].shape[1]
+        Cc = td[tps[0]]["coords"].shape[1]
+        K_max = max(td[tp]["nbr"].shape[1] for tp in tps)
+        Y = np.zeros((T, n_max, G), np_dt)
+        C = np.zeros((T, n_max, Cc), np_dt)
+        NB = np.zeros((T, n_max, K_max), np.int32)
+        NM = np.zeros((T, n_max, K_max), np_dt)
+        RM = np.zeros((T, n_max), np_dt)
+        Ntr = np.zeros((T,), np_dt)
+        have_adj = all("adj" in td[tp] for tp in tps)
+        A = np.zeros((T, n_max, n_max), np_dt) if have_adj else None
+        for i, tp in enumerate(tps):
+            d = td[tp]
+            n, k = d["Y"].shape[0], d["nbr"].shape[1]
+            Y[i, :n] = d["Y"]
+            C[i, :n] = d["coords"]
+            NB[i, :n, :k] = d["nbr"]
+            NM[i, :n, :k] = d["nbr_mask"]
+            NB[i, n:, 0] = np.arange(n, n_max)
+            NM[i, n:, 0] = 1.0
+            RM[i, :n] = 1.0
+            Ntr[i] = float(d["N_train"])
+            if have_adj:
+                A[i, :n, :n] = d["adj"]
+                pad_rows = np.arange(n, n_max)
+                A[i, pad_rows, pad_rows] = 1.0
+        # padded SVGP states (exact — ops/svgp.py:svgp_shared_padded)
+        m_max = max(len(data["inducing_points"][tp]) for tp in tps)
+        Zs, Ks, Ls, MMs, KCs = [], [], [], [], []
+        for tp in tps:
+            state, m_mask, kl_const = svgp_shared_padded(
+                jnp.asarray(data["inducing_points"][tp], self.dtype), m_max,
+                self.kernel_type, self.kernel_scale,
+            )
+            Zs.append(state["Z"])
+            Ks.append(state["K_mm"])
+            Ls.append(state["L_mm"])
+            MMs.append(m_mask)
+            KCs.append(kl_const)
+        # batch tables: pad to nb_max with sentinel batches (valid = 0)
+        nb_max = max(td[tp]["batch_idx"].shape[0] for tp in tps)
+        B = td[tps[0]]["batch_idx"].shape[1]
+        BI = np.zeros((T, nb_max, B), np.int32)
+        BM = np.zeros((T, nb_max, B), np_dt)
+        BV = np.zeros((T, nb_max), np_dt)
+        for i, tp in enumerate(tps):
+            bi, bm = td[tp]["batch_idx"], td[tp]["batch_mask"]
+            nb = bi.shape[0]
+            BI[i, :nb] = bi
+            BM[i, :nb] = bm
+            BV[i, :nb] = 1.0
+            BM[i, nb:, 0] = 1.0  # sentinel row keeps masked BatchNorm finite
+        stacked = {
+            "Y": jnp.asarray(Y), "coords": jnp.asarray(C),
+            "nbr": jnp.asarray(NB), "nbr_mask": jnp.asarray(NM),
+            "row_mask": jnp.asarray(RM), "N_train": jnp.asarray(Ntr),
+            "Z": jnp.stack(Zs), "K_mm": jnp.stack(Ks), "L_mm": jnp.stack(Ls),
+            "m_mask": jnp.stack(MMs),
+            "kl_const": jnp.asarray(np.asarray(KCs, np_dt)),
+            "batch_idx": jnp.asarray(BI), "batch_mask": jnp.asarray(BM),
+            "batch_valid": jnp.asarray(BV),
+        }
+        if have_adj:
+            stacked["adj"] = jnp.asarray(A)
+        # no padded batches anywhere -> the batch step can skip the commit
+        # gating entirely (trace-time decision; saves 3 full param-tree
+        # where-selects per step)
+        self._fused_no_pad = bool(np.all(BV > 0))
+        return stacked
+
+    def _tp_slice(self, stacked, t):
+        """Per-timepoint views of the stacked arrays at traced index t."""
+        lax = self.jax.lax
+        dyn = lambda a: lax.dynamic_index_in_dim(a, t, keepdims=False)
+        tp_data = {
+            "Y": dyn(stacked["Y"]), "coords": dyn(stacked["coords"]),
+            "nbr": dyn(stacked["nbr"]), "nbr_mask": dyn(stacked["nbr_mask"]),
+            "N_train": stacked["N_train"][t],
+        }
+        if "adj" in stacked:
+            tp_data["adj"] = dyn(stacked["adj"])
+        svgp_state = {
+            "Z": dyn(stacked["Z"]), "K_mm": dyn(stacked["K_mm"]),
+            "L_mm": dyn(stacked["L_mm"]), "m_mask": dyn(stacked["m_mask"]),
+            "kl_const": stacked["kl_const"][t],
+        }
+        return tp_data, svgp_state
+
+    def _fused_epoch_impl(
+        self, variables, opt_state, rng, km_key, stacked, perm, centers_s,
+        assign_s, gamma_s, use_km_s, use_ot_s, beta1,
+    ):
+        """One WHOLE epoch — every timepoint's gated batch scan (in the
+        shuffled order `perm`) plus the per-timepoint KMeans refresh — as a
+        single jitted computation.
+
+        Returns (variables, opt_state, rng, losses_sum (7,), new centers_s,
+        new assign_s)."""
+        jax, jnp = self.jax, self.jnp
+        lax = jax.lax
+        T = len(self.timepoints)
+
+        gated = not getattr(self, "_fused_no_pad", False)
+
+        def tp_body(carry, j):
+            variables, opt_state, rng = carry
+            t = perm[j]
+            tp_data, svgp_state = self._tp_slice(stacked, t)
+            dyn = lambda a: lax.dynamic_index_in_dim(a, t, keepdims=False)
+            t_prev = jnp.maximum(t - 1, 0)
+            step = self._make_batch_step(
+                tp_data, svgp_state, dyn(centers_s), dyn(assign_s),
+                lax.dynamic_index_in_dim(centers_s, t_prev, keepdims=False),
+                dyn(gamma_s), beta1, use_km_s[t], use_ot_s[t], gated=gated,
+            )
+            xs = (dyn(stacked["batch_idx"]), dyn(stacked["batch_mask"]))
+            if gated:
+                xs = xs + (dyn(stacked["batch_valid"]),)
+            (variables, opt_state, rng), vecs = lax.scan(
+                step, (variables, opt_state, rng), xs
+            )
+            if gated:
+                w = dyn(stacked["batch_valid"])
+                vec = jnp.sum(vecs, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+            else:
+                vec = jnp.mean(vecs, axis=0)
+            return (variables, opt_state, rng), vec
+
+        (variables, opt_state, rng), vec_tp = lax.scan(
+            tp_body, (variables, opt_state, rng), jnp.arange(T)
+        )
+        losses_sum = jnp.sum(vec_tp, axis=0)
+
+        # per-tp KMeans refresh (sequential lax.map bounds peak memory at one
+        # timepoint's full-graph latents)
+        from spadot_tpu.models.model import full_latent
+        from spadot_tpu.ops.kmeans import _kmeans_fit_impl
+
+        def refresh(i):
+            tp_data, svgp_state = self._tp_slice(stacked, i)
+            row_mask = lax.dynamic_index_in_dim(
+                stacked["row_mask"], i, keepdims=False
+            )
+            lat = full_latent(
+                self.net, variables, tp_data, svgp_state,
+                kernel_scale=self.kernel_scale, kernel_type=self.kernel_type,
+                row_mask=row_mask,
+            )
+            sub = jax.random.fold_in(km_key, i)
+            with jax.default_matmul_precision("highest"):
+                centers, labels, _ = _kmeans_fit_impl(
+                    sub, lat, self.n_clusters, row_mask, 10, 100
+                )
+            return centers, labels.astype(jnp.int32)
+
+        centers_new, assign_new = lax.map(refresh, jnp.arange(T))
+        return variables, opt_state, rng, losses_sum, centers_new, assign_new
+
+    def _staged_perm(self, order):
+        key = tuple(order)
+        dev = self._perm_cache.get(key)
+        if dev is None:
+            dev = self.jnp.asarray(np.asarray(order, np.int32))
+            self._perm_cache[key] = dev
+        return dev
+
+    def _staged_flags(self, flags):
+        key = tuple(flags)
+        dev = self._flag_cache.get(key)
+        if dev is None:
+            dev = self.jnp.asarray(np.asarray(flags, np.float64), self.dtype)
+            self._flag_cache[key] = dev
+        return dev
+
+    def run_epoch_fused(self, variables, opt_state, rng, km_key, order, km,
+                        epoch, beta1):
+        """Whole-epoch fused dispatch. `order` is the shuffled list of chrono
+        timepoint indices for this epoch. Updates km['_stacked'] in place;
+        call `sync_km_views` before host consumers read km['centers']."""
+        centers_s, assign_s = km["_stacked"]
+        have_km = bool(km.get("_have", False))
+        use_km = [1.0 if (epoch >= 1 and have_km) else 0.0] * len(self.timepoints)
+        ot_on = epoch >= int(self.config["ot_epoch"])
+        use_ot = []
+        for i, tp in enumerate(self.timepoints):
+            gkey = f"{self.timepoints[i - 1]}_{tp}" if i else ""
+            use_ot.append(
+                1.0 if (ot_on and i != 0 and have_km and gkey in self._gamma_dev)
+                else 0.0
+            )
+        out = self._fused_jit(
+            variables, opt_state, rng, km_key, self._stacked,
+            self._staged_perm(order), centers_s, assign_s, self._gamma_stack,
+            self._staged_flags(use_km), self._staged_flags(use_ot),
+            self._scalar(beta1),
+        )
+        variables, opt_state, rng, losses_sum, centers_s, assign_s = out
+        km["_stacked"] = (centers_s, assign_s)
+        km["_have"] = True
+        return variables, opt_state, rng, losses_sum
+
+    def sync_km_views(self, km):
+        """Materialize per-tp views of the stacked KMeans state (host
+        consumers: OT refresh, checkpointing, analyze)."""
+        if not self.fused or km.get("_stacked") is None or not km.get("_have"):
+            return km
+        centers_s, assign_s = km["_stacked"]
+        for i, tp in enumerate(self.timepoints):
+            km["centers"][tp] = centers_s[i]
+            km["assign"][tp] = assign_s[i][: self.tp_n[tp]]
+        return km
 
     def update_ot(self, km, gammas):
         """Refresh transport plans between consecutive timepoints
@@ -349,6 +647,9 @@ def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, me
     start_epoch = 0
     gammas = {}
     km = {"centers": {}, "assign": {}}
+    if trainer.fused:
+        km["_stacked"] = trainer._km_stacked
+        km["_have"] = False
     loss_rows = []
     if resume_state is not None:
         import jax.numpy as jnp
@@ -372,6 +673,24 @@ def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, me
             if c is not None:
                 km["centers"][tp] = jnp.asarray(c)
                 km["assign"][tp] = jnp.asarray(a)
+        if trainer.fused and all(
+            km["centers"].get(tp) is not None for tp in trainer.timepoints
+        ):
+            # restack the restored per-tp KMeans state (assignments row-padded
+            # back to the stacked width)
+            n_max = int(trainer._km_stacked[1].shape[1])
+            centers_s = jnp.stack(
+                [km["centers"][tp] for tp in trainer.timepoints]
+            ).astype(trainer.dtype)
+            assign_s = jnp.stack([
+                jnp.pad(
+                    jnp.asarray(km["assign"][tp], jnp.int32),
+                    (0, n_max - trainer.tp_n[tp]),
+                )
+                for tp in trainer.timepoints
+            ])
+            km["_stacked"] = (centers_s, assign_s)
+            km["_have"] = True
         loss_rows = [np.asarray(r) for r in resume_state["loss_rows"]]
         key = jnp.asarray(resume_state["rng"])
         # restore the host python RNG (drives the per-epoch timepoint
@@ -398,18 +717,28 @@ def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, me
             t0 = _time.time()
             key, ep_key, km_key = jax.random.split(key, 3)
             random.shuffle(tp_indexed)
-            tp_losses = []
-            rng = ep_key
-            for tp_i, tp in tp_indexed:
-                variables, opt_state, rng, losses = trainer.run_epoch(
-                    variables, opt_state, rng, tp, km, gammas, tp_i, epoch,
-                    beta1s[epoch]
+            if trainer.fused:
+                # whole epoch (all tps + KMeans refresh) = ONE device dispatch
+                order = [tp_i for tp_i, _ in tp_indexed]
+                variables, opt_state, _, losses_sum = trainer.run_epoch_fused(
+                    variables, opt_state, ep_key, km_key, order, km, epoch,
+                    beta1s[epoch],
                 )
-                tp_losses.append(losses)  # device arrays; no host sync here
-            km = trainer.update_kmeans(variables, km_key, km)
+                epoch_losses = np.asarray(losses_sum)  # one sync/epoch
+            else:
+                tp_losses = []
+                rng = ep_key
+                for tp_i, tp in tp_indexed:
+                    variables, opt_state, rng, losses = trainer.run_epoch(
+                        variables, opt_state, rng, tp, km, gammas, tp_i, epoch,
+                        beta1s[epoch]
+                    )
+                    tp_losses.append(losses)  # device arrays; no host sync here
+                km = trainer.update_kmeans(variables, km_key, km)
+                epoch_losses = np.sum(np.asarray(tp_losses), axis=0)  # one sync/epoch
             if (epoch + 1) % ot_every == 0:
+                trainer.sync_km_views(km)
                 gammas = trainer.update_ot(km, gammas)
-            epoch_losses = np.sum(np.asarray(tp_losses), axis=0)  # one sync/epoch
             loss_rows.append(epoch_losses)
             if epoch % 10 == 0:
                 logger.info(
@@ -418,9 +747,11 @@ def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, me
                     epoch + 1, _time.time() - t0, *epoch_losses,
                 )
             if checkpoint_path and (epoch + 1) % 25 == 0:
+                trainer.sync_km_views(km)
                 _save_state(checkpoint_path, trainer, variables, opt_state, km,
                             gammas, key, epoch, loss_rows)
     logger.info("Training finished in %ds.", int(_time.time() - t_train0))
+    trainer.sync_km_views(km)
     loss_df = pd.DataFrame(
         np.asarray(loss_rows, dtype=np.float64).reshape(-1, len(LOSS_NAMES)),
         columns=LOSS_NAMES, index=range(len(loss_rows)),

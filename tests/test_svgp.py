@@ -81,6 +81,43 @@ def test_svgp_terms_match_naive(rng):
         np.testing.assert_allclose(float(out["kl"][l]), kl, rtol=2e-3, atol=1e-3)
 
 
+def test_svgp_padded_inducing_matches_unpadded(rng):
+    """svgp_shared_padded + m_mask + kl_const must reproduce the unpadded
+    terms EXACTLY (up to f32 roundoff) — the correctness core of the fused
+    stacked-timepoint epoch."""
+    from spadot_tpu.ops.svgp import svgp_shared_padded
+
+    b, m, m_max, L = 24, 10, 17, 3
+    x = rng.uniform(-1, 1, size=(b, 2))
+    Z = rng.uniform(-1, 1, size=(m, 2))
+    qnet_mu = rng.normal(size=(b, L))
+    qnet_var = np.exp(rng.normal(size=(b, L)) * 0.3)
+    N_train = 100.0
+
+    shared = svgp_shared(jnp.asarray(Z), "Gaussian", SCALE, JITTER)
+    ref = svgp_batch_terms(
+        jnp.asarray(x), jnp.asarray(qnet_mu), jnp.asarray(qnet_var),
+        jnp.ones(b), N_train, shared["Z"], shared["K_mm"], shared["L_mm"],
+        kernel_scale=SCALE, jitter=JITTER,
+    )
+    padded, m_mask, kl_const = svgp_shared_padded(
+        jnp.asarray(Z), m_max, "Gaussian", SCALE, JITTER
+    )
+    got = svgp_batch_terms(
+        jnp.asarray(x), jnp.asarray(qnet_mu), jnp.asarray(qnet_var),
+        jnp.ones(b), N_train, padded["Z"], padded["K_mm"], padded["L_mm"],
+        kernel_scale=SCALE, jitter=JITTER, m_mask=m_mask, kl_const=kl_const,
+    )
+    for key in ("p_m", "p_v", "recon", "kl"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]), rtol=1e-4, atol=1e-4
+        )
+    # no-pad case degenerates to identity
+    same, mm, kc = svgp_shared_padded(jnp.asarray(Z), m, "Gaussian", SCALE, JITTER)
+    assert kc == 0.0 and np.all(np.asarray(mm) == 1.0)
+    np.testing.assert_allclose(np.asarray(same["L_mm"]), np.asarray(shared["L_mm"]))
+
+
 def test_svgp_mask_matches_smaller_batch(rng):
     """Padded rows with mask=0 must reproduce the unpadded computation."""
     b, m, L = 16, 8, 2

@@ -97,6 +97,69 @@ def test_svgp_only_ablation_mode():
     assert lat.shape == (80, cfg["z_dim"] // 2)
 
 
+def test_fused_epoch_matches_per_tp_path():
+    """Fused stacked-timepoint epoch (one dispatch) vs the per-tp path on
+    EQUAL shapes (no padding): identical math, identical rng stream — the
+    first epoch's losses must agree to float roundoff and the full run stays
+    close."""
+    from spadot_tpu.train.loop import train_spadot
+
+    adata = make_synthetic_adata(n_per_tp=96, n_genes=24, n_tp=2, seed=11)
+    cfg = _tiny_config(adata, maxiter=3)
+    cfg["equal_inducing_split"] = True
+
+    runs = {}
+    for mode in ("auto", "false"):
+        c = dict(cfg)
+        c["fused_epoch"] = mode
+        set_seed(1993)
+        data = prepare_data(adata, c)
+        trainer, _, _, _, loss_df = train_spadot(data, c)
+        assert trainer.fused == (mode == "auto")
+        runs[mode] = loss_df
+    np.testing.assert_allclose(
+        runs["auto"].iloc[0].to_numpy(), runs["false"].iloc[0].to_numpy(),
+        rtol=5e-3, atol=1e-4,
+    )
+    rel = np.abs(
+        runs["auto"].to_numpy() - runs["false"].to_numpy()
+    ) / np.maximum(np.abs(runs["false"].to_numpy()), 1e-3)
+    assert np.nanmax(rel) < 0.2, rel
+
+
+def test_fused_epoch_unequal_timepoint_sizes():
+    """Row/batch/inducing padding path: unequal per-tp spot counts must train
+    finite with correct loss-schedule structure, and the padded batches must
+    commit nothing (losses comparable to the per-tp run)."""
+    from spadot_tpu.train.loop import train_spadot
+
+    adata = make_synthetic_adata(n_per_tp=[60, 130], n_genes=20, n_tp=2, seed=12)
+    cfg = _tiny_config(adata, maxiter=4)
+
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+    trainer, variables, _, host_state, fused_df = train_spadot(data, cfg)
+    assert trainer.fused
+    assert np.isfinite(fused_df.to_numpy()).all()
+    assert (fused_df["KMeans"].iloc[1:] > 0).all()
+    assert (fused_df["OT"].iloc[1:] > 0).any()
+    # km views match the stacked state and have per-tp lengths
+    km = host_state["km"]
+    for i, tp in enumerate(trainer.timepoints):
+        assert km["assign"][tp].shape[0] == trainer.tp_n[tp]
+
+    c2 = dict(cfg)
+    c2["fused_epoch"] = "false"
+    set_seed(1993)
+    data2 = prepare_data(adata, c2)
+    _, _, _, _, pertp_df = train_spadot(data2, c2)
+    # padding changes the rng stream, so equality is statistical: same
+    # magnitudes at epoch 0
+    r0 = fused_df.iloc[0].to_numpy()
+    p0 = pertp_df.iloc[0].to_numpy()
+    np.testing.assert_allclose(r0, p0, rtol=0.5, atol=1.0)
+
+
 def test_windowed_gat_mode_trains():
     """O(window) minibatch GAT (full_graph_gat: false) for large spot counts."""
     from spadot_tpu.train.loop import train_spadot
