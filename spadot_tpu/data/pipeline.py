@@ -118,8 +118,11 @@ def prepare_data(adata, model_config):
             and n <= int(model_config.get("gat_dense_max_n", 4096))
         ):
             from spadot_tpu.ops.gat import dense_adjacency
+            from spadot_tpu.ops.gat_flash import pad_adjacency
 
-            adj = dense_adjacency(nbr, nbr_mask)
+            # lane-aligned padded mask: ready for the fused flash kernel,
+            # and the XLA dense path handles n_pad >= n transparently
+            adj = pad_adjacency(dense_adjacency(nbr, nbr_mask))
         tp_data[tp] = {
             "Y": X[rows],
             "coords": coords_tp,

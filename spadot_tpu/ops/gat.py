@@ -159,13 +159,20 @@ def gat_attention_dense(
     below ~4k rows where the scan-gather path is HBM-latency-bound (measured
     in docs/performance.md); above that the n^2 terms lose to O(n*K).
 
-    adj_mask: (n, n) {0,1}, self-loops on the diagonal (so no row is empty).
+    adj_mask: (n_pad, n_pad) {0,1} with n_pad >= n rows of h, self-loops on
+    the diagonal INCLUDING padded rows (so no softmax row is ever empty —
+    an empty row would poison the backward with NaN cotangents). Outputs are
+    sliced back to h's n rows. `ops/gat_flash.py:pad_adjacency` builds the
+    lane-aligned padded mask once per timepoint.
     """
     n = h.shape[0]
+    n_pad = adj_mask.shape[0]
+    if n_pad != n:
+        h = jnp.pad(h, ((0, n_pad - n), (0, 0)))
     HF = W.shape[1]
     H = att_src.shape[0]
     F = HF // H
-    Wx = (h @ W).reshape(n, H, F)
+    Wx = (h @ W).reshape(n_pad, H, F)
     e_src = jnp.einsum("nhf,hf->nh", Wx, att_src)  # neighbor-side scores
     e_dst = jnp.einsum("nhf,hf->nh", Wx, att_dst)  # center-side scores
     # (H, n_center, n_neighbor) logits
@@ -175,7 +182,7 @@ def gat_attention_dense(
     e = jnp.where(keep, e, -jnp.inf)
     alpha = jax.nn.softmax(e, axis=2)
     alpha = jnp.where(keep, alpha, 0.0)
-    out = jnp.einsum("hij,jhf->ihf", alpha, Wx)
+    out = jnp.einsum("hij,jhf->ihf", alpha, Wx)[:n]
     if concat:
         out = out.reshape(n, H * F)
     else:

@@ -1,0 +1,245 @@
+"""Flash-style fused dense-adjacency GAT attention (Pallas TPU kernel).
+
+The XLA dense path (ops/gat.py:gat_attention_dense) materializes the
+(H, n, n) logits and softmax tensors in HBM several times per layer —
+measured HBM-bound at ~2.7 ms/layer fwd+bwd at n=2500 (docs/performance.md).
+This kernel computes logits -> leaky_relu -> masked softmax -> alpha @ Wx
+entirely in VMEM per (head, center-row-tile) grid step, so HBM traffic drops
+to adj + Wx + outputs (~25x less). The backward recomputes the softmax from
+the same tiles (flash-attention style) and accumulates dWx / d_scores across
+row tiles in revisited output blocks.
+
+Scope: one (n_pad, n_pad) adjacency tile row fits VMEM alongside one head of
+Wx, i.e. n_pad*F*4 + Ti*n_pad*4 within ~12 MB -> n up to ~3k at F=512 (the
+ChickenHeart regime; larger n takes the XLA dense or windowed paths).
+Replaces: reference GATConv dense pass (SpaDOT/model/encoder.py:41-46,
+dense adjacency at SpaDOT/utils/_utils.py:98-99).
+"""
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+_SLOPE = 0.2  # PyG GATConv default negative_slope (encoder.py uses default)
+TILE = 128
+# tests flip this to run the kernels in the Pallas interpreter on CPU
+INTERPRET = False
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _fwd_kernel(ed_ref, es_ref, adj_ref, wx_ref, out_ref):
+    """One (head, center-tile) step: full-row masked softmax + aggregation."""
+    ed = ed_ref[0]            # (Ti, 1)
+    es = es_ref[0]            # (1, n_pad)
+    # int8 mask in HBM; compare in f32 (v5e Mosaic lacks int8 compares)
+    adj = adj_ref[:].astype(jnp.float32)   # (Ti, n_pad)
+    logits = ed + es          # (Ti, n_pad)
+    logits = jnp.where(logits >= 0, logits, _SLOPE * logits)
+    keep = adj > 0
+    logits = jnp.where(keep, logits, NEG)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.where(keep, jnp.exp(logits - m), 0.0)
+    s = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+    alpha = p / s
+    out_ref[0] = jax.lax.dot_general(
+        alpha, wx_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bwd_kernel(ed_ref, es_ref, adj_ref, wx_ref, g_ref,
+                ded_ref, des_ref, dwx_ref):
+    """Backward for one (head, center-tile): recompute softmax, emit
+    d_e_dst (per tile) and accumulate d_e_src / dWx across tiles."""
+    i = pl.program_id(1)
+    ed = ed_ref[0]
+    es = es_ref[0]
+    adj = adj_ref[:].astype(jnp.float32)
+    raw = ed + es
+    logits = jnp.where(raw >= 0, raw, _SLOPE * raw)
+    keep = adj > 0
+    logits = jnp.where(keep, logits, NEG)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.where(keep, jnp.exp(logits - m), 0.0)
+    s = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+    alpha = p / s             # (Ti, n_pad)
+
+    g = g_ref[0]              # (Ti, F)
+    wx = wx_ref[0]            # (n_pad, F)
+    # dalpha = g @ Wx^T  (contract F)
+    dalpha = jax.lax.dot_general(
+        g, wx, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    t = jnp.sum(dalpha * alpha, axis=1, keepdims=True)
+    dp = (dalpha - t) * alpha            # softmax backward
+    dlog = jnp.where(raw >= 0, dp, _SLOPE * dp)  # leaky_relu backward
+
+    ded_ref[0] = jnp.sum(dlog, axis=1, keepdims=True)          # (Ti, 1)
+
+    @pl.when(i == 0)
+    def _():
+        des_ref[0] = jnp.zeros_like(des_ref[0])
+        dwx_ref[0] = jnp.zeros_like(dwx_ref[0])
+
+    des_ref[0] += jnp.sum(dlog, axis=0, keepdims=True)          # (1, n_pad)
+    # dWx += alpha^T @ g  (contract Ti)
+    dwx_ref[0] += jax.lax.dot_general(
+        alpha, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _flash_core(ed, es, adj, wx):
+    """(H, n_pad, 1), (H, 1, n_pad), (n_pad, n_pad), (H, n_pad, F) ->
+    (H, n_pad, F) aggregated outputs."""
+    out, _ = _flash_fwd(ed, es, adj, wx)
+    return out
+
+
+def _flash_fwd(ed, es, adj, wx):
+    H, n_pad, F = wx.shape
+    grid = (H, n_pad // TILE)
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TILE, 1), lambda h, i: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, n_pad), lambda h, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, F), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, F), lambda h, i: (h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, n_pad, F), jnp.float32),
+        interpret=INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * n_pad * n_pad * F,
+            transcendentals=H * n_pad * n_pad,
+            bytes_accessed=H * n_pad * (n_pad + 8 * F),
+        ),
+    )(ed, es, adj, wx)
+    return out, (ed, es, adj, wx)
+
+
+def _flash_bwd(res, g):
+    ed, es, adj, wx = res
+    H, n_pad, F = wx.shape
+    grid = (H, n_pad // TILE)
+    ded, des, dwx = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TILE, 1), lambda h, i: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, n_pad), lambda h, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, F), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, F), lambda h, i: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE, 1), lambda h, i: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, F), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((H, 1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((H, n_pad, F), jnp.float32),
+        ],
+        interpret=INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * H * n_pad * n_pad * F,
+            transcendentals=H * n_pad * n_pad,
+            bytes_accessed=2 * H * n_pad * (n_pad + 8 * F),
+        ),
+    )(ed, es, adj, wx, g)
+    return ded, des, None, dwx
+
+
+_flash_core.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_dense_max_n(F=512, H=4, budget_bytes=12 * 2**20):
+    """Largest n_pad whose per-step VMEM working set (one head of Wx + one
+    adjacency row-tile + logits) fits the budget."""
+    # wx: n*F*4 (+ double buffer of adj tile and logits ~3 * TILE*n*4)
+    n = budget_bytes // (4 * (F + 4 * TILE))
+    return (n // TILE) * TILE
+
+
+def gat_attention_dense_flash(
+    h, adj_pad, W, att_src, att_dst, bias, *, concat=True, n=None
+):
+    """Drop-in fused-kernel variant of `gat_attention_dense`.
+
+    adj_pad: (n_pad, n_pad) adjacency already padded to a multiple of 128
+    (padded rows/cols all-zero; host builds this once per timepoint).
+    h may be (n, F_in) with n <= n_pad; rows are zero-padded here.
+    Returns (n, H*F) / (n, F) like the XLA path.
+    """
+    n = h.shape[0] if n is None else n
+    n_pad = adj_pad.shape[0]
+    HF = W.shape[1]
+    H = att_src.shape[0]
+    F = HF // H
+    Wx = (h @ W).reshape(-1, H, F)
+    if Wx.shape[0] < n_pad:
+        Wx = jnp.pad(Wx, ((0, n_pad - Wx.shape[0]), (0, 0), (0, 0)))
+    e_src = jnp.einsum("nhf,hf->nh", Wx, att_src)
+    e_dst = jnp.einsum("nhf,hf->nh", Wx, att_dst)
+    wx_h = Wx.transpose(1, 0, 2).astype(jnp.float32)       # (H, n_pad, F)
+    ed = e_dst.T[:, :, None].astype(jnp.float32)           # (H, n_pad, 1)
+    es = e_src.T[:, None, :].astype(jnp.float32)           # (H, 1, n_pad)
+    out = _flash_core(ed, es, adj_pad, wx_h)
+    out = out.transpose(1, 0, 2)[:n]                       # (n, H, F)
+    if concat:
+        out = out.reshape(n, H * F)
+    else:
+        out = jnp.mean(out, axis=1)
+    return (out + bias).astype(h.dtype)
+
+
+def pad_adjacency(adj):
+    """Host-side: pad an (n, n) {0,1} adjacency to a multiple-of-128 square.
+
+    Padded rows get a diagonal self-loop: an all-masked softmax row would be
+    NaN in the XLA dense path's backward (NaN·0 cotangents leak into dW), so
+    every row keeps at least one valid slot. Padded outputs are sliced away
+    by the callers. Stored int8 — the mask is pure HBM traffic (read once
+    per head per pass), so 1 byte/entry quarters it vs float32."""
+    n = adj.shape[0]
+    n_pad = _round_up(n, TILE)
+    out = np.zeros((n_pad, n_pad), np.int8)
+    out[:n, :n] = np.asarray(adj) > 0
+    pad_rows = np.arange(n, n_pad)
+    out[pad_rows, pad_rows] = 1
+    return out
+
+
+def flash_gat_supported():
+    """Runtime probe mirroring ops/gat_pallas.py:pallas_gat_supported."""
+    from spadot_tpu.ops.gat_pallas import pallas_gat_supported
+
+    return pallas_gat_supported()

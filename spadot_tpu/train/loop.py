@@ -95,8 +95,8 @@ class Trainer:
             if "adj" in d and mesh is None:
                 # dense small-n attention path (single-device only: on a mesh
                 # the row-sharded gather path is used so 1-dev and N-dev runs
-                # trace identically)
-                dev["adj"] = jnp.asarray(d["adj"], dtype)
+                # trace identically); int8 mask as built by pad_adjacency
+                dev["adj"] = jnp.asarray(d["adj"])
             if mesh is not None:
                 dev = shard_tp_data(dev, mesh)
             self.tp_dev[tp] = dev
@@ -401,7 +401,12 @@ class Trainer:
         RM = np.zeros((T, n_max), np_dt)
         Ntr = np.zeros((T,), np_dt)
         have_adj = all("adj" in td[tp] for tp in tps)
-        A = np.zeros((T, n_max, n_max), np_dt) if have_adj else None
+        if have_adj:
+            # per-tp adj is already lane-padded int8 (np_i, np_i); stack
+            np_max = max(td[tp]["adj"].shape[0] for tp in tps)
+            A = np.zeros((T, np_max, np_max), np.int8)
+        else:
+            A = None
         for i, tp in enumerate(tps):
             d = td[tp]
             n, k = d["Y"].shape[0], d["nbr"].shape[1]
@@ -414,8 +419,9 @@ class Trainer:
             RM[i, :n] = 1.0
             Ntr[i] = float(d["N_train"])
             if have_adj:
-                A[i, :n, :n] = d["adj"]
-                pad_rows = np.arange(n, n_max)
+                np_i = d["adj"].shape[0]
+                A[i, :np_i, :np_i] = d["adj"]
+                pad_rows = np.arange(np_i, A.shape[1])
                 A[i, pad_rows, pad_rows] = 1.0
         # padded SVGP states (exact — ops/svgp.py:svgp_shared_padded)
         m_max = max(len(data["inducing_points"][tp]) for tp in tps)
