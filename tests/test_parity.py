@@ -99,5 +99,10 @@ def test_float64_agrees_with_float32_at_epoch0():
     part (d)."""
     f32 = _load("float32").iloc[0]
     f64 = _load("float64").iloc[0]
-    for comp in ("elbo", "Recon", "GAT_KL"):
+    # elbo/Recon are data-scale-determined -> tight. GAT_KL at epoch 0 is the
+    # prior-KL of the freshly initialized encoder, and x64 mode consumes
+    # different RNG bits for the init draws (jax.random uniform widths), so
+    # the two dtypes start from genuinely different parameters -> loose.
+    for comp in ("elbo", "Recon"):
         assert abs(f32[comp] / f64[comp] - 1.0) < 0.05, comp
+    assert abs(f32["GAT_KL"] / f64["GAT_KL"] - 1.0) < 0.25
