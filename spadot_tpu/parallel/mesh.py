@@ -50,11 +50,21 @@ def shard_tp_data(dev, mesh):
     sharded = {}
     s_spot = spot_sharding(mesh)
     s_rep = replicated(mesh)
+    n = np.asarray(dev["Y"]).shape[0]
     for k, v in dev.items():
         if hasattr(v, "ndim") and v.ndim >= 1 and k in (
             "Y", "coords", "nbr", "nbr_mask", "rev_src", "rev_slot", "rev_mask"
         ):
             arr = _pad_rows(np.asarray(v), n_dev)
+            if k == "nbr" and arr.shape[0] > n:
+                # padded rows get a self-loop sentinel: an all-masked GAT
+                # softmax row is NaN and its backward leaks NaN·0 cotangents
+                # into the weight gradients
+                arr = arr.copy()
+                arr[n:, 0] = np.arange(n, arr.shape[0])
+            if k == "nbr_mask" and arr.shape[0] > n:
+                arr = arr.copy()
+                arr[n:, 0] = 1.0
             sharded[k] = jax.device_put(arr, s_spot)
         else:
             sharded[k] = jax.device_put(np.asarray(v), s_rep)

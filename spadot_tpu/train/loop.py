@@ -62,6 +62,10 @@ class Trainer:
             0 if model_config.get("full_graph_gat", True)
             else int(model_config.get("gat_window", 512))
         )
+        # windows up to this many rows run dense-adjacency attention
+        self.gat_window_dense_max = int(
+            model_config.get("gat_window_dense_max", 10000)
+        )
 
         # float32 by default; `dtype: float64` (with jax x64 enabled by
         # resolve_dtype) runs the data/SVGP path in f64 for parity ablations
@@ -217,6 +221,7 @@ class Trainer:
                     self.net, vars_in, sub, tp_data, svgp_state, idx, msk,
                     kernel_scale=self.kernel_scale, kernel_type=self.kernel_type,
                     train=True, gat_window=self.gat_window,
+                    gat_window_dense_max=self.gat_window_dense_max,
                 )
                 km = use_kmeans * kmeans_loss(
                     latent, idx, msk, km_assign, km_centers, self.latent_dim

@@ -61,6 +61,40 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4)
 
 
+def test_sharded_step_with_row_padding():
+    """Spot counts NOT divisible by the mesh exercise row padding; padded
+    GAT rows must carry a self-loop sentinel (an all-masked softmax row
+    NaN-poisons the backward) and gradients/losses must stay finite AND
+    match the unsharded run."""
+    from spadot_tpu.train.loop import Trainer
+
+    adata = make_synthetic_adata(n_per_tp=67, n_genes=16, n_tp=1, seed=7)
+    cfg = default_config()
+    cfg.update(
+        input_dim=16, timepoints=[0], maxiter=2, ot_epoch=1, batch_size=32,
+        inducing_point_nums=20, gat_encoder_hidden=8, gat_attention_heads=2,
+        svgp_encoder_layers=[16, 8], decoder_layers=[8, 16], n_clusters=3,
+    )
+    results = {}
+    for mesh in (None, make_mesh({"data": 8})):
+        set_seed(1993)
+        data = prepare_data(adata, cfg)
+        t = Trainer(cfg, data, mesh=mesh)
+        v, o = t.init_state(jax.random.PRNGKey(0))
+        km = {"centers": {}, "assign": {}}
+        for epoch in range(2):
+            v, o, _, losses = t.run_epoch(
+                v, o, jax.random.PRNGKey(1 + epoch), 0, km, {}, 0, epoch, 0.5
+            )
+        assert np.isfinite(np.asarray(losses)).all()
+        for leaf in jax.tree_util.tree_leaves(v["params"]):
+            assert np.isfinite(np.asarray(leaf)).all()
+        results["mesh" if mesh else "single"] = np.asarray(losses)
+    np.testing.assert_allclose(
+        results["mesh"], results["single"], rtol=2e-3, atol=2e-3
+    )
+
+
 def test_sharded_latent_and_kmeans():
     mesh = make_mesh({"data": 8})
     t8, _ = _setup(mesh=mesh)

@@ -174,6 +174,32 @@ def test_windowed_gat_mode_trains():
     assert (loss_df["GAT_KL"] != 0).all()
 
 
+def test_windowed_dense_matches_windowed_lists():
+    """The dense-window attention (scatter-built window adjacency) enumerates
+    exactly the edges of the sliced neighbor-list graph, so both windowed
+    variants must produce the same training trajectory to f32 roundoff."""
+    from spadot_tpu.train.loop import train_spadot
+
+    adata = make_synthetic_adata(n_per_tp=120, n_genes=24, n_tp=1, seed=6)
+    base = _tiny_config(adata, maxiter=2)
+    base.update(full_graph_gat=False, gat_window=32, batch_size=48)
+    runs = {}
+    for dense_max, name in ((10000, "dense"), (0, "lists")):
+        cfg = dict(base)
+        cfg["gat_window_dense_max"] = dense_max
+        set_seed(1993)
+        data = prepare_data(adata, cfg)
+        _, _, _, _, loss_df = train_spadot(data, cfg)
+        runs[name] = loss_df.to_numpy()
+    np.testing.assert_allclose(
+        runs["dense"][0], runs["lists"][0], rtol=5e-3, atol=1e-4
+    )
+    rel = np.abs(runs["dense"] - runs["lists"]) / np.maximum(
+        np.abs(runs["lists"]), 1e-3
+    )
+    assert np.nanmax(rel) < 0.2, rel
+
+
 def test_string_timepoints_end_to_end(tmp_path):
     """Real datasets carry non-numeric timepoint labels (e.g. 'D4')."""
     from spadot_tpu.train.loop import get_latent, train_spadot
