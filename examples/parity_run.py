@@ -89,6 +89,12 @@ def main():
         input_dim=N_GENES, timepoints=[0, 1, 2, 3], maxiter=maxiter,
         dtype=dtype,
     )
+    if os.environ.get("SPADOT_PARITY_CFG"):
+        # ad-hoc overrides, e.g. '{"gat_dense_max_n": 0}' to skip the dense
+        # attention path on CPU f64 runs (n^2 f64 matmuls are slow there)
+        import json
+
+        cfg.update(json.loads(os.environ["SPADOT_PARITY_CFG"]))
     resolve_dtype(cfg)
     jax.config.update(
         "jax_default_matmul_precision", cfg.get("matmul_precision", "highest")
