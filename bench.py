@@ -108,10 +108,16 @@ def main():
     _cap_tp = {"tp": None}
     _cap_args = {}
 
-    def _capturing_epoch_jit(*a):
-        _cap_args[_cap_tp["tp"]] = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), a
+    def _sds(x):
+        # read shape/dtype WITHOUT np.asarray (which would device->host copy
+        # every arg, including the stacked dataset, over the slow tunnel)
+        dt = getattr(x, "dtype", None)
+        return jax.ShapeDtypeStruct(
+            np.shape(x), dt if dt is not None else np.asarray(x).dtype
         )
+
+    def _capturing_epoch_jit(*a):
+        _cap_args[_cap_tp["tp"]] = jax.tree_util.tree_map(_sds, a)
         return _real_epoch_jit(*a)
 
     trainer._epoch_jit = _capturing_epoch_jit
@@ -119,9 +125,7 @@ def main():
         _real_fused_jit = trainer._fused_jit
 
         def _capturing_fused_jit(*a):
-            _cap_args["fused"] = jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), a
-            )
+            _cap_args["fused"] = jax.tree_util.tree_map(_sds, a)
             return _real_fused_jit(*a)
 
         trainer._fused_jit = _capturing_fused_jit

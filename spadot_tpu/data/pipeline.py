@@ -115,7 +115,7 @@ def prepare_data(adata, model_config):
         adj = None
         if (
             model_config.get("full_graph_gat", True)
-            and n <= int(model_config.get("gat_dense_max_n", 4096))
+            and n <= int(model_config.get("gat_dense_max_n", 10000))
         ):
             from spadot_tpu.ops.gat import dense_adjacency
             from spadot_tpu.ops.gat_flash import pad_adjacency

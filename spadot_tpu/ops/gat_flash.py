@@ -181,10 +181,15 @@ def _flash_bwd(res, g):
 _flash_core.defvjp(_flash_fwd, _flash_bwd)
 
 
-def flash_dense_max_n(F=512, H=4, budget_bytes=12 * 2**20):
-    """Largest n_pad whose per-step VMEM working set (one head of Wx + one
-    adjacency row-tile + logits) fits the budget."""
-    # wx: n*F*4 (+ double buffer of adj tile and logits ~3 * TILE*n*4)
+def flash_dense_max_n(F=512, H=4, budget_bytes=10 * 2**20 + 2**19):
+    """Largest n_pad whose per-step VMEM working set fits.
+
+    The BACKWARD is the binding constraint: it holds wx (n*F*4) AND the dwx
+    accumulator block (n*F*4 again) plus g, the adj tile and the softmax
+    recompute temporaries. The budget is calibrated to the largest size
+    measured to lower AND run fwd+bwd on a v5e (n_pad = 2560 at F = 512,
+    H = 4 — scripts/bench_gat_paths.py); n_pad = 3072 is untested and may
+    exhaust VMEM at lowering time."""
     n = budget_bytes // (4 * (F + 4 * TILE))
     return (n // TILE) * TILE
 

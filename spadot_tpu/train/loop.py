@@ -91,8 +91,15 @@ class Trainer:
                 "N_train": jnp.asarray(d["N_train"], dtype),
             }
             rev_cfg = model_config.get("gat_rev_backward", True)
-            if "rev_src" in d and rev_cfg not in (False, "off"):
-                # scatter-free GAT backward lists (ops/gat.py)
+            fused_cfg_early = str(model_config.get("fused_epoch", "auto")).lower()
+            will_fuse = (
+                fused_cfg_early in ("auto", "true", "1") and mesh is None
+                and model_config.get("full_graph_gat", True)
+            )
+            if "rev_src" in d and rev_cfg not in (False, "off") and not will_fuse:
+                # scatter-free GAT backward lists (ops/gat.py). In fused mode
+                # the per-tp epoch path that consumes them never runs, so the
+                # (n, Kr) uploads over the tunnel are skipped entirely.
                 dev["rev_src"] = jnp.asarray(d["rev_src"])
                 dev["rev_slot"] = jnp.asarray(d["rev_slot"])
                 dev["rev_mask"] = jnp.asarray(d["rev_mask"], dtype)
@@ -313,6 +320,10 @@ class Trainer:
         if epoch >= int(self.config["ot_epoch"]) and tp_i != 0:
             prev_tp = self.timepoints[tp_i - 1]
             gkey = f"{prev_tp}_{tp}"
+            if gkey not in self._gamma_dev and gkey in gammas:
+                # caller provided a plan that was never staged (e.g. a direct
+                # run_epoch driver) — stage it so it is not silently ignored
+                self.stage_gammas({gkey: gammas[gkey]})
             if gkey in self._gamma_dev and km["centers"].get(prev_tp) is not None:
                 gamma_rn = self._gamma_dev[gkey]
                 prev_centers = km["centers"][prev_tp]
@@ -366,17 +377,14 @@ class Trainer:
             g = np.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0)
             self._gamma_dev[gkey] = self.jnp.asarray(g, self.dtype)
         if self.fused and gammas:
-            # chrono stack: row i holds the (tp_{i-1} -> tp_i) plan
+            # chrono stack: row i holds the (tp_{i-1} -> tp_i) plan, reusing
+            # the already-normalized staged entries
             k = self.n_clusters
             stack = np.zeros((len(self.timepoints), k, k), np.float64)
             for i in range(1, len(self.timepoints)):
                 gkey = f"{self.timepoints[i - 1]}_{self.timepoints[i]}"
-                if gkey in gammas:
-                    g = np.asarray(gammas[gkey], np.float64)
-                    rs = g.sum(axis=1, keepdims=True)
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        g = g / rs
-                    stack[i] = np.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0)
+                if gkey in self._gamma_dev:
+                    stack[i] = np.asarray(self._gamma_dev[gkey])
             self._gamma_stack = self.jnp.asarray(stack, self.dtype)
 
     # -- fused stacked-timepoint epoch ---------------------------------------

@@ -347,8 +347,14 @@ def test_rev_backward_full_model_grad_equality(windowed):
 
     adata = make_synthetic_adata(n_per_tp=90, n_genes=20, n_tp=1, seed=11)
     cfg = _tiny_config(adata, maxiter=1)
+    # fused mode skips staging the reverse lists (its epoch never reads
+    # them); force the per-tp path this test exercises
+    cfg["fused_epoch"] = "false"
+    # the dense-adjacency path would shadow the gather+rev path under test
+    cfg["gat_dense_max_n"] = 0
     if windowed:
-        cfg.update(full_graph_gat=False, gat_window=24, batch_size=32)
+        cfg.update(full_graph_gat=False, gat_window=24, batch_size=32,
+                   gat_window_dense_max=0)
     set_seed(1993)
     data = prepare_data(adata, cfg)
     trainer = Trainer(cfg, data)
@@ -365,6 +371,7 @@ def test_rev_backward_full_model_grad_equality(windowed):
             rng, td, trainer.svgp_states[0], idx[0], msk[0],
             kernel_scale=trainer.kernel_scale, kernel_type=trainer.kernel_type,
             train=False, gat_window=trainer.gat_window,
+            gat_window_dense_max=trainer.gat_window_dense_max,
         )
         return (
             losses["Recon"] + losses["GAT_KL"] + losses["SVGP_KL"]
