@@ -6,7 +6,10 @@ over k=4..20, diffs filtered at 10% of the WSS range, argmax of the
 consecutive-diff ratio, elbow plot saved per timepoint). sklearn is used here
 deliberately — this is a tiny host-side post-processing stage and sklearn
 matches the reference bit-for-bit; the device KMeans (ops/kmeans.py) serves
-the in-training refresh loop.
+the in-training refresh loop. The elbow-selection arithmetic intentionally
+MIRRORS the reference's rule step for step (artifact parity: identical k
+choices on identical WSS curves), so this module is fidelity-first, not a
+re-design.
 """
 import os
 

@@ -1,5 +1,12 @@
 """Figures: per-timepoint domain scatter plots and transition-probability
-dotplots (parity with SpaDOT/utils/_analyze_utils.py:140-209)."""
+dotplots (parity with SpaDOT/utils/_analyze_utils.py:140-209).
+
+NOTE: the matplotlib bodies here (figsize formula, grey-below-0.2 rule,
+s = value*500 dot sizing, colorbar calls) deliberately TRANSCRIBE the
+reference's plotting code — pixel-level parity of the PNG artifacts is a
+stated contract goal and there is essentially one way to express it. This
+is the one module where fidelity beats re-design; everything upstream of
+the figures is original."""
 import os
 
 import numpy as np
