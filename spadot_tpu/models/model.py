@@ -234,8 +234,12 @@ def forward_batch(
                 rows_w = jnp.broadcast_to(
                     jnp.arange(win_size)[:, None], rel.shape
                 )
-                adj_win = jnp.zeros((win_size, win_size), Y.dtype)
-                adj_win = adj_win.at[rows_w, rel].max(msk_win)
+                # int8 mask: the (win, win) zeros-init + scatter runs every
+                # batch step — 1 byte/entry quarters that HBM traffic
+                adj_win = jnp.zeros((win_size, win_size), jnp.int8)
+                adj_win = adj_win.at[rows_w, rel].max(
+                    msk_win.astype(jnp.int8)
+                )
             elif rev is not None:
                 # window-local reverse lists: slice rows (targets j), re-base
                 # sources to window coordinates, and drop reverse edges whose
