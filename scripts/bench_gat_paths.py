@@ -70,8 +70,8 @@ def bench_n(n, rng):
     r["dense"] = timed(g_dense, h, adj, W, a_s, a_d, b)
 
     from spadot_tpu.ops.gat_flash import (
-        flash_dense_max_n, flash_gat_supported, gat_attention_dense_flash,
-        pad_adjacency,
+        flash2_gat_supported, flash_dense_max_n, flash_gat_supported,
+        gat_attention_dense_flash, gat_attention_dense_flash2, pad_adjacency,
     )
 
     adj_pad = jnp.asarray(pad_adjacency(np.asarray(
@@ -85,6 +85,15 @@ def bench_n(n, rng):
         r["flash"] = timed(g_flash, h, adj_pad, W, a_s, a_d, b)
     else:
         r["flash"] = float("nan")
+    if flash2_gat_supported():
+        def loss_flash2(h, adj_pad, W, a_s, a_d, b):
+            out = gat_attention_dense_flash2(h, adj_pad, W, a_s, a_d, b)
+            return jnp.sum(out**2)
+
+        g_flash2 = jax.jit(jax.grad(loss_flash2, argnums=(0, 2)))
+        r["flash2"] = timed(g_flash2, h, adj_pad, W, a_s, a_d, b)
+    else:
+        r["flash2"] = float("nan")
 
     # agreement check (dense vs gather forward)
     o1 = gat_attention(h, nbr, msk, W, a_s, a_d, b)
@@ -97,11 +106,12 @@ def main():
     ns = [int(a) for a in sys.argv[1:]] or [1000, 2000, 2500, 3500, 4000, 5000]
     rng = np.random.default_rng(0)
     print(f"{'n':>6} {'K':>3} {'xla_auto':>10} {'xla_rev':>10} {'dense':>10}"
-          f" {'flash':>10} {'maxdiff':>10}")
+          f" {'flash':>10} {'flash2':>10} {'maxdiff':>10}")
     for n in ns:
         k, r = bench_n(n, rng)
         print(f"{n:>6} {k:>3} {r['xla_autodiff']:>10.2f} {r['xla_rev']:>10.2f}"
-              f" {r['dense']:>10.2f} {r['flash']:>10.2f} {r['max_abs_diff']:>10.2e}")
+              f" {r['dense']:>10.2f} {r['flash']:>10.2f} {r['flash2']:>10.2f}"
+              f" {r['max_abs_diff']:>10.2e}")
 
 
 if __name__ == "__main__":

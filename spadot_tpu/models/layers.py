@@ -17,7 +17,9 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from spadot_tpu.ops.gat import gat_attention, gat_attention_dense
-from spadot_tpu.ops.gat_flash import flash_dense_max_n, gat_attention_dense_flash
+from spadot_tpu.ops.gat_flash import (
+    FLASH2_MAX_N, flash2_tile, flash_dense_max_n, gat_attention_dense_flash,
+)
 
 _XAVIER = nn.initializers.xavier_uniform()
 
@@ -88,16 +90,30 @@ class GATLayer(nn.Module):
         bias_shape = (H * F,) if self.concat else (F,)
         bias = self.param("bias", nn.initializers.zeros, bias_shape, self.param_dtype)
         if adj is not None:
-            # lane-aligned adj + fused flash kernel where it fits VMEM
-            # (ops/gat_flash.py); XLA dense otherwise — same math
-            if (
-                self.use_pallas and F % 128 == 0
-                and adj.shape[0] % 128 == 0
-                and adj.shape[0] <= flash_dense_max_n(F, H)
-            ):
-                return gat_attention_dense_flash(
-                    h, adj, W, att_src, att_dst, bias, concat=self.concat
-                )
+            # lane-aligned adj: fused flash kernel where one head of Wx fits
+            # VMEM; tiled FA2-style kernel beyond (no n cap); XLA dense as
+            # the fallback — all the same math (ops/gat_flash.py)
+            if self.use_pallas and F % 128 == 0:
+                if (
+                    adj.shape[0] % 128 == 0
+                    and adj.shape[0] <= flash_dense_max_n(F, H)
+                ):
+                    return gat_attention_dense_flash(
+                        h, adj, W, att_src, att_dst, bias, concat=self.concat
+                    )
+                if (
+                    adj.shape[0] % flash2_tile()[1] == 0
+                    and adj.shape[0] <= FLASH2_MAX_N
+                ):
+                    from spadot_tpu.ops.gat_flash import (
+                        flash2_gat_supported, gat_attention_dense_flash2,
+                    )
+
+                    if flash2_gat_supported():
+                        return gat_attention_dense_flash2(
+                            h, adj, W, att_src, att_dst, bias,
+                            concat=self.concat,
+                        )
             return gat_attention_dense(
                 h, adj, W, att_src, att_dst, bias, concat=self.concat
             )

@@ -226,8 +226,287 @@ def gat_attention_dense_flash(
     return (out + bias).astype(h.dtype)
 
 
-def pad_adjacency(adj):
-    """Host-side: pad an (n, n) {0,1} adjacency to a multiple-of-128 square.
+# ---------------------------------------------------------------------------
+# tiled variant (FlashAttention-2 structure): online softmax over j tiles, so
+# VMEM holds only (TILE_I, TILE_J) work tiles — no n cap beyond FLOPs. Used
+# for the mid-size regime (flash_dense_max_n < n_pad <= ~16k: large windows
+# of the atlas training path, full graphs up to ~20k) where the XLA dense
+# path materializes (H, n, n) tensors in HBM.
+# ---------------------------------------------------------------------------
+
+TILE_I = 256
+TILE_J = 512
+
+
+def _flash2_fwd_kernel(ed_ref, es_ref, adj_ref, wx_ref,
+                       out_ref, m_ref, l_ref, acc, m_s, l_s):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        m_s[:] = jnp.full_like(m_s, NEG)
+        l_s[:] = jnp.zeros_like(l_s)
+
+    ed = ed_ref[0]                       # (TILE_I, 1)
+    es = es_ref[0]                       # (1, TILE_J)
+    adj = adj_ref[:].astype(jnp.float32)
+    raw = ed + es
+    logits = jnp.where(raw >= 0, raw, _SLOPE * raw)
+    keep = adj > 0
+    logits = jnp.where(keep, logits, NEG)
+
+    m_prev = m_s[:]                      # (TILE_I, 1)
+    m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+    scale = jnp.exp(m_prev - m_cur)
+    p = jnp.where(keep, jnp.exp(logits - m_cur), 0.0)
+    l_s[:] = l_s[:] * scale + jnp.sum(p, axis=1, keepdims=True)
+    m_s[:] = m_cur
+    acc[:] = acc[:] * scale + jax.lax.dot_general(
+        p, wx_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == nj - 1)
+    def _():
+        l = jnp.maximum(l_s[:], 1e-30)
+        out_ref[0] = acc[:] / l
+        m_ref[0] = m_s[:]
+        l_ref[0] = l
+
+
+def _flash2_dq_kernel(ed_ref, es_ref, adj_ref, wx_ref, g_ref, m_ref, l_ref,
+                      d_ref, ded_ref):
+    """ded[i] = sum_j dlogit[i, j]; grid (h, i, j), j fastest, accumulate."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        ded_ref[0] = jnp.zeros_like(ded_ref[0])
+
+    ed = ed_ref[0]
+    es = es_ref[0]
+    adj = adj_ref[:].astype(jnp.float32)
+    raw = ed + es
+    logits = jnp.where(raw >= 0, raw, _SLOPE * raw)
+    keep = adj > 0
+    logits = jnp.where(keep, logits, NEG)
+    alpha = jnp.where(keep, jnp.exp(logits - m_ref[0]), 0.0) / l_ref[0]
+    dalpha = jax.lax.dot_general(
+        g_ref[0], wx_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = (dalpha - d_ref[0]) * alpha     # D_i = rowsum(dO . O), from XLA
+    dlog = jnp.where(raw >= 0, dp, _SLOPE * dp)
+    ded_ref[0] += jnp.sum(dlog, axis=1, keepdims=True)
+
+
+def _flash2_dkv_kernel(ed_ref, es_ref, adj_ref, wx_ref, g_ref, m_ref, l_ref,
+                       d_ref, des_ref, dwx_ref):
+    """des[j] / dwx[j] accumulated over i; grid (h, j, i), i fastest."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        des_ref[0] = jnp.zeros_like(des_ref[0])
+        dwx_ref[0] = jnp.zeros_like(dwx_ref[0])
+
+    ed = ed_ref[0]                       # (TILE_I, 1)
+    es = es_ref[0]                       # (1, TILE_J)
+    adj = adj_ref[:].astype(jnp.float32) # (TILE_I, TILE_J)
+    raw = ed + es
+    logits = jnp.where(raw >= 0, raw, _SLOPE * raw)
+    keep = adj > 0
+    logits = jnp.where(keep, logits, NEG)
+    alpha = jnp.where(keep, jnp.exp(logits - m_ref[0]), 0.0) / l_ref[0]
+    dalpha = jax.lax.dot_general(
+        g_ref[0], wx_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = (dalpha - d_ref[0]) * alpha
+    dlog = jnp.where(raw >= 0, dp, _SLOPE * dp)
+    des_ref[0] += jnp.sum(dlog, axis=0, keepdims=True)
+    dwx_ref[0] += jax.lax.dot_general(
+        alpha, g_ref[0], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@jax.custom_vjp
+def _flash2_core(ed, es, adj, wx):
+    out, _ = _flash2_fwd(ed, es, adj, wx)
+    return out
+
+
+def _flash2_fwd(ed, es, adj, wx):
+    H, n_pad, F = wx.shape
+    grid = (H, n_pad // TILE_I, n_pad // TILE_J)
+    out, m, l = pl.pallas_call(
+        _flash2_fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TILE_I, 1), lambda h, i, j: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_J), lambda h, i, j: (h, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_I, TILE_J), lambda h, i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_J, F), lambda h, i, j: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_I, F), lambda h, i, j: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_I, 1), lambda h, i, j: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_I, 1), lambda h, i, j: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, n_pad, F), jnp.float32),
+            jax.ShapeDtypeStruct((H, n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((H, n_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_I, F), jnp.float32),
+            pltpu.VMEM((TILE_I, 1), jnp.float32),
+            pltpu.VMEM((TILE_I, 1), jnp.float32),
+        ],
+        interpret=INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * n_pad * n_pad * F,
+            transcendentals=H * n_pad * n_pad,
+            bytes_accessed=H * n_pad * n_pad + 8 * H * n_pad * F,
+        ),
+    )(ed, es, adj, wx)
+    return out, (ed, es, adj, wx, m, l, out)
+
+
+def _flash2_bwd(res, g):
+    ed, es, adj, wx, m, l, out = res
+    H, n_pad, F = wx.shape
+    # D_i = rowsum(dO . O) — the FlashAttention-2 trick that removes the
+    # full-row softmax-backward reduction from the kernels
+    d = jnp.sum(g * out, axis=2, keepdims=True)  # (H, n_pad, 1)
+    common_in = [ed, es, adj, wx, g, m, l, d]
+    iospec = [
+        pl.BlockSpec((1, TILE_I, 1), lambda h, i, j: (h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, TILE_J), lambda h, i, j: (h, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_I, TILE_J), lambda h, i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_J, F), lambda h, i, j: (h, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_I, F), lambda h, i, j: (h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_I, 1), lambda h, i, j: (h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_I, 1), lambda h, i, j: (h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_I, 1), lambda h, i, j: (h, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    ded = pl.pallas_call(
+        _flash2_dq_kernel,
+        grid=(H, n_pad // TILE_I, n_pad // TILE_J),
+        in_specs=iospec,
+        out_specs=pl.BlockSpec((1, TILE_I, 1), lambda h, i, j: (h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, n_pad, 1), jnp.float32),
+        interpret=INTERPRET,
+    )(*common_in)
+    # dkv grid iterates (h, j, i): remap the block index lambdas
+    iospec_kv = [
+        pl.BlockSpec((1, TILE_I, 1), lambda h, j, i: (h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, TILE_J), lambda h, j, i: (h, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_I, TILE_J), lambda h, j, i: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_J, F), lambda h, j, i: (h, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_I, F), lambda h, j, i: (h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_I, 1), lambda h, j, i: (h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_I, 1), lambda h, j, i: (h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_I, 1), lambda h, j, i: (h, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    des, dwx = pl.pallas_call(
+        _flash2_dkv_kernel,
+        grid=(H, n_pad // TILE_J, n_pad // TILE_I),
+        in_specs=iospec_kv,
+        out_specs=[
+            pl.BlockSpec((1, 1, TILE_J), lambda h, j, i: (h, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_J, F), lambda h, j, i: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, 1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((H, n_pad, F), jnp.float32),
+        ],
+        interpret=INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * H * n_pad * n_pad * F,
+            transcendentals=H * n_pad * n_pad,
+            bytes_accessed=H * n_pad * n_pad + 8 * H * n_pad * F,
+        ),
+    )(*common_in)
+    return ded, des, None, dwx
+
+
+_flash2_core.defvjp(_flash2_fwd, _flash2_bwd)
+
+
+def flash2_tile():
+    """(TILE_I, TILE_J) of the tiled kernel — n_pad must divide TILE_J."""
+    return TILE_I, TILE_J
+
+
+# measured crossover (v5e, F=512, H=4, fwd+bwd): flash2 4.52 ms vs XLA dense
+# 4.93 at n=4000, parity at 5000 (6.87 vs 6.71), LOSES at 8704 (16.1 vs 12.7
+# — grid-step overhead: (H, n/TILE_I, n/TILE_J) steps dominate); beyond this
+# the XLA dense path streams its (H, n, n) tensors well enough to win
+FLASH2_MAX_N = 5120
+
+
+def gat_attention_dense_flash2(
+    h, adj_pad, W, att_src, att_dst, bias, *, concat=True
+):
+    """Tiled (FA2-style) fused dense-GAT layer; same contract as
+    `gat_attention_dense_flash` but with no VMEM n cap — adj_pad must be a
+    multiple of lcm(TILE_I, TILE_J) = TILE_J."""
+    n = h.shape[0]
+    n_pad = adj_pad.shape[0]
+    HF = W.shape[1]
+    H = att_src.shape[0]
+    F = HF // H
+    Wx = (h @ W).reshape(-1, H, F)
+    if Wx.shape[0] < n_pad:
+        Wx = jnp.pad(Wx, ((0, n_pad - Wx.shape[0]), (0, 0), (0, 0)))
+    e_src = jnp.einsum("nhf,hf->nh", Wx, att_src)
+    e_dst = jnp.einsum("nhf,hf->nh", Wx, att_dst)
+    wx_h = Wx.transpose(1, 0, 2).astype(jnp.float32)
+    ed = e_dst.T[:, :, None].astype(jnp.float32)
+    es = e_src.T[:, None, :].astype(jnp.float32)
+    out = _flash2_core(ed, es, adj_pad, wx_h)
+    out = out.transpose(1, 0, 2)[:n]
+    if concat:
+        out = out.reshape(n, H * F)
+    else:
+        out = jnp.mean(out, axis=1)
+    return (out + bias).astype(h.dtype)
+
+
+def pad_adjacency(adj, multiple=None):
+    """Host-side: pad an (n, n) {0,1} adjacency to a lane-aligned square
+    (default: a multiple of TILE_J, which satisfies every dense path —
+    flash, tiled flash2 and XLA).
 
     Padded rows get a diagonal self-loop: an all-masked softmax row would be
     NaN in the XLA dense path's backward (NaN·0 cotangents leak into dW), so
@@ -235,7 +514,7 @@ def pad_adjacency(adj):
     by the callers. Stored int8 — the mask is pure HBM traffic (read once
     per head per pass), so 1 byte/entry quarters it vs float32."""
     n = adj.shape[0]
-    n_pad = _round_up(n, TILE)
+    n_pad = _round_up(n, multiple or TILE_J)
     out = np.zeros((n_pad, n_pad), np.int8)
     out[:n, :n] = np.asarray(adj) > 0
     pad_rows = np.arange(n, n_pad)
@@ -248,3 +527,30 @@ def flash_gat_supported():
     from spadot_tpu.ops.gat_pallas import pallas_gat_supported
 
     return pallas_gat_supported()
+
+
+_FLASH2_CACHE = {}
+
+
+def flash2_gat_supported():
+    """Probe whether the tiled kernels compile on this backend."""
+    backend = jax.default_backend()
+    if backend in _FLASH2_CACHE:
+        return _FLASH2_CACHE[backend]
+    if backend != "tpu":
+        _FLASH2_CACHE[backend] = False
+        return False
+    try:
+        n_pad, H, F = TILE_J, 1, 128
+        ed = jnp.zeros((H, n_pad, 1), jnp.float32)
+        es = jnp.zeros((H, 1, n_pad), jnp.float32)
+        adj = jnp.eye(n_pad, dtype=jnp.int8)
+        wx = jnp.zeros((H, n_pad, F), jnp.float32)
+        out = _flash2_core(ed, es, adj, wx)
+        jax.block_until_ready(out)
+        _FLASH2_CACHE[backend] = True
+    except Exception as e:  # pragma: no cover - backend dependent
+        print(f"tiled flash GAT kernel unavailable on {backend}: "
+              f"{type(e).__name__}; using the XLA dense path")
+        _FLASH2_CACHE[backend] = False
+    return _FLASH2_CACHE[backend]

@@ -103,7 +103,7 @@ def _aggregate_windowed_raw(Wx, alpha, nbr, *, tile=128, window=512,
         in_specs=[
             pl.BlockSpec((K, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # Wx stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # Wx stays in HBM
         ],
         out_specs=pl.BlockSpec((tile, HF), lambda t: (t, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, HF), jnp.float32),
@@ -305,7 +305,7 @@ def _aggregate_windowed_mh_raw(Wx, alpha, nbr, *, tile=128, window=256,
         in_specs=[
             pl.BlockSpec((K, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((H * K, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tile, H * F), lambda t: (t, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, H * F), jnp.float32),
