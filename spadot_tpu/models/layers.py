@@ -56,15 +56,18 @@ class GATLayer(nn.Module):
     the row count n (measured on TPU v5e, 4 heads x 512 features, fwd+bwd per
     layer — docs/performance.md "GAT path selection"):
 
-      - adj provided (small n, see data/pipeline.py gat_dense_max_n gate):
-        dense-adjacency attention — H batched (n, n) MXU matmuls, zero
-        gathers, autodiff backward is also matmuls;
-      - n >= pallas_min_n: windowed Pallas MXU aggregation + XLA scatter
-        backward (38.4 ms vs 51.8 XLA-autodiff at n=8704);
-      - n <= rev_max_n:    XLA scan + scatter-free reverse-list backward
-        (3.9 ms vs 4.6 autodiff / 5.2 pallas at n=2500 — the ChickenHeart
-        regime);
-      - in between:        XLA scan + plain autodiff (12.6 ms at n=4000).
+      - adj provided (dense gates in data/pipeline.py + the windowed branch):
+          n_pad <= ~2.5k : fused flash kernel (VMEM-resident softmax,
+                           2.29 ms at 2500 vs 2.9 XLA dense);
+          n_pad <= 5120  : tiled FA2-style kernel (online softmax, split
+                           dq/dkv backward — 4.4 ms at 4000 vs 4.9);
+          beyond         : XLA dense-adjacency attention (batched MXU
+                           matmuls; 12.7 ms at 8704 — beats both tiled
+                           kernels there, grid-step overhead dominates them);
+      - no adj, n >= pallas_min_n: windowed Pallas gather aggregation + XLA
+        scatter backward (38.4 ms at n=8704 vs 51.8 XLA-autodiff);
+      - no adj, n <= rev_max_n: XLA scan + scatter-free reverse-list
+        backward; in between: XLA scan + plain autodiff.
 
     rev_mode: "auto" (the gate above), "force" (reverse-list backward
     whenever lists are provided), "off" (never).
