@@ -18,7 +18,8 @@ import flax.linen as nn
 
 from spadot_tpu.ops.gat import gat_attention, gat_attention_dense
 from spadot_tpu.ops.gat_flash import (
-    FLASH2_MAX_N, flash2_tile, flash_dense_max_n, gat_attention_dense_flash,
+    FLASH2_MAX_N, flash2_gat_supported, flash2_tile, flash_dense_max_n,
+    gat_attention_dense_flash, gat_attention_dense_flash2,
 )
 
 _XAVIER = nn.initializers.xavier_uniform()
@@ -94,8 +95,8 @@ class GATLayer(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, bias_shape, self.param_dtype)
         if adj is not None:
             # lane-aligned adj: fused flash kernel where one head of Wx fits
-            # VMEM; tiled FA2-style kernel beyond (no n cap); XLA dense as
-            # the fallback — all the same math (ops/gat_flash.py)
+            # VMEM; tiled FA2-style kernel in the 2.5k-5k band; XLA dense
+            # beyond (it wins there) — all the same math (ops/gat_flash.py)
             if self.use_pallas and F % 128 == 0:
                 if (
                     adj.shape[0] % 128 == 0
@@ -107,16 +108,11 @@ class GATLayer(nn.Module):
                 if (
                     adj.shape[0] % flash2_tile()[1] == 0
                     and adj.shape[0] <= FLASH2_MAX_N
+                    and flash2_gat_supported()
                 ):
-                    from spadot_tpu.ops.gat_flash import (
-                        flash2_gat_supported, gat_attention_dense_flash2,
+                    return gat_attention_dense_flash2(
+                        h, adj, W, att_src, att_dst, bias, concat=self.concat
                     )
-
-                    if flash2_gat_supported():
-                        return gat_attention_dense_flash2(
-                            h, adj, W, att_src, att_dst, bias,
-                            concat=self.concat,
-                        )
             return gat_attention_dense(
                 h, adj, W, att_src, att_dst, bias, concat=self.concat
             )

@@ -228,10 +228,13 @@ def gat_attention_dense_flash(
 
 # ---------------------------------------------------------------------------
 # tiled variant (FlashAttention-2 structure): online softmax over j tiles, so
-# VMEM holds only (TILE_I, TILE_J) work tiles — no n cap beyond FLOPs. Used
-# for the mid-size regime (flash_dense_max_n < n_pad <= ~16k: large windows
-# of the atlas training path, full graphs up to ~20k) where the XLA dense
-# path materializes (H, n, n) tensors in HBM.
+# VMEM holds only (TILE_I, TILE_J) work tiles. Despite having no VMEM n cap,
+# it only WINS in the 2.5k-5k band (FLASH2_MAX_N below): beyond that its
+# (H, n/TILE_I, n/TILE_J) grid-step count dominates and the XLA dense path
+# streams its (H, n, n) tensors faster (measured 16.1 vs 12.7 ms at 8704).
+# In-kernel dots use the DEFAULT matmul precision deliberately: it matches
+# the XLA dense path's numerics, and forcing HIGHEST (6-pass bf16) measured
+# 40% slower (docs/performance.md "dead ends").
 # ---------------------------------------------------------------------------
 
 TILE_I = 256
@@ -504,9 +507,14 @@ def gat_attention_dense_flash2(
 
 
 def pad_adjacency(adj, multiple=None):
-    """Host-side: pad an (n, n) {0,1} adjacency to a lane-aligned square
-    (default: a multiple of TILE_J, which satisfies every dense path —
-    flash, tiled flash2 and XLA).
+    """Host-side: pad an (n, n) {0,1} adjacency to a lane-aligned square.
+
+    Default alignment: 128 (TILE) — except when the 128-aligned size lands
+    in the tiled-kernel band (flash_dense_max_n, FLASH2_MAX_N], where the
+    mask is aligned to TILE_J so `gat_attention_dense_flash2` is eligible.
+    Graphs above the band keep the tight 128 alignment (512-aligning an
+    n=9700 graph would add ~11% to every XLA-dense n² pass for a kernel
+    that can never run there).
 
     Padded rows get a diagonal self-loop: an all-masked softmax row would be
     NaN in the XLA dense path's backward (NaN·0 cotangents leak into dW), so
@@ -514,7 +522,11 @@ def pad_adjacency(adj, multiple=None):
     by the callers. Stored int8 — the mask is pure HBM traffic (read once
     per head per pass), so 1 byte/entry quarters it vs float32."""
     n = adj.shape[0]
-    n_pad = _round_up(n, multiple or TILE_J)
+    if multiple is None:
+        n128 = _round_up(n, TILE)
+        in_flash2_band = flash_dense_max_n() < n128 <= FLASH2_MAX_N
+        multiple = TILE_J if in_flash2_band else TILE
+    n_pad = _round_up(n, multiple)
     out = np.zeros((n_pad, n_pad), np.int8)
     out[:n, :n] = np.asarray(adj) > 0
     pad_rows = np.arange(n, n_pad)
@@ -533,7 +545,12 @@ _FLASH2_CACHE = {}
 
 
 def flash2_gat_supported():
-    """Probe whether the tiled kernels compile on this backend."""
+    """Probe whether the tiled kernels compile AND run on this backend —
+    forward and both backward kernels, at the production shape (the gate's
+    upper bound): a forward-only or tiny-shape probe would pass while the
+    dq/dkv lowering or a per-step VMEM limit fails mid-training. The probe
+    executables land in the persistent compile cache, so warm restarts pay
+    nothing."""
     backend = jax.default_backend()
     if backend in _FLASH2_CACHE:
         return _FLASH2_CACHE[backend]
@@ -541,13 +558,17 @@ def flash2_gat_supported():
         _FLASH2_CACHE[backend] = False
         return False
     try:
-        n_pad, H, F = TILE_J, 1, 128
+        n_pad, H, F = FLASH2_MAX_N, 4, 512
         ed = jnp.zeros((H, n_pad, 1), jnp.float32)
         es = jnp.zeros((H, 1, n_pad), jnp.float32)
         adj = jnp.eye(n_pad, dtype=jnp.int8)
         wx = jnp.zeros((H, n_pad, F), jnp.float32)
-        out = _flash2_core(ed, es, adj, wx)
-        jax.block_until_ready(out)
+
+        def loss(ed, es, wx):
+            return jnp.sum(_flash2_core(ed, es, adj, wx))
+
+        grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(ed, es, wx)
+        jax.block_until_ready(grads)
         _FLASH2_CACHE[backend] = True
     except Exception as e:  # pragma: no cover - backend dependent
         print(f"tiled flash GAT kernel unavailable on {backend}: "

@@ -171,7 +171,11 @@ def test_flash2_tiled_dense_gat_matches_xla(rng):
     n, F_in, H, F = 700, 10, 2, 128  # n_pad = 1024 = 2 j-tiles, 4 i-tiles
     xy = rng.uniform(0, 10, size=(n, 2))
     nbr, msk = build_knn_graph(xy, 6)
-    adj_pad = jnp.asarray(gat_flash.pad_adjacency(dense_adjacency(nbr, msk)))
+    # explicit TILE_J alignment: the auto rule 128-aligns sizes below the
+    # flash2 band, but this test drives the tiled kernel directly
+    adj_pad = jnp.asarray(
+        gat_flash.pad_adjacency(dense_adjacency(nbr, msk), multiple=512)
+    )
     assert adj_pad.shape[0] == 1024
     h = jnp.asarray(rng.normal(size=(n, F_in)), jnp.float32)
     W = jnp.asarray(rng.normal(size=(F_in, H * F)) * 0.2, jnp.float32)
