@@ -153,6 +153,9 @@ def main():
             variables, opt_state, rng_key, epoch, 2 + epoch
         )
         print(f"# warmup epoch {epoch}: {time.perf_counter()-t:.1f}s", file=sys.stderr)
+    # the watchdog exists to surface a hung remote compile; past warmup it
+    # can only fire spuriously and pollute driver-captured stderr tails
+    faulthandler.cancel_dump_traceback_later()
     t = time.perf_counter()
     trainer.sync_km_views(km)
     gammas = trainer.update_ot(km, gammas)
@@ -224,6 +227,16 @@ def main():
         "inducing_split": "equal" if equal_split else "reference_proportional",
         "flops_per_epoch": flops_per_epoch,
         "mfu": mfu,
+        # MFU basis, spelled out: flops are XLA's cost_analysis of the epoch
+        # executable(s) (fused path includes the KMeans refresh; per-tp path
+        # excludes it -> slightly conservative); peak is the bf16 MXU peak of
+        # one chip. Divide mfu by 2 relative to f32 peak.
+        "mfu_basis": {
+            "peak_flops": peak,
+            "peak_precision": "bf16",
+            "flops_source": "xla_cost_analysis_epoch_executables",
+            "includes_kmeans_refresh": bool(fused),
+        },
         "device": jax.devices()[0].device_kind,
     }))
 

@@ -50,9 +50,12 @@ def plot_ot(args, adata):
             + f"transition_table_{prev_day}_{next_day}.h5ad"
         )
         X = tt.toarray().astype(np.float64)
-        col_norm = X / X.sum(axis=0, keepdims=True)
-        row_norm = X / X.sum(axis=1, keepdims=True)
-        prob_min = np.minimum(col_norm, row_norm)
+        # zero-sum guard: an empty row/column (degenerate table) plots as
+        # zero-probability dots instead of propagating NaN into the figure
+        with np.errstate(divide="ignore", invalid="ignore"):
+            col_norm = X / X.sum(axis=0, keepdims=True)
+            row_norm = X / X.sum(axis=1, keepdims=True)
+        prob_min = np.nan_to_num(np.minimum(col_norm, row_norm))
         plt.figure(figsize=(prob_min.shape[1] * 0.8, prob_min.shape[0] * 0.8))
         for i in range(prob_min.shape[0]):
             for j in range(prob_min.shape[1]):

@@ -11,11 +11,23 @@ LAST plan is kept (the wot OTModel convention). Transport maps are written to
 `OT/growth_rates_{d0}_{d1}.txt` (analogue of the reference's tmap directory
 and OT_g.txt side artifact).
 
-Transition tables aggregate the plan over (timepoint_kmeans) cell sets:
-table[s0, s1] = total transported mass from set s0 to set s1. The reference's
-dotplot normalizes rows and columns and takes the elementwise min
-(_analyze_utils.py:184-193), which is invariant to per-set scaling, so this
-raw-mass definition yields identical plots.
+Transition tables follow wot's `transition_table` over
+`population_from_cell_sets` semantics (the reference calls these at
+_analyze_utils.py:128-137): each cell set becomes a population UNIFORMLY
+distributed over its cells (p_i = 1_{S_i}/|S_i| — wot's population_from_ids
+"constructs a population uniformly distributed among the ids"), populations
+are pushed through the plan without re-normalization, and
+table[i, j] = p_iᵀ R q_j — i.e. the raw set-to-set mass M0ᵀ R M1 scaled by
+diag(1/|S_i|) on the left and diag(1/|T_j|) on the right. The two-sided
+diagonal scaling is NOT a no-op downstream: the dotplot's
+min(row-norm, col-norm) (_analyze_utils.py:184-193) changes under per-set
+scaling (the col-norm term is not invariant to row scaling and vice versa),
+so the written table must carry wot's normalization, not raw mass.
+`transition_from_masses` holds the exact formula; tests/test_analyze.py
+checks it against a literal per-cell transcription of the wot pipeline.
+(wot itself is not installable here — the oracle transcribes wot 1.0.8's
+population/push-forward semantics the same way tests/test_sinkhorn.py
+transcribes the reference OT solver.)
 
 These full-cell n×m problems (10^3-10^5 cells a side) are exactly where the
 TPU Sinkhorn pays: each iteration is two fused logsumexp sweeps over the cost
@@ -97,6 +109,21 @@ def _transport_map_growth_factored(X0, X1, ot_config, growth_iters=3, M1=None):
     return duals, growths, agg
 
 
+def transition_from_masses(raw, n0, n1):
+    """wot-normalized transition table from a raw set-to-set mass matrix.
+
+    raw[i, j] = Σ_{a∈S_i} Σ_{b∈T_j} R[a, b]  (= (M0ᵀ R M1)[i, j]);
+    n0[i] = |S_i|, n1[j] = |T_j| — cells per set at the two timepoints.
+
+    Returns diag(1/n0) · raw · diag(1/n1): the uniform-population inner
+    products wot's transition_table computes (see module docstring). Empty
+    sets cannot occur (sets are derived from observed labels) but a zero
+    guard keeps degenerate inputs finite."""
+    n0 = np.maximum(np.asarray(n0, np.float64), 1.0)
+    n1 = np.maximum(np.asarray(n1, np.float64), 1.0)
+    return np.asarray(raw, np.float64) / n0[:, None] / n1[None, :]
+
+
 def load_tmap(tmap_dir, d0, d1):
     """Load a transport map from the OT/ directory written by ot_analysis
     (analogue of wot.tmap.TransportMapModel.from_directory,
@@ -147,12 +174,14 @@ def ot_analysis(args, adata, ot_config=None):
         M0 = np.stack([(labels[rows0] == s).astype(np.float64) for s in sets0], axis=1)
         M1 = np.stack([(labels[rows1] == s).astype(np.float64) for s in sets1], axis=1)
 
+        n0 = M0.sum(axis=0)
+        n1 = M1.sum(axis=0)
         if len(rows0) * len(rows1) <= DENSE_LIMIT:
             R, growths = _transport_map_growth(
                 X[rows0], X[rows1], ot_config, growth_iters=growth_iters,
                 backend=backend,
             )
-            table = M0.T @ R @ M1
+            table = transition_from_masses(M0.T @ R @ M1, n0, n1)
             # persist the transport map (tmap-directory analogue)
             tmap = AnnData(
                 R.astype(np.float32),
@@ -164,7 +193,7 @@ def ot_analysis(args, adata, ot_config=None):
             duals, growths, agg = _transport_map_growth_factored(
                 X[rows0], X[rows1], ot_config, growth_iters=growth_iters, M1=M1
             )
-            table = M0.T @ agg
+            table = transition_from_masses(M0.T @ agg, n0, n1)
             # too large to materialize: persist the dual potentials instead
             # (any plan block reconstructs via ops/sinkhorn_flash.plan_block)
             np.savez(

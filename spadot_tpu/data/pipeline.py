@@ -121,8 +121,13 @@ def prepare_data(adata, model_config):
             from spadot_tpu.ops.gat_flash import pad_adjacency
 
             # lane-aligned padded mask: ready for the fused flash kernel,
-            # and the XLA dense path handles n_pad >= n transparently
-            adj = pad_adjacency(dense_adjacency(nbr, nbr_mask))
+            # and the XLA dense path handles n_pad >= n transparently; the
+            # model's actual (F, H) decide the tiled-kernel alignment band
+            adj = pad_adjacency(
+                dense_adjacency(nbr, nbr_mask),
+                F=int(model_config.get("gat_encoder_hidden", 512)),
+                H=int(model_config.get("gat_attention_heads", 4)),
+            )
         tp_data[tp] = {
             "Y": X[rows],
             "coords": coords_tp,

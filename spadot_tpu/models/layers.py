@@ -18,8 +18,8 @@ import flax.linen as nn
 
 from spadot_tpu.ops.gat import gat_attention, gat_attention_dense
 from spadot_tpu.ops.gat_flash import (
-    FLASH2_MAX_N, flash2_gat_supported, flash2_tile, flash_dense_max_n,
-    gat_attention_dense_flash, gat_attention_dense_flash2,
+    FLASH2_MAX_N, flash1_gat_supported, flash2_gat_supported, flash2_tile,
+    flash_dense_max_n, gat_attention_dense_flash, gat_attention_dense_flash2,
 )
 
 _XAVIER = nn.initializers.xavier_uniform()
@@ -101,6 +101,7 @@ class GATLayer(nn.Module):
                 if (
                     adj.shape[0] % 128 == 0
                     and adj.shape[0] <= flash_dense_max_n(F, H)
+                    and flash1_gat_supported(F, H)
                 ):
                     return gat_attention_dense_flash(
                         h, adj, W, att_src, att_dst, bias, concat=self.concat

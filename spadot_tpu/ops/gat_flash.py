@@ -186,10 +186,13 @@ def flash_dense_max_n(F=512, H=4, budget_bytes=10 * 2**20 + 2**19):
 
     The BACKWARD is the binding constraint: it holds wx (n*F*4) AND the dwx
     accumulator block (n*F*4 again) plus g, the adj tile and the softmax
-    recompute temporaries. The budget is calibrated to the largest size
-    measured to lower AND run fwd+bwd on a v5e (n_pad = 2560 at F = 512,
-    H = 4 — scripts/bench_gat_paths.py); n_pad = 3072 is untested and may
-    exhaust VMEM at lowering time."""
+    recompute temporaries. H is accepted for interface symmetry with the
+    callers' (F, H) config but deliberately unused: the grid iterates one
+    head per step, so per-step VMEM depends only on F. The budget is
+    calibrated to the largest size measured to lower AND run fwd+bwd on a
+    v5e (n_pad = 2560 at F = 512, H = 4 — scripts/bench_gat_paths.py);
+    n_pad = 3072 is untested and may exhaust VMEM at lowering time."""
+    del H  # per-step working set is per-head (grid splits over heads)
     n = budget_bytes // (4 * (F + 4 * TILE))
     return (n // TILE) * TILE
 
@@ -506,15 +509,18 @@ def gat_attention_dense_flash2(
     return (out + bias).astype(h.dtype)
 
 
-def pad_adjacency(adj, multiple=None):
+def pad_adjacency(adj, multiple=None, F=512, H=4):
     """Host-side: pad an (n, n) {0,1} adjacency to a lane-aligned square.
 
     Default alignment: 128 (TILE) — except when the 128-aligned size lands
-    in the tiled-kernel band (flash_dense_max_n, FLASH2_MAX_N], where the
-    mask is aligned to TILE_J so `gat_attention_dense_flash2` is eligible.
-    Graphs above the band keep the tight 128 alignment (512-aligning an
-    n=9700 graph would add ~11% to every XLA-dense n² pass for a kernel
-    that can never run there).
+    in the tiled-kernel band (flash_dense_max_n(F, H), FLASH2_MAX_N], where
+    the mask is aligned to TILE_J so `gat_attention_dense_flash2` is
+    eligible. (F, H) must be the model's actual per-head width / head count
+    — GATLayer gates with `flash_dense_max_n(self.out_features, heads)`, so
+    a mismatched default here could leave mid-size graphs aligned for
+    neither fused kernel. Graphs above the band keep the tight 128
+    alignment (512-aligning an n=9700 graph would add ~11% to every
+    XLA-dense n² pass for a kernel that can never run there).
 
     Padded rows get a diagonal self-loop: an all-masked softmax row would be
     NaN in the XLA dense path's backward (NaN·0 cotangents leak into dW), so
@@ -524,7 +530,7 @@ def pad_adjacency(adj, multiple=None):
     n = adj.shape[0]
     if multiple is None:
         n128 = _round_up(n, TILE)
-        in_flash2_band = flash_dense_max_n() < n128 <= FLASH2_MAX_N
+        in_flash2_band = flash_dense_max_n(F, H) < n128 <= FLASH2_MAX_N
         multiple = TILE_J if in_flash2_band else TILE
     n_pad = _round_up(n, multiple)
     out = np.zeros((n_pad, n_pad), np.int8)
@@ -539,6 +545,44 @@ def flash_gat_supported():
     from spadot_tpu.ops.gat_pallas import pallas_gat_supported
 
     return pallas_gat_supported()
+
+
+_FLASH1_CACHE = {}
+
+
+def flash1_gat_supported(F=512, H=4):
+    """Probe whether the fused dense kernel (`_flash_core`) compiles AND runs
+    on this backend — forward and backward at the gate's upper bound
+    (flash_dense_max_n). The windowed-gather probe (`flash_gat_supported`)
+    exercises a DIFFERENT kernel; a toolchain where the gather kernel lowers
+    but the fused dense one does not would otherwise crash mid-training
+    instead of falling back to the XLA dense path. Probe executables land in
+    the persistent compile cache, so warm restarts pay nothing."""
+    backend = jax.default_backend()
+    key = (backend, F)
+    if key in _FLASH1_CACHE:
+        return _FLASH1_CACHE[key]
+    if backend != "tpu":
+        _FLASH1_CACHE[key] = False
+        return False
+    try:
+        n_pad = flash_dense_max_n(F, H)
+        ed = jnp.zeros((H, n_pad, 1), jnp.float32)
+        es = jnp.zeros((H, 1, n_pad), jnp.float32)
+        adj = jnp.eye(n_pad, dtype=jnp.int8)
+        wx = jnp.zeros((H, n_pad, F), jnp.float32)
+
+        def loss(ed, es, wx):
+            return jnp.sum(_flash_core(ed, es, adj, wx))
+
+        grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(ed, es, wx)
+        jax.block_until_ready(grads)
+        _FLASH1_CACHE[key] = True
+    except Exception as e:  # pragma: no cover - backend dependent
+        print(f"fused flash GAT kernel unavailable on {backend}: "
+              f"{type(e).__name__}; using the XLA dense path")
+        _FLASH1_CACHE[key] = False
+    return _FLASH1_CACHE[key]
 
 
 _FLASH2_CACHE = {}

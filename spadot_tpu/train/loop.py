@@ -169,6 +169,7 @@ class Trainer:
             tp: jnp.zeros((self.tp_n[tp],), jnp.int32) for tp in self.timepoints
         }
         self._gamma_dev = {}
+        self._gamma_src = {}
 
     # -- initialization -----------------------------------------------------
     def init_state(self, key):
@@ -320,9 +321,13 @@ class Trainer:
         if epoch >= int(self.config["ot_epoch"]) and tp_i != 0:
             prev_tp = self.timepoints[tp_i - 1]
             gkey = f"{prev_tp}_{tp}"
-            if gkey not in self._gamma_dev and gkey in gammas:
-                # caller provided a plan that was never staged (e.g. a direct
-                # run_epoch driver) — stage it so it is not silently ignored
+            if gkey in gammas and (
+                gkey not in self._gamma_dev
+                or self._gamma_src.get(gkey) is not gammas[gkey]
+            ):
+                # caller provided a plan that was never staged, or replaced
+                # the staged one in place (e.g. a direct run_epoch driver) —
+                # stage it so training never uses a stale plan silently
                 self.stage_gammas({gkey: gammas[gkey]})
             if gkey in self._gamma_dev and km["centers"].get(prev_tp) is not None:
                 gamma_rn = self._gamma_dev[gkey]
@@ -370,6 +375,9 @@ class Trainer:
     def stage_gammas(self, gammas):
         """Stage row-normalized transport plans on device (resume path)."""
         for gkey, gamma in gammas.items():
+            # remember the source object: run_epoch re-stages when a caller
+            # swaps gammas[gkey] for a new array after this staging
+            self._gamma_src[gkey] = gamma
             g = np.asarray(gamma, np.float64)
             rs = g.sum(axis=1, keepdims=True)
             with np.errstate(divide="ignore", invalid="ignore"):

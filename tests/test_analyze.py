@@ -78,6 +78,83 @@ def test_full_analyze_artifacts(rng, tmp_path):
     assert any(f.startswith("growth_rates") for f in gfiles)
 
 
+def _wot_transition_oracle(R, labels0, labels1, sets0, sets1):
+    """Literal per-cell transcription of the wot transition-table pipeline
+    the reference drives at _analyze_utils.py:128-137 (the same transcription
+    technique tests/test_sinkhorn.py uses for the OT solver; wot itself is
+    not installable here):
+
+      population_from_ids: p_i uniformly distributed over set S_i's cells;
+      push_forward(..., normalize=False): pushed_i = p_i @ R;
+      transition_table:    T[i, j] = sum(pushed_i * q_j).
+    """
+    out = np.zeros((len(sets0), len(sets1)))
+    for i, s0 in enumerate(sets0):
+        p = (labels0 == s0).astype(np.float64)
+        p = p / p.sum()
+        pushed = p @ R
+        for j, s1 in enumerate(sets1):
+            q = (labels1 == s1).astype(np.float64)
+            q = q / q.sum()
+            out[i, j] = np.sum(pushed * q)
+    return out
+
+
+def _clustered_adata(rng, n_per_tp=50):
+    """Latent AnnData with the kmeans labels ot_analysis consumes."""
+    from spadot_tpu.analyze.clustering import kmeans_clustering
+
+    ad = _latent_adata(rng, n_per_tp=n_per_tp)
+    return kmeans_clustering(ad, [3, 3])
+
+
+def test_transition_table_matches_wot_oracle(rng, tmp_path):
+    """The written transition table must equal the transcribed wot pipeline
+    applied to the written transport map — i.e. the table carries wot's
+    uniform-population normalization, not raw set-to-set mass."""
+    from spadot_tpu.analyze.transport import load_tmap, ot_analysis
+
+    ad = _clustered_adata(rng)
+    args = SimpleNamespace(output_dir=str(tmp_path), prefix="")
+    ot_analysis(args, ad)
+    tt = read_h5ad(str(tmp_path / "transition_table_0_1.h5ad"))
+    R = load_tmap(str(tmp_path / "OT"), 0, 1).toarray().astype(np.float64)
+
+    # reconstruct the cell sets exactly as ot_analysis builds them
+    tp = ad.obs["timepoint"].to_numpy()
+    labels = (
+        ad.obs["timepoint"].astype(str) + "_" + ad.obs["kmeans"].astype(str)
+    ).to_numpy()
+    rows0, rows1 = np.where(tp == 0)[0], np.where(tp == 1)[0]
+    sets0 = sorted(set(labels[rows0]))
+    sets1 = sorted(set(labels[rows1]))
+    oracle = _wot_transition_oracle(R, labels[rows0], labels[rows1], sets0, sets1)
+    np.testing.assert_allclose(tt.toarray(), oracle, rtol=1e-5, atol=1e-12)
+    assert list(tt.obs_names) == sets0 and list(tt.var_names) == sets1
+
+
+def test_transition_table_factored_matches_dense(rng, tmp_path, monkeypatch):
+    """Forcing the cost-matrix-free factored engine must reproduce the dense
+    path's normalized transition table."""
+    import importlib
+
+    transport = importlib.import_module("spadot_tpu.analyze.transport")
+
+    ad = _clustered_adata(rng, n_per_tp=48)
+    dense_dir, fact_dir = tmp_path / "dense", tmp_path / "fact"
+    for d in (dense_dir, fact_dir):
+        d.mkdir()
+    ot_analysis = transport.ot_analysis
+    ot_analysis(SimpleNamespace(output_dir=str(dense_dir), prefix=""), ad)
+    monkeypatch.setattr(transport, "DENSE_LIMIT", 10)
+    ot_analysis(SimpleNamespace(output_dir=str(fact_dir), prefix=""), ad)
+    td = read_h5ad(str(dense_dir / "transition_table_0_1.h5ad")).toarray()
+    tf = read_h5ad(str(fact_dir / "transition_table_0_1.h5ad")).toarray()
+    np.testing.assert_allclose(tf, td, rtol=2e-3, atol=1e-10)
+    # the factored run persists dual potentials instead of a dense plan
+    assert (fact_dir / "OT" / "tmaps_duals_0_1.npz").exists()
+
+
 def test_load_tmap_roundtrip(rng, tmp_path):
     from spadot_tpu.analyze.core import analyze
     from spadot_tpu.analyze.transport import load_tmap

@@ -61,6 +61,7 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sharded_step_with_row_padding():
     """Spot counts NOT divisible by the mesh exercise row padding; padded
     GAT rows must carry a self-loop sentinel (an all-masked softmax row
@@ -95,6 +96,7 @@ def test_sharded_step_with_row_padding():
     )
 
 
+@pytest.mark.slow
 def test_sharded_latent_and_kmeans():
     mesh = make_mesh({"data": 8})
     t8, _ = _setup(mesh=mesh)
@@ -105,6 +107,7 @@ def test_sharded_latent_and_kmeans():
     assert np.asarray(km["centers"][0]).shape == (3, 20)
 
 
+@pytest.mark.slow
 def test_sharded_factored_sinkhorn_matches_single_device(rng):
     from spadot_tpu.ops.sinkhorn_flash import (
         sinkhorn_factored,
@@ -124,6 +127,7 @@ def test_sharded_factored_sinkhorn_matches_single_device(rng):
     np.testing.assert_allclose(g8, g1, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_windowed_gat_on_mesh():
     """Windowed minibatch GAT + spot-sharded mesh combine correctly."""
     from spadot_tpu.train.loop import Trainer

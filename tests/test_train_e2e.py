@@ -80,6 +80,7 @@ def test_make_batches_padding():
     assert (idx < 10).all()
 
 
+@pytest.mark.slow
 def test_svgp_only_ablation_mode():
     """VAE-only encoder ablation (GAT off) — BASELINE.json config 2."""
     from spadot_tpu.train.loop import Trainer, get_latent, train_spadot
@@ -97,6 +98,7 @@ def test_svgp_only_ablation_mode():
     assert lat.shape == (80, cfg["z_dim"] // 2)
 
 
+@pytest.mark.slow
 def test_fused_epoch_matches_per_tp_path():
     """Fused stacked-timepoint epoch (one dispatch) vs the per-tp path on
     EQUAL shapes (no padding): identical math, identical rng stream — the
@@ -127,6 +129,7 @@ def test_fused_epoch_matches_per_tp_path():
     assert np.nanmax(rel) < 0.2, rel
 
 
+@pytest.mark.slow
 def test_fused_epoch_unequal_timepoint_sizes():
     """Row/batch/inducing padding path: unequal per-tp spot counts must train
     finite with correct loss-schedule structure, and the padded batches must
@@ -160,6 +163,7 @@ def test_fused_epoch_unequal_timepoint_sizes():
     np.testing.assert_allclose(r0, p0, rtol=0.5, atol=1.0)
 
 
+@pytest.mark.slow
 def test_windowed_gat_mode_trains():
     """O(window) minibatch GAT (full_graph_gat: false) for large spot counts."""
     from spadot_tpu.train.loop import train_spadot
@@ -174,6 +178,7 @@ def test_windowed_gat_mode_trains():
     assert (loss_df["GAT_KL"] != 0).all()
 
 
+@pytest.mark.slow
 def test_windowed_dense_matches_windowed_lists():
     """The dense-window attention (scatter-built window adjacency) enumerates
     exactly the edges of the sliced neighbor-list graph, so both windowed
@@ -200,6 +205,7 @@ def test_windowed_dense_matches_windowed_lists():
     assert np.nanmax(rel) < 0.2, rel
 
 
+@pytest.mark.slow
 def test_string_timepoints_end_to_end(tmp_path):
     """Real datasets carry non-numeric timepoint labels (e.g. 'D4')."""
     from spadot_tpu.train.loop import get_latent, train_spadot
@@ -231,6 +237,7 @@ def test_string_timepoints_end_to_end(tmp_path):
     assert (tmp_path / "transition_table_0_1.h5ad").exists()
 
 
+@pytest.mark.slow
 def test_float64_parity_mode_runs():
     """dtype: float64 — the reference's precision (SpaDOT/train.py:27)."""
     import jax
@@ -251,6 +258,7 @@ def test_float64_parity_mode_runs():
         jax.config.update("jax_enable_x64", False)
 
 
+@pytest.mark.slow
 def test_resume_mid_training_continues(tmp_path):
     """Interrupted-training resume: autosave at epoch N, resume completes the
     remaining epochs with the full loss history intact."""
@@ -334,6 +342,7 @@ def test_reference_pth_artifact(tmp_path):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("windowed", [False, True])
 def test_rev_backward_full_model_grad_equality(windowed):
     """The scatter-free GAT backward (reverse padded lists) must produce the
@@ -394,6 +403,7 @@ def test_rev_backward_full_model_grad_equality(windowed):
         )
 
 
+@pytest.mark.slow
 def test_odd_z_dim():
     """z_dim=21 -> each branch emits 10 dims, latent is 20-wide (the
     reference's 'in case input z_dim is odd' convention, SpaDOT.py:34)."""
