@@ -105,6 +105,74 @@ def _hilbert_code(x, y, bits: int):
     return d
 
 
+def receptive_tables(nbr, nbr_mask, batch_idx, batch_mask, hops=3, pad_to=128):
+    """Static per-batch receptive-field tables for EXACT minibatch GAT.
+
+    For each batch, the `hops`-hop closure of its rows is precomputed so a
+    training step can run the full L-layer GAT on that subgraph and read off
+    batch-row outputs that are EXACTLY the full-graph values: h^(1) is exact
+    on every row within hops-1 of the batch (all its in-edges' sources lie in
+    the closure), so by induction h^(L) is exact on the batch rows. This is
+    the deterministic, edge-exact replacement for both the reference's
+    sampled 2-hop NeighborLoader subgraphs (_train_utils.py:80-85,
+    subgraph_type="induced" — which DOES drop edges) and the contiguous
+    Morton-window approximation (models/model.py gat_window), which drops
+    the 1-2% of edges crossing the window boundary.
+
+    Returns dict of arrays, all padded to a common P (multiple of `pad_to`
+    for TPU lane alignment of the dense (P, P) attention):
+      ext_idx  (nb, P) int32   rows of the closure (sorted; padded slots
+                               repeat row 0 with mask 0)
+      ext_mask (nb, P) f32     1 for real closure rows
+      loc_nbr  (nb, P, K) int32 neighbor lists relabeled to closure-local
+                               indices; out-of-closure targets masked (these
+                               only occur on rows exactly `hops` away, whose
+                               outputs are never read)
+      loc_mask (nb, P, K) f32
+      batch_pos(nb, b) int32   batch rows' positions within the closure
+    """
+    n, K = nbr.shape
+    nb, b = batch_idx.shape
+    valid_edges = nbr_mask > 0
+    exts = []
+    for bi in range(nb):
+        rows = batch_idx[bi][batch_mask[bi] > 0]
+        in_set = np.zeros(n, bool)
+        in_set[rows] = True
+        for _ in range(int(hops)):
+            members = np.nonzero(in_set)[0]
+            tgt = nbr[members][valid_edges[members]]
+            in_set[tgt] = True
+        exts.append(np.nonzero(in_set)[0])
+    P = max(len(e) for e in exts)
+    P = -(-P // pad_to) * pad_to
+    ext_idx = np.zeros((nb, P), np.int32)
+    ext_mask = np.zeros((nb, P), np.float32)
+    loc_nbr = np.zeros((nb, P, K), np.int32)
+    loc_mask = np.zeros((nb, P, K), np.float32)
+    batch_pos = np.zeros((nb, b), np.int32)
+    pos = np.full(n, -1, np.int64)
+    for bi, ext in enumerate(exts):
+        p = len(ext)
+        ext_idx[bi, :p] = ext
+        ext_mask[bi, :p] = 1.0
+        pos[:] = -1
+        pos[ext] = np.arange(p)
+        ln = pos[nbr[ext]]
+        lm = nbr_mask[ext] * (ln >= 0)
+        loc_nbr[bi, :p] = np.maximum(ln, 0)
+        loc_mask[bi, :p] = lm
+        # padded closure rows: self-loop sentinel keeps every softmax row
+        # non-empty (an all-masked row NaN-poisons the backward)
+        loc_nbr[bi, p:, 0] = np.arange(p, P)
+        loc_mask[bi, p:, 0] = 1.0
+        batch_pos[bi] = np.maximum(pos[batch_idx[bi]], 0).astype(np.int32)
+    return {
+        "ext_idx": ext_idx, "ext_mask": ext_mask,
+        "loc_nbr": loc_nbr, "loc_mask": loc_mask, "batch_pos": batch_pos,
+    }
+
+
 def build_knn_graph(coords: np.ndarray, k: int):
     """Return (nbr (n, k+1) int32, nbr_mask (n, k+1) float32).
 

@@ -143,6 +143,32 @@ def prepare_data(adata, model_config):
         }
         if adj is not None:
             tp_data[tp]["adj"] = adj
+        if not model_config.get("full_graph_gat", True):
+            # EXACT minibatch GAT: per-batch 3-hop receptive-field closures
+            # (data/graph.py:receptive_tables). 'auto' uses them when every
+            # closure fits the dense-attention gate; the contiguous-window
+            # approximation (gat_window) is the fallback.
+            exact_cfg = str(
+                model_config.get("gat_exact_batches", "auto")
+            ).lower()
+            if exact_cfg in ("auto", "true", "1"):
+                from spadot_tpu.data.graph import receptive_tables
+
+                ext = receptive_tables(
+                    nbr, nbr_mask, batch_idx, batch_mask, hops=3
+                )
+                P = ext["ext_idx"].shape[1]
+                dense_max = int(model_config.get("gat_window_dense_max", 10000))
+                if exact_cfg in ("true", "1") or P <= dense_max:
+                    tp_data[tp].update(ext)
+                else:
+                    import logging
+
+                    logging.getLogger("spadot").info(
+                        "tp %s: receptive closure P=%d exceeds "
+                        "gat_window_dense_max=%d; using window mode",
+                        tp, P, dense_max,
+                    )
     return {
         "timepoints": timepoints,
         "inducing_points": inducing_points_dict,

@@ -138,14 +138,23 @@ def forward_batch(
     train: bool = True,
     gat_window: int = 0,
     gat_window_dense_max: int = 10000,
+    ext=None,
 ):
     """One batch forward pass -> losses + latent (SpaDOT.py:52-94).
 
+    ext, when given, is this step's receptive-field table slice
+    (ext_idx (P,), ext_mask (P,), loc_nbr (P, K), loc_mask (P, K),
+    batch_pos (b,)) from data/graph.py:receptive_tables: the GAT runs on the
+    batch's 3-hop closure and the batch-row outputs are EXACTLY the
+    full-graph values — the edge-exact O(closure) scaling mode. Takes
+    precedence over gat_window.
+
     gat_window > 0 restricts GAT message passing to a contiguous row window
-    around the batch (O(window) per step — the scaling mode for 100k+ spots);
-    0 = exact full-graph. Windows up to `gat_window_dense_max` rows run as
-    dense-adjacency attention (window mask scatter-built per step, amortized
-    over the 3 layers); larger windows keep the neighbor-list paths.
+    around the batch (O(window) per step — approximate: boundary-crossing
+    edges are dropped); 0 = exact full-graph. Windows/closures up to
+    `gat_window_dense_max` rows run as dense-adjacency attention (mask
+    scatter-built per step, amortized over the 3 layers); larger ones keep
+    the neighbor-list paths.
 
     tp_data: dict with Y (n, G), coords (n, 2), nbr (n, K), nbr_mask (n, K),
       N_train (scalar).
@@ -202,7 +211,25 @@ def forward_batch(
         svgp_sample = terms["p_m"] + eps_s * jnp.sqrt(terms["p_v"])
 
     if mode in ("dual", "gat"):
-        if gat_window:
+        if ext is not None:
+            # --- exact receptive-field minibatch GAT ---
+            ext_idx, ext_mask, loc_nbr, loc_mask, batch_pos = ext
+            P = loc_nbr.shape[0]
+            Y_ext = Y[ext_idx]
+            adj_ext = None
+            if P <= int(gat_window_dense_max):
+                rows_e = jnp.broadcast_to(jnp.arange(P)[:, None], loc_nbr.shape)
+                adj_ext = jnp.zeros((P, P), jnp.int8)
+                adj_ext = adj_ext.at[rows_e, loc_nbr].max(
+                    loc_mask.astype(jnp.int8)
+                )
+            gat_mu_e, gat_var_e = net.apply(
+                vars_nostats, Y_ext, loc_nbr, loc_mask, None, adj_ext,
+                method=SpaDOTNet.encode_gat,
+            )
+            gat_mu = gat_mu_e[batch_pos]
+            gat_var = gat_var_e[batch_pos]
+        elif gat_window:
             # --- windowed minibatch GAT: message passing restricted to the
             # [batch_start - W, batch_end + W) row window. Spots are
             # Morton-ordered and batches contiguous (data/pipeline.py), so

@@ -42,6 +42,13 @@ class Trainer:
         self.jax, self.jnp = jax, jnp
         self.config = model_config
         self.mesh = mesh
+        if mesh is not None:
+            # Pallas kernels have no GSPMD partitioning rules — under a mesh
+            # every attention path must be plain XLA so the partitioner can
+            # shard it (and so 1-dev and N-dev runs trace the same program)
+            model_config = dict(model_config)
+            model_config["use_pallas"] = False
+            self.config = model_config
         self.net = build_net(model_config)
         self.tx = optax.chain(
             optax.clip_by_global_norm(0.3),  # _train_utils.py:216
@@ -93,10 +100,13 @@ class Trainer:
             rev_cfg = model_config.get("gat_rev_backward", True)
             fused_cfg_early = str(model_config.get("fused_epoch", "auto")).lower()
             will_fuse = (
-                fused_cfg_early in ("auto", "true", "1") and mesh is None
+                fused_cfg_early in ("auto", "true", "1")
                 and model_config.get("full_graph_gat", True)
             )
-            if "rev_src" in d and rev_cfg not in (False, "off") and not will_fuse:
+            if ("rev_src" in d and rev_cfg not in (False, "off")
+                    and not will_fuse and "ext_idx" not in d):
+                # (ext mode never touches the reverse lists — the closure
+                # subgraphs run dense or gather attention)
                 # scatter-free GAT backward lists (ops/gat.py). In fused mode
                 # the per-tp epoch path that consumes them never runs, so the
                 # (n, Kr) uploads over the tunnel are skipped entirely.
@@ -122,6 +132,22 @@ class Trainer:
             )
             for tp in self.timepoints
         }
+        # exact-minibatch receptive-closure tables (data/pipeline.py builds
+        # them when full_graph_gat=false and gat_exact_batches allows)
+        self.gat_ext = all(
+            "ext_idx" in data["tp_data"][tp] for tp in self.timepoints
+        )
+        self.tp_ext = {}
+        if self.gat_ext:
+            for tp in self.timepoints:
+                d = data["tp_data"][tp]
+                self.tp_ext[tp] = {
+                    "ext_idx": jnp.asarray(d["ext_idx"]),
+                    "ext_mask": jnp.asarray(d["ext_mask"], dtype),
+                    "loc_nbr": jnp.asarray(d["loc_nbr"]),
+                    "loc_mask": jnp.asarray(d["loc_mask"], dtype),
+                    "batch_pos": jnp.asarray(d["batch_pos"]),
+                }
         self.obs_rows = {tp: data["tp_data"][tp]["obs_rows"] for tp in self.timepoints}
         # true (unpadded) spot counts — device arrays may be row-padded for sharding
         self.tp_n = {tp: int(data["tp_data"][tp]["Y"].shape[0]) for tp in self.timepoints}
@@ -136,13 +162,13 @@ class Trainer:
         # the KMeans refresh — is ONE dispatch, with the shuffled timepoint
         # order passed as data. Over the remote-TPU tunnel the per-epoch
         # round trips dominate wall clock (docs/performance.md), so this is
-        # the single biggest latency lever. Disabled on a mesh (per-tp path
-        # shards rows) and in windowed mode.
+        # the single biggest latency lever. Under a mesh the stacked arrays
+        # are spot-sharded (axis 1) with params/centroids replicated, so the
+        # whole fused epoch partitions over the devices too.
         fused_cfg = str(model_config.get("fused_epoch", "auto")).lower()
         self.fused = (
             fused_cfg in ("auto", "true", "1")
-            and mesh is None
-            and self.gat_window == 0
+            and (self.gat_window == 0 or self.gat_ext)
         )
         if self.fused:
             self._stacked = self._build_stacked(data)
@@ -153,10 +179,12 @@ class Trainer:
             self._flag_cache = {}
             k, z = self.n_clusters, self.latent_dim
             T = len(self.timepoints)
-            self._gamma_stack = jnp.zeros((T, k, k), dtype)
+            self._gamma_stack = self._replicate(jnp.zeros((T, k, k), dtype))
             self._km_stacked = (
-                jnp.zeros((T, k, z), dtype),
-                jnp.zeros((T, self._stacked["Y"].shape[1]), jnp.int32),
+                self._replicate(jnp.zeros((T, k, z), dtype)),
+                self._replicate(
+                    jnp.zeros((T, self._stacked["Y"].shape[1]), jnp.int32)
+                ),
             )
         # staged tiny device constants: over the remote-TPU tunnel every
         # host->device transfer costs a round trip, so the per-epoch scalars
@@ -170,6 +198,16 @@ class Trainer:
         }
         self._gamma_dev = {}
         self._gamma_src = {}
+
+    def _replicate(self, arr):
+        """Explicitly replicated placement on the mesh (identity off-mesh) —
+        centroid/plan stacks feed the fused jit every epoch and must not be
+        left to default single-device placement."""
+        if self.mesh is None:
+            return arr
+        from spadot_tpu.parallel.mesh import replicated
+
+        return self.jax.device_put(arr, replicated(self.mesh))
 
     # -- initialization -----------------------------------------------------
     def init_state(self, key):
@@ -198,12 +236,14 @@ class Trainer:
     ):
         """Scan body for one optimizer step on one batch.
 
-        gated=False: scan xs are (idx, msk) — the per-timepoint path.
-        gated=True: xs are (idx, msk, valid); a 0-valid step (row padding of
-        the fused stacked-timepoint epoch) computes everything but commits
-        NOTHING — params, optimizer state and batch stats all keep their old
-        values, so a padded batch is exactly a no-op (AdamW's weight decay
-        and moment updates must not advance either).
+        Scan xs are a dict: always idx (b,) + msk (b,); gated=True adds
+        `valid` — a 0-valid step (row padding of the fused stacked-timepoint
+        epoch) computes everything but commits NOTHING — params, optimizer
+        state and batch stats all keep their old values, so a padded batch is
+        exactly a no-op (AdamW's weight decay and moment updates must not
+        advance either). Exact-minibatch mode adds the per-batch
+        receptive-closure tables (ext_idx/ext_mask/loc_nbr/loc_mask/
+        batch_pos, data/graph.py:receptive_tables).
         """
         jax, jnp = self.jax, self.jnp
         import optax
@@ -217,10 +257,13 @@ class Trainer:
 
         def batch_step(carry, batch):
             variables, opt_state, rng = carry
-            if gated:
-                idx, msk, valid = batch
-            else:
-                idx, msk = batch
+            idx, msk = batch["idx"], batch["msk"]
+            valid = batch["valid"] if gated else None
+            ext = (
+                (batch["ext_idx"], batch["ext_mask"], batch["loc_nbr"],
+                 batch["loc_mask"], batch["batch_pos"])
+                if "ext_idx" in batch else None
+            )
             rng, sub = jax.random.split(rng)
 
             def loss_fn(params):
@@ -230,6 +273,7 @@ class Trainer:
                     kernel_scale=self.kernel_scale, kernel_type=self.kernel_type,
                     train=True, gat_window=self.gat_window,
                     gat_window_dense_max=self.gat_window_dense_max,
+                    ext=ext,
                 )
                 km = use_kmeans * kmeans_loss(
                     latent, idx, msk, km_assign, km_centers, self.latent_dim
@@ -277,7 +321,7 @@ class Trainer:
 
     def _epoch_impl(
         self, variables, opt_state, rng, tp_dev, svgp_state, batch_idx,
-        batch_mask, km_centers, km_assign, prev_centers, gamma_rn,
+        batch_mask, ext_tables, km_centers, km_assign, prev_centers, gamma_rn,
         beta1, use_kmeans, use_ot,
     ):
         jax, jnp = self.jax, self.jnp
@@ -286,8 +330,11 @@ class Trainer:
             tp_dev, svgp_state, km_centers, km_assign, prev_centers, gamma_rn,
             beta1, use_kmeans, use_ot,
         )
+        xs = {"idx": batch_idx, "msk": batch_mask}
+        if ext_tables:
+            xs.update(ext_tables)
         (variables, opt_state, rng), vecs = jax.lax.scan(
-            batch_step, (variables, opt_state, rng), (batch_idx, batch_mask)
+            batch_step, (variables, opt_state, rng), xs
         )
         return variables, opt_state, rng, jnp.mean(vecs, axis=0)
 
@@ -336,7 +383,8 @@ class Trainer:
         batch_idx, batch_mask = self.tp_batches[tp]
         variables, opt_state, rng, losses = self._epoch_jit(
             variables, opt_state, rng, self.tp_dev[tp], self.svgp_states[tp],
-            batch_idx, batch_mask, centers, assign, prev_centers, gamma_rn,
+            batch_idx, batch_mask, self.tp_ext.get(tp), centers, assign,
+            prev_centers, gamma_rn,
             self._scalar(beta1), self._scalar(use_kmeans), self._scalar(use_ot),
         )
         # losses stay on device — the caller syncs once per epoch at most
@@ -393,7 +441,9 @@ class Trainer:
                 gkey = f"{self.timepoints[i - 1]}_{self.timepoints[i]}"
                 if gkey in self._gamma_dev:
                     stack[i] = np.asarray(self._gamma_dev[gkey])
-            self._gamma_stack = self.jnp.asarray(stack, self.dtype)
+            self._gamma_stack = self._replicate(
+                self.jnp.asarray(stack, self.dtype)
+            )
 
     # -- fused stacked-timepoint epoch ---------------------------------------
     def _build_stacked(self, data):
@@ -412,6 +462,12 @@ class Trainer:
         td = data["tp_data"]
         np_dt = np.float64 if self.dtype == jnp.float64 else np.float32
         n_max = max(self.tp_n[tp] for tp in tps)
+        n_dev = 1
+        if self.mesh is not None:
+            # spot axis must divide the mesh for even row sharding; the extra
+            # rows are ordinary padding (self-loop sentinel, row_mask 0)
+            n_dev = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+            n_max = -(-n_max // n_dev) * n_dev
         G = td[tps[0]]["Y"].shape[1]
         Cc = td[tps[0]]["coords"].shape[1]
         K_max = max(td[tp]["nbr"].shape[1] for tp in tps)
@@ -482,6 +538,60 @@ class Trainer:
         }
         if have_adj:
             stacked["adj"] = jnp.asarray(A)
+        if self.gat_ext:
+            # stack the receptive-closure tables: pad nb -> nb_max with
+            # sentinel batches and P/K to the cross-timepoint max; every
+            # padded row keeps a self-loop so no softmax row is empty
+            P_max = max(td[tp]["ext_idx"].shape[1] for tp in tps)
+            K_ext = max(td[tp]["loc_nbr"].shape[2] for tp in tps)
+            EI = np.zeros((T, nb_max, P_max), np.int32)
+            EM = np.zeros((T, nb_max, P_max), np_dt)
+            LN = np.zeros((T, nb_max, P_max, K_ext), np.int32)
+            LM = np.zeros((T, nb_max, P_max, K_ext), np_dt)
+            BP = np.zeros((T, nb_max, B), np.int32)
+            # default: self-loop sentinel everywhere (covers sentinel batches
+            # and the P padding band of real batches alike)
+            LN[:, :, :, 0] = np.arange(P_max)[None, None, :]
+            LM[:, :, :, 0] = 1.0
+            for i, tp in enumerate(tps):
+                d = td[tp]
+                nb, p, kk = d["loc_nbr"].shape
+                EI[i, :nb, :p] = d["ext_idx"]
+                EM[i, :nb, :p] = d["ext_mask"]
+                LN[i, :nb, :p, :] = 0
+                LM[i, :nb, :p, :] = 0.0
+                LN[i, :nb, :p, :kk] = d["loc_nbr"]
+                LM[i, :nb, :p, :kk] = d["loc_mask"]
+                BP[i, :nb] = d["batch_pos"]
+            stacked.update(
+                ext_idx=jnp.asarray(EI), ext_mask=jnp.asarray(EM),
+                loc_nbr=jnp.asarray(LN), loc_mask=jnp.asarray(LM),
+                batch_pos=jnp.asarray(BP),
+            )
+        if self.mesh is not None:
+            # place the stack: spot-major arrays sharded on axis 1 over the
+            # 'data' mesh axis, everything else (inducing state, batch
+            # tables, scalars) replicated — XLA partitions the fused epoch
+            # and inserts the collectives (all-gather of per-layer GAT
+            # features, psums of batch reductions) over ICI
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from spadot_tpu.parallel.mesh import replicated
+
+            s_spot = NamedSharding(self.mesh, P(None, "data"))
+            s_rep = replicated(self.mesh)
+            spot_keys = {"Y", "coords", "nbr", "nbr_mask", "row_mask"}
+            stacked = {
+                k: _jax.device_put(
+                    v,
+                    s_spot
+                    if k in spot_keys
+                    or (k == "adj" and v.shape[1] % n_dev == 0)
+                    else s_rep,
+                )
+                for k, v in stacked.items()
+            }
         # no padded batches anywhere -> the batch step can skip the commit
         # gating entirely (trace-time decision; saves 3 full param-tree
         # where-selects per step)
@@ -533,9 +643,16 @@ class Trainer:
                 lax.dynamic_index_in_dim(centers_s, t_prev, keepdims=False),
                 dyn(gamma_s), beta1, use_km_s[t], use_ot_s[t], gated=gated,
             )
-            xs = (dyn(stacked["batch_idx"]), dyn(stacked["batch_mask"]))
+            xs = {
+                "idx": dyn(stacked["batch_idx"]),
+                "msk": dyn(stacked["batch_mask"]),
+            }
             if gated:
-                xs = xs + (dyn(stacked["batch_valid"]),)
+                xs["valid"] = dyn(stacked["batch_valid"])
+            if "ext_idx" in stacked:
+                for k in ("ext_idx", "ext_mask", "loc_nbr", "loc_mask",
+                          "batch_pos"):
+                    xs[k] = dyn(stacked[k])
             (variables, opt_state, rng), vecs = lax.scan(
                 step, (variables, opt_state, rng), xs
             )
@@ -716,7 +833,9 @@ def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, me
                 )
                 for tp in trainer.timepoints
             ])
-            km["_stacked"] = (centers_s, assign_s)
+            km["_stacked"] = (
+                trainer._replicate(centers_s), trainer._replicate(assign_s)
+            )
             km["_have"] = True
         loss_rows = [np.asarray(r) for r in resume_state["loss_rows"]]
         key = jnp.asarray(resume_state["rng"])

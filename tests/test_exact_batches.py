@@ -1,0 +1,125 @@
+"""Exact receptive-field minibatch GAT (data/graph.py:receptive_tables).
+
+The claim under test is mathematical, not statistical: running the 3-layer
+GAT on a batch's precomputed 3-hop closure must reproduce the FULL-GRAPH
+forward exactly at the batch rows (the deterministic, edge-exact replacement
+for the reference's sampled 2-hop NeighborLoader subgraphs,
+SpaDOT/utils/_train_utils.py:80-85, and for the Morton-window approximation).
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from _synthetic import make_synthetic_adata
+from spadot_tpu.config import default_config
+from spadot_tpu.data.graph import build_knn_graph, receptive_tables
+from spadot_tpu.data.pipeline import make_batches, prepare_data
+from spadot_tpu.utils.rng import set_seed
+
+
+def _cfg(**kw):
+    cfg = default_config()
+    cfg.update(
+        input_dim=24, timepoints=[0, 1], maxiter=2, ot_epoch=1, batch_size=32,
+        inducing_point_nums=30, gat_encoder_hidden=8, gat_attention_heads=2,
+        svgp_encoder_layers=[16, 8], decoder_layers=[8, 16], n_clusters=3,
+        full_graph_gat=False, gat_window=16, max_neighbors=5, knn_cutoff=6,
+    )
+    cfg.update(kw)
+    return cfg
+
+
+def _setup(**kw):
+    from spadot_tpu.train.loop import Trainer
+
+    adata = make_synthetic_adata(n_per_tp=150, n_genes=24, n_tp=2)
+    cfg = _cfg(**kw)
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+    return Trainer(cfg, data), data
+
+
+def test_receptive_tables_structure(rng):
+    coords = rng.uniform(0, 10, size=(200, 2))
+    nbr, nbr_mask = build_knn_graph(coords, 4)
+    batch_idx, batch_mask = make_batches(200, 64)
+    ext = receptive_tables(nbr, nbr_mask, batch_idx, batch_mask, hops=3)
+    nb, P = ext["ext_idx"].shape
+    assert nb == batch_idx.shape[0] and P % 128 == 0
+    for bi in range(nb):
+        rows = batch_idx[bi][batch_mask[bi] > 0]
+        real = ext["ext_idx"][bi][ext["ext_mask"][bi] > 0]
+        # closure contains the batch and all 1-hop neighbors of the batch
+        assert np.isin(rows, real).all()
+        assert np.isin(nbr[rows][nbr_mask[rows] > 0], real).all()
+        # batch_pos indexes the batch rows inside the closure
+        assert (ext["ext_idx"][bi][ext["batch_pos"][bi]][: len(rows)] == rows).all()
+        # every closure row keeps >= 1 valid neighbor slot (softmax safety)
+        assert (ext["loc_mask"][bi].sum(axis=1) >= 1).all()
+
+
+@pytest.mark.parametrize("dense_max", [10000, 1])
+def test_ext_batch_equals_full_graph(dense_max):
+    """Batch-row GAT outputs from the closure == full-graph outputs, on both
+    the dense-adjacency (dense_max=10000) and neighbor-list (dense_max=1)
+    execution paths."""
+    from spadot_tpu.models.model import forward_batch
+
+    t, _ = _setup()
+    v, _ = t.init_state(jax.random.PRNGKey(0))
+    tp_dev, svgp = t.tp_dev[0], t.svgp_states[0]
+    bi, bm = t.tp_batches[0]
+    ext_t = t.tp_ext[0]
+    key = jax.random.PRNGKey(3)
+    for step in range(bi.shape[0]):
+        ext = tuple(
+            ext_t[k][step]
+            for k in ("ext_idx", "ext_mask", "loc_nbr", "loc_mask", "batch_pos")
+        )
+        _, lat_e, _ = forward_batch(
+            t.net, v, key, tp_dev, svgp, bi[step], bm[step],
+            kernel_scale=t.kernel_scale, kernel_type=t.kernel_type,
+            train=False, ext=ext, gat_window_dense_max=dense_max,
+        )
+        _, lat_f, _ = forward_batch(
+            t.net, v, key, tp_dev, svgp, bi[step], bm[step],
+            kernel_scale=t.kernel_scale, kernel_type=t.kernel_type,
+            train=False, gat_window=0,
+        )
+        valid = np.asarray(bm[step]) > 0
+        np.testing.assert_allclose(
+            np.asarray(lat_e)[valid], np.asarray(lat_f)[valid],
+            rtol=2e-5, atol=1e-6,
+        )
+
+
+def test_exact_mode_trains_and_fuses():
+    """Ext mode turns fusion on (the windowed gat_window==0 restriction is
+    lifted); a fused whole-epoch dispatch matches the per-tp ext path."""
+    t, _ = _setup()
+    assert t.gat_ext and t.fused
+    v, o = t.init_state(jax.random.PRNGKey(0))
+    km = {"centers": {}, "assign": {}, "_stacked": t._km_stacked, "_have": False}
+    rng = jax.random.PRNGKey(1)
+    v, o, rng, fused_losses = t.run_epoch_fused(
+        v, o, rng, jax.random.PRNGKey(7), [0, 1], km, 0, 0.5
+    )
+    v3, o3 = t.init_state(jax.random.PRNGKey(0))
+    rng3 = jax.random.PRNGKey(1)
+    tot = None
+    for tp_i, tp in enumerate([0, 1]):
+        v3, o3, rng3, l = t.run_epoch(
+            v3, o3, rng3, tp, {"centers": {}, "assign": {}}, {}, tp_i, 0, 0.5
+        )
+        tot = l if tot is None else tot + l
+    np.testing.assert_allclose(
+        np.asarray(fused_losses), np.asarray(tot), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_exact_batches_off_falls_back_to_window():
+    t, data = _setup(gat_exact_batches=False)
+    assert not t.gat_ext and "ext_idx" not in data["tp_data"][0]
+    # windowed mode without exact tables cannot fuse
+    assert not t.fused

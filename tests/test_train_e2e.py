@@ -170,7 +170,10 @@ def test_windowed_gat_mode_trains():
 
     adata = make_synthetic_adata(n_per_tp=120, n_genes=24, n_tp=1, seed=5)
     cfg = _tiny_config(adata, maxiter=2)
-    cfg.update(full_graph_gat=False, gat_window=32, batch_size=48)
+    # exact batches off: this test covers the Morton-window approximation
+    # (exact-closure mode has its own suite, tests/test_exact_batches.py)
+    cfg.update(full_graph_gat=False, gat_window=32, batch_size=48,
+               gat_exact_batches=False)
     set_seed(1993)
     data = prepare_data(adata, cfg)
     trainer, variables, _, _, loss_df = train_spadot(data, cfg)
@@ -187,7 +190,8 @@ def test_windowed_dense_matches_windowed_lists():
 
     adata = make_synthetic_adata(n_per_tp=120, n_genes=24, n_tp=1, seed=6)
     base = _tiny_config(adata, maxiter=2)
-    base.update(full_graph_gat=False, gat_window=32, batch_size=48)
+    base.update(full_graph_gat=False, gat_window=32, batch_size=48,
+                gat_exact_batches=False)
     runs = {}
     for dense_max, name in ((10000, "dense"), (0, "lists")):
         cfg = dict(base)
