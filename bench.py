@@ -88,6 +88,9 @@ def main():
     if os.environ.get("BENCH_CFG"):  # ad-hoc config overrides, JSON dict
         cfg.update(json.loads(os.environ["BENCH_CFG"]))
     if mode == "atlas":
+        # exact receptive-closure minibatch GAT (edge-exact; auto-enabled
+        # since the 3-hop closures fit the dense gate — P=7680 at batch 4096
+        # / 102k spots); BENCH_CFG can force the window approximation back
         cfg.update(batch_size=4096, full_graph_gat=False, gat_window=2048)
     set_seed(int(cfg["seed"]))
     data = prepare_data(adata, cfg)

@@ -3,10 +3,11 @@
 Parity with SpaDOT/utils/_analyze_utils.py:10-105: fixed-k KMeans per
 timepoint (random_state=1993, n_init=10) and the adaptive elbow variant (WSS
 over k=4..20, diffs filtered at 10% of the WSS range, argmax of the
-consecutive-diff ratio, elbow plot saved per timepoint). sklearn is used here
-deliberately — this is a tiny host-side post-processing stage and sklearn
-matches the reference bit-for-bit; the device KMeans (ops/kmeans.py) serves
-the in-training refresh loop. The elbow-selection arithmetic intentionally
+consecutive-diff ratio, elbow plot saved per timepoint). sklearn is the
+default backend — it matches the reference bit-for-bit; `--analyze_backend
+device` swaps every fit for the accelerator KMeans (ops/kmeans.py), which
+turns the 17-fit x n_init=10 elbow sweep from minutes into seconds at
+100k+ spots. The elbow-selection arithmetic intentionally
 MIRRORS the reference's rule step for step (artifact parity: identical k
 choices on identical WSS curves), so this module is fidelity-first, not a
 re-design.
@@ -20,25 +21,50 @@ from sklearn.cluster import KMeans
 from spadot_tpu.io import concat
 
 
-def kmeans_clustering(adata, n_clusters):
+def _fit(X, k, backend):
+    """(labels, inertia) for one KMeans fit on the chosen backend.
+
+    backend 'sklearn' (default): bit-for-bit the reference's host fits.
+    backend 'device': ops/kmeans.py on the accelerator — the elbow sweep is
+    17 fits x n_init=10 on the FULL latent matrix per timepoint, which at
+    100k+ spots turns the analyze stage into the pipeline bottleneck on
+    host; the device path runs it in seconds. Same algorithm family
+    (kmeans++ x 10 restarts, best inertia); partitions agree on separated
+    data (tests/test_analyze.py), exact label order may differ.
+    """
+    if backend == "device":
+        import jax
+
+        from spadot_tpu.ops.kmeans import kmeans_fit
+
+        centers, labels, inertia = kmeans_fit(
+            jax.random.PRNGKey(1993), np.asarray(X, np.float32), int(k),
+            n_init=10, n_iter=300,
+        )
+        return np.asarray(labels), float(inertia)
+    km = KMeans(n_clusters=int(k), random_state=1993, n_init=10).fit(X)
+    return km.labels_, float(km.inertia_)
+
+
+def kmeans_clustering(adata, n_clusters, backend="sklearn"):
     tps = sorted(adata.obs["timepoint"].unique().tolist())
     parts = []
     for i, tp in enumerate(tps):
         tp_adata = adata[(adata.obs["timepoint"] == tp).to_numpy()].copy()
-        km = KMeans(n_clusters=int(n_clusters[i]), random_state=1993, n_init=10).fit(
-            tp_adata.toarray()
-        )
-        tp_adata.obs["kmeans"] = km.labels_.astype(str)
+        labels, _ = _fit(tp_adata.toarray(), int(n_clusters[i]), backend)
+        tp_adata.obs["kmeans"] = labels.astype(str)
         parts.append(tp_adata)
     return concat(parts)
 
 
-def adaptive_clustering(args, adata, min_clusters=4, max_clusters=20, wss_threshold=0.1):
+def adaptive_clustering(args, adata, min_clusters=4, max_clusters=20, wss_threshold=0.1,
+                        backend=None):
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    backend = backend or getattr(args, "analyze_backend", None) or "sklearn"
     tps = sorted(adata.obs["timepoint"].unique().tolist())
     parts = []
     for tp in tps:
@@ -46,7 +72,7 @@ def adaptive_clustering(args, adata, min_clusters=4, max_clusters=20, wss_thresh
         X = tp_adata.toarray()
         wss = []
         for k in range(min_clusters, max_clusters + 1):
-            wss.append(KMeans(n_clusters=k, random_state=1993, n_init=10).fit(X).inertia_)
+            wss.append(_fit(X, k, backend)[1])
         wss_diff = -np.diff(wss)
         ratios = [wss_diff[i] / wss_diff[i + 1] for i in range(len(wss_diff) - 1)]
         wss_df = pd.DataFrame(
@@ -74,7 +100,7 @@ def adaptive_clustering(args, adata, min_clusters=4, max_clusters=20, wss_thresh
         plt.savefig(args.output_dir + os.sep + args.prefix + str(tp) + "_WSS_vs_Clusters.png")
         plt.close()
 
-        labels = KMeans(n_clusters=wss_cluster, random_state=1993, n_init=10).fit(X).labels_
+        labels, _ = _fit(X, wss_cluster, backend)
         tp_adata.obs["kmeans"] = labels.astype(str)
         parts.append(tp_adata)
     return concat(parts)

@@ -18,12 +18,13 @@ def analyze(args):
     latent = read_h5ad(data_dir)
     from spadot_tpu.analyze.clustering import adaptive_clustering, kmeans_clustering
 
+    backend = getattr(args, "analyze_backend", None) or "sklearn"
     if getattr(args, "n_clusters", None) is None:
-        logger.info("Adaptive (elbow) clustering...")
-        latent = adaptive_clustering(args, latent)
+        logger.info("Adaptive (elbow) clustering (%s backend)...", backend)
+        latent = adaptive_clustering(args, latent, backend=backend)
     else:
         logger.info("KMeans clustering with k=%s...", args.n_clusters)
-        latent = kmeans_clustering(latent, args.n_clusters)
+        latent = kmeans_clustering(latent, args.n_clusters, backend=backend)
     spatial = np.asarray(latent.obsm["spatial"])
     latent.obs["pixel_x"] = spatial[:, 0]
     latent.obs["pixel_y"] = spatial[:, 1]

@@ -110,13 +110,12 @@ def prepare_data(adata, model_config):
         rev_src, rev_slot, rev_mask = reverse_graph(nbr, nbr_mask)
         batch_idx, batch_mask = make_batches(n, batch_size)
         # dense (n, n) adjacency for the small-n MXU attention path
-        # (ops/gat.py:gat_attention_dense) — only in full-graph mode and only
-        # below the gate where the n^2 mask is a few MB
+        # (ops/gat.py:gat_attention_dense) — below the gate where the n^2
+        # mask is a few MB. Built in every mode: the full-graph training
+        # path consumes it per step, and the latent/KMeans-refresh passes
+        # (exact full-graph in ALL modes) use it too.
         adj = None
-        if (
-            model_config.get("full_graph_gat", True)
-            and n <= int(model_config.get("gat_dense_max_n", 10000))
-        ):
+        if n <= int(model_config.get("gat_dense_max_n", 10000)):
             from spadot_tpu.ops.gat import dense_adjacency
             from spadot_tpu.ops.gat_flash import pad_adjacency
 

@@ -84,43 +84,57 @@ class Trainer:
 
             resolve_dtype(model_config)
         self.dtype = dtype
+        # true (unpadded) spot counts — device arrays may be row-padded
+        self.tp_n = {
+            tp: int(data["tp_data"][tp]["Y"].shape[0]) for tp in self.timepoints
+        }
+        # exact-minibatch receptive-closure tables (data/pipeline.py builds
+        # them when full_graph_gat=false and gat_exact_batches allows)
+        self.gat_ext = all(
+            "ext_idx" in data["tp_data"][tp] for tp in self.timepoints
+        )
+        fused_cfg = str(model_config.get("fused_epoch", "auto")).lower()
+        self.fused = (
+            fused_cfg in ("auto", "true", "1")
+            and (self.gat_window == 0 or self.gat_ext)
+        )
         self.tp_dev = OrderedDict()
         self.svgp_states = OrderedDict()
         from spadot_tpu.parallel.mesh import shard_tp_data
 
         for tp in self.timepoints:
             d = data["tp_data"][tp]
-            dev = {
-                "Y": jnp.asarray(d["Y"], dtype),
-                "coords": jnp.asarray(d["coords"], dtype),
-                "nbr": jnp.asarray(d["nbr"]),
-                "nbr_mask": jnp.asarray(d["nbr_mask"], dtype),
-                "N_train": jnp.asarray(d["N_train"], dtype),
-            }
-            rev_cfg = model_config.get("gat_rev_backward", True)
-            fused_cfg_early = str(model_config.get("fused_epoch", "auto")).lower()
-            will_fuse = (
-                fused_cfg_early in ("auto", "true", "1")
-                and model_config.get("full_graph_gat", True)
-            )
-            if ("rev_src" in d and rev_cfg not in (False, "off")
-                    and not will_fuse and "ext_idx" not in d):
-                # (ext mode never touches the reverse lists — the closure
-                # subgraphs run dense or gather attention)
-                # scatter-free GAT backward lists (ops/gat.py). In fused mode
-                # the per-tp epoch path that consumes them never runs, so the
-                # (n, Kr) uploads over the tunnel are skipped entirely.
-                dev["rev_src"] = jnp.asarray(d["rev_src"])
-                dev["rev_slot"] = jnp.asarray(d["rev_slot"])
-                dev["rev_mask"] = jnp.asarray(d["rev_mask"], dtype)
-            if "adj" in d and mesh is None:
-                # dense small-n attention path (single-device only: on a mesh
-                # the row-sharded gather path is used so 1-dev and N-dev runs
-                # trace identically); int8 mask as built by pad_adjacency
-                dev["adj"] = jnp.asarray(d["adj"])
-            if mesh is not None:
-                dev = shard_tp_data(dev, mesh)
-            self.tp_dev[tp] = dev
+            if self.fused:
+                # ONE dataset upload: the per-tp device arrays are carved out
+                # of the fused stack below as device-side slices (over the
+                # remote tunnel the duplicate upload used to cost as much as
+                # the stack itself at atlas scale)
+                self.tp_dev[tp] = None
+            else:
+                dev = {
+                    "Y": jnp.asarray(d["Y"], dtype),
+                    "coords": jnp.asarray(d["coords"], dtype),
+                    "nbr": jnp.asarray(d["nbr"]),
+                    "nbr_mask": jnp.asarray(d["nbr_mask"], dtype),
+                    "N_train": jnp.asarray(d["N_train"], dtype),
+                }
+                rev_cfg = model_config.get("gat_rev_backward", True)
+                if ("rev_src" in d and rev_cfg not in (False, "off")
+                        and "ext_idx" not in d):
+                    # scatter-free GAT backward lists (ops/gat.py); ext mode
+                    # never touches them (closure subgraphs run dense or
+                    # gather attention)
+                    dev["rev_src"] = jnp.asarray(d["rev_src"])
+                    dev["rev_slot"] = jnp.asarray(d["rev_slot"])
+                    dev["rev_mask"] = jnp.asarray(d["rev_mask"], dtype)
+                if "adj" in d and mesh is None:
+                    # dense small-n attention path (single-device only: on a
+                    # mesh the row-sharded gather path is used so 1-dev and
+                    # N-dev runs trace identically); int8 pad_adjacency mask
+                    dev["adj"] = jnp.asarray(d["adj"])
+                if mesh is not None:
+                    dev = shard_tp_data(dev, mesh)
+                self.tp_dev[tp] = dev
             Z = jnp.asarray(data["inducing_points"][tp], dtype)
             self.svgp_states[tp] = svgp_shared(
                 Z, self.kernel_type, self.kernel_scale
@@ -132,13 +146,8 @@ class Trainer:
             )
             for tp in self.timepoints
         }
-        # exact-minibatch receptive-closure tables (data/pipeline.py builds
-        # them when full_graph_gat=false and gat_exact_batches allows)
-        self.gat_ext = all(
-            "ext_idx" in data["tp_data"][tp] for tp in self.timepoints
-        )
         self.tp_ext = {}
-        if self.gat_ext:
+        if self.gat_ext and not self.fused:
             for tp in self.timepoints:
                 d = data["tp_data"][tp]
                 self.tp_ext[tp] = {
@@ -149,8 +158,6 @@ class Trainer:
                     "batch_pos": jnp.asarray(d["batch_pos"]),
                 }
         self.obs_rows = {tp: data["tp_data"][tp]["obs_rows"] for tp in self.timepoints}
-        # true (unpadded) spot counts — device arrays may be row-padded for sharding
-        self.tp_n = {tp: int(data["tp_data"][tp]["Y"].shape[0]) for tp in self.timepoints}
 
         self._epoch_jit = jax.jit(self._epoch_impl, donate_argnums=(0, 1))
         self._latent_jit = jax.jit(self._latent_impl)
@@ -165,11 +172,6 @@ class Trainer:
         # the single biggest latency lever. Under a mesh the stacked arrays
         # are spot-sharded (axis 1) with params/centroids replicated, so the
         # whole fused epoch partitions over the devices too.
-        fused_cfg = str(model_config.get("fused_epoch", "auto")).lower()
-        self.fused = (
-            fused_cfg in ("auto", "true", "1")
-            and (self.gat_window == 0 or self.gat_ext)
-        )
         if self.fused:
             self._stacked = self._build_stacked(data)
             self._fused_jit = jax.jit(
@@ -186,6 +188,28 @@ class Trainer:
                     jnp.zeros((T, self._stacked["Y"].shape[1]), jnp.int32)
                 ),
             )
+            # per-tp device views carved from the stack (row-padded to n_max;
+            # padded rows carry self-loop sentinels and row_mask 0, which
+            # full_latent/forward_batch honor): the per-tp epoch, latent and
+            # refresh paths stay fully functional without a second upload
+            s = self._stacked
+            for i, tp in enumerate(self.timepoints):
+                dev = {
+                    "Y": s["Y"][i], "coords": s["coords"][i],
+                    "nbr": s["nbr"][i], "nbr_mask": s["nbr_mask"][i],
+                    "row_mask": s["row_mask"][i],
+                    "N_train": s["N_train"][i],
+                }
+                if "adj" in s:
+                    dev["adj"] = s["adj"][i]
+                self.tp_dev[tp] = dev
+                if self.gat_ext:
+                    nb = data["tp_data"][tp]["batch_idx"].shape[0]
+                    self.tp_ext[tp] = {
+                        k2: s[k2][i, :nb]
+                        for k2 in ("ext_idx", "ext_mask", "loc_nbr",
+                                   "loc_mask", "batch_pos")
+                    }
         # staged tiny device constants: over the remote-TPU tunnel every
         # host->device transfer costs a round trip, so the per-epoch scalars
         # (beta1, use_kmeans, use_ot), the zero placeholders and the
@@ -341,9 +365,12 @@ class Trainer:
     def _latent_impl(self, variables, tp_dev, svgp_state):
         from spadot_tpu.models.model import full_latent
 
+        # row_mask present when tp_dev is a row-padded view of the fused
+        # stack: padded rows must not enter the SVGP posterior or n_eff
         return full_latent(
             self.net, variables, tp_dev, svgp_state,
             kernel_scale=self.kernel_scale, kernel_type=self.kernel_type,
+            row_mask=tp_dev.get("row_mask"),
         )
 
     # -- public API ---------------------------------------------------------

@@ -40,6 +40,36 @@ def test_kmeans_clustering_recovers_clusters(rng):
         assert ari > 0.95
 
 
+def test_device_backend_matches_sklearn(rng, tmp_path):
+    """The accelerator KMeans backend must find the same partitions and the
+    same elbow k as sklearn on separated data (labels compared by ARI — the
+    two backends' label ORDER is arbitrary)."""
+    from sklearn.metrics import adjusted_rand_score
+
+    from spadot_tpu.analyze.clustering import adaptive_clustering, kmeans_clustering
+
+    ad = _latent_adata(rng, k=4)
+    out_sk = kmeans_clustering(ad, [4, 4], backend="sklearn")
+    out_dev = kmeans_clustering(ad, [4, 4], backend="device")
+    for tp in (0, 1):
+        rows = (out_sk.obs["timepoint"] == tp).to_numpy()
+        ari = adjusted_rand_score(
+            out_sk.obs["kmeans"].to_numpy()[rows],
+            out_dev.obs["kmeans"].to_numpy()[rows],
+        )
+        assert ari > 0.99, ari
+    # WSS-curve equivalence drives the elbow: both backends must trace the
+    # same inertia curve (the elbow RULE itself is the reference's and is
+    # noise-sensitive where the curve is flat, so curves are the invariant)
+    from spadot_tpu.analyze.clustering import _fit
+
+    X = ad.toarray()[(ad.obs["timepoint"] == 0).to_numpy()]
+    for k in range(4, 10):
+        w_sk = _fit(X, k, "sklearn")[1]
+        w_dev = _fit(X, k, "device")[1]
+        assert abs(w_sk - w_dev) / w_sk < 0.02, (k, w_sk, w_dev)
+
+
 def test_adaptive_clustering_selects_k(rng, tmp_path):
     from spadot_tpu.analyze.clustering import adaptive_clustering
 

@@ -93,6 +93,29 @@ def test_curve_shape(dtype):
     assert np.isfinite(df.to_numpy()).all()
 
 
+def test_float64_trajectory_band():
+    """The FULL 100-epoch f32 trajectory tracks the f64 one (the reference's
+    training dtype), not just epoch 0 — the ablation evidence behind training
+    in f32 on TPU. RNG divergence (x64 mode consumes different init bits)
+    makes pointwise equality impossible, so the lock is on rolling-10
+    smoothed curves and on the converged (final-20-epoch) means. Measured
+    slack on the committed curves: smoothed deltas peak at 5.6% on
+    elbo/Recon and the final-20 ratios sit within 1.05 on every component."""
+    f32, f64 = _load("float32"), _load("float64")
+    r32 = f32.rolling(10, min_periods=1).mean()
+    r64 = f64.rolling(10, min_periods=1).mean()
+    rel = (r32 - r64).abs() / r64.abs().clip(lower=1e-3)
+    bands = {"elbo": 0.10, "Recon": 0.10, "SVGP_KL": 0.30, "GAT_KL": 0.20,
+             "KMeans": 0.25, "OT": 0.15}
+    for comp, band in bands.items():
+        assert rel[comp].max() < band, (comp, rel[comp].max())
+    final32 = f32.iloc[-20:].mean()
+    final64 = f64.iloc[-20:].mean()
+    for comp in COLUMNS:
+        ratio = final32[comp] / final64[comp]
+        assert 0.9 <= ratio <= 1.1, (comp, ratio)
+
+
 def test_float64_agrees_with_float32_at_epoch0():
     """The f32 production dtype reproduces the reference's f64 training at
     initialization (before trajectories chaotically diverge): SURVEY §7 hard
