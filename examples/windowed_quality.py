@@ -105,22 +105,30 @@ def main():
 
     window = 2048
     loss_f, ari_f, wall_f, data = run({"full_graph_gat": True}, adata, base)
+    # exact receptive-closure mode: mathematically identical batch outputs
+    # to full-graph (tests/test_exact_batches.py) — deltas here are pure
+    # float roundoff + the KMeans refresh RNG path
+    loss_e, ari_e, wall_e, _ = run(
+        {"full_graph_gat": False, "gat_exact_batches": "true"}, adata, base
+    )
     loss_w, ari_w, wall_w, _ = run(
-        {"full_graph_gat": False, "gat_window": window}, adata, base
+        {"full_graph_gat": False, "gat_window": window,
+         "gat_exact_batches": False}, adata, base
     )
     drop = dropped_edge_fraction(data, window, int(base["batch_size"]))
 
-    rel = (
-        (loss_w - loss_f).abs() / loss_f.abs().clip(lower=1e-9)
-    ).mean(axis=0)
-    print("\n=== windowed-GAT quality at n =", n, "spots,", epochs, "epochs ===")
+    rel_w = ((loss_w - loss_f).abs() / loss_f.abs().clip(lower=1e-9)).mean(axis=0)
+    rel_e = ((loss_e - loss_f).abs() / loss_f.abs().clip(lower=1e-9)).mean(axis=0)
+    print("\n=== minibatch-GAT quality at n =", n, "spots,", epochs, "epochs ===")
     print(f"full-graph ARI:  {ari_f:.4f}   ({wall_f:.0f}s)")
-    print(f"windowed   ARI:  {ari_w:.4f}   ({wall_w:.0f}s)  window={window}")
-    print(f"ARI delta:       {abs(ari_f - ari_w):.4f}")
+    print(f"exact-closure:   {ari_e:.4f}   ({wall_e:.0f}s)  "
+          f"(edge-exact; ARI delta {abs(ari_f - ari_e):.4f})")
+    print(f"windowed   ARI:  {ari_w:.4f}   ({wall_w:.0f}s)  window={window}  "
+          f"(ARI delta {abs(ari_f - ari_w):.4f})")
     print(f"out-of-window edge fraction: {drop:.5f}")
-    print("mean per-epoch |rel delta| per loss component:")
-    for k, v in rel.items():
-        print(f"  {k:<10} {v:.4f}")
+    print("mean per-epoch |rel delta| per loss component (exact | window):")
+    for k in rel_w.index:
+        print(f"  {k:<10} {rel_e[k]:.4f} | {rel_w[k]:.4f}")
 
 
 if __name__ == "__main__":

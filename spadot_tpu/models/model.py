@@ -41,6 +41,13 @@ class SpaDOTNet(nn.Module):
     gat_rev_mode: str = "auto"
     gat_pallas_min_n: int = 4500
     gat_rev_max_n: int = 3500
+    # matmul precision for the GAT branch only (projections + attention).
+    # The global default is "highest" (6-pass bf16 ~ true f32) because the
+    # SVGP Cholesky factors go non-PSD below it — but the GAT branch has no
+    # such hazard, and on the MXU "default" (1-pass bf16) is ~6x the f32
+    # rate, "high" (3-pass) ~2x. At 100k-spot scale the dense attention
+    # matmuls ARE the epoch, so this is a first-order lever.
+    gat_matmul_precision: str = "highest"
 
     def setup(self):
         self.svgp_z_dim = self.z_dim // 2
@@ -120,7 +127,18 @@ def build_net(model_config: Dict[str, Any]) -> SpaDOTNet:
         gat_rev_mode=rev_mode,
         gat_pallas_min_n=int(model_config.get("gat_pallas_min_n", 4500)),
         gat_rev_max_n=int(model_config.get("gat_rev_max_n", 3500)),
+        gat_matmul_precision=str(
+            model_config.get("gat_matmul_precision", "highest")
+        ),
     )
+
+
+def _apply_gat(net, variables, h, nbr, nbr_mask, rev=None, adj=None):
+    """GAT branch application under the configured (scoped) matmul precision."""
+    with jax.default_matmul_precision(net.gat_matmul_precision):
+        return net.apply(
+            variables, h, nbr, nbr_mask, rev, adj, method=SpaDOTNet.encode_gat
+        )
 
 
 def forward_batch(
@@ -223,9 +241,8 @@ def forward_batch(
                 adj_ext = adj_ext.at[rows_e, loc_nbr].max(
                     loc_mask.astype(jnp.int8)
                 )
-            gat_mu_e, gat_var_e = net.apply(
-                vars_nostats, Y_ext, loc_nbr, loc_mask, None, adj_ext,
-                method=SpaDOTNet.encode_gat,
+            gat_mu_e, gat_var_e = _apply_gat(
+                net, vars_nostats, Y_ext, loc_nbr, loc_mask, None, adj_ext
             )
             gat_mu = gat_mu_e[batch_pos]
             gat_var = gat_var_e[batch_pos]
@@ -282,9 +299,8 @@ def forward_batch(
                     rslot,
                     jnp.where(src_in, rmask, 0.0),
                 )
-            gat_mu_w, gat_var_w = net.apply(
-                vars_nostats, Y_win, rel, msk_win, rev_win, adj_win,
-                method=SpaDOTNet.encode_gat,
+            gat_mu_w, gat_var_w = _apply_gat(
+                net, vars_nostats, Y_win, rel, msk_win, rev_win, adj_win
             )
             pos = jnp.clip(batch_idx - win_start, 0, win_size - 1)
             gat_mu = gat_mu_w[pos]
@@ -292,9 +308,8 @@ def forward_batch(
         else:
             # --- full-graph message passing, batch rows extracted ---
             # (adj present -> dense small-n MXU attention, ops/gat.py)
-            gat_mu_full, gat_var_full = net.apply(
-                vars_nostats, Y, nbr, nbr_mask, rev, tp_data.get("adj"),
-                method=SpaDOTNet.encode_gat,
+            gat_mu_full, gat_var_full = _apply_gat(
+                net, vars_nostats, Y, nbr, nbr_mask, rev, tp_data.get("adj")
             )
             gat_mu = gat_mu_full[batch_idx]
             gat_var = gat_var_full[batch_idx]
@@ -392,9 +407,9 @@ def full_latent(net, variables, tp_data, svgp_state, *, kernel_scale, kernel_typ
         parts.append(terms["p_m"])
     if mode in ("dual", "gat"):
         vars_nostats = {"params": variables["params"]}
-        gat_mu, _ = net.apply(
-            vars_nostats, Y, tp_data["nbr"], tp_data["nbr_mask"], None,
-            tp_data.get("adj"), method=SpaDOTNet.encode_gat,
+        gat_mu, _ = _apply_gat(
+            net, vars_nostats, Y, tp_data["nbr"], tp_data["nbr_mask"], None,
+            tp_data.get("adj"),
         )
         parts.append(gat_mu)
     return jnp.concatenate(parts, axis=1)
