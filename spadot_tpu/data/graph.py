@@ -146,6 +146,11 @@ def receptive_tables(nbr, nbr_mask, batch_idx, batch_mask, hops=3, pad_to=128):
         exts.append(np.nonzero(in_set)[0])
     P = max(len(e) for e in exts)
     P = -(-P // pad_to) * pad_to
+    if P <= 1536:
+        # small closures: align to 256 so the fused flash kernel can run at
+        # TILE=256 (half the grid steps; 1536 = largest 256-multiple inside
+        # ops/gat_flash.py:flash_dense_max_n(tile=256)'s VMEM budget)
+        P = -(-P // 256) * 256
     ext_idx = np.zeros((nb, P), np.int32)
     ext_mask = np.zeros((nb, P), np.float32)
     loc_nbr = np.zeros((nb, P, K), np.int32)

@@ -99,102 +99,129 @@ def _bwd_kernel(ed_ref, es_ref, adj_ref, wx_ref, g_ref,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _flash_core(ed, es, adj, wx):
-    """(H, n_pad, 1), (H, 1, n_pad), (n_pad, n_pad), (H, n_pad, F) ->
-    (H, n_pad, F) aggregated outputs."""
-    out, _ = _flash_fwd(ed, es, adj, wx)
-    return out
+_FLASH_CORES = {}
 
 
-def _flash_fwd(ed, es, adj, wx):
-    H, n_pad, F = wx.shape
-    grid = (H, n_pad // TILE)
-    out = pl.pallas_call(
-        _fwd_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, TILE, 1), lambda h, i: (h, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda h, i: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, n_pad), lambda h, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, F), lambda h, i: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, TILE, F), lambda h, i: (h, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, n_pad, F), jnp.float32),
-        interpret=INTERPRET,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * H * n_pad * n_pad * F,
-            transcendentals=H * n_pad * n_pad,
-            bytes_accessed=H * n_pad * (n_pad + 8 * F),
-        ),
-    )(ed, es, adj, wx)
-    return out, (ed, es, adj, wx)
+def _flash_core_for(tile):
+    """Tile-parametrized flash core (custom_vjp), cached per tile size.
+
+    TILE=128 is the universal default; at small n_pad (the receptive-closure
+    operating point, P ≈ 1.2k) the per-step VMEM working set also fits at
+    tile 256, halving the grid-step count — the 2560-row TILE=256 VMEM
+    blow-up recorded in docs/performance.md is a SIZE-dependent limit, not
+    a kernel one (see flash_dense_max_n's budget arithmetic)."""
+    if tile in _FLASH_CORES:
+        return _FLASH_CORES[tile]
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=())
+    def core(ed, es, adj, wx):
+        """(H, n_pad, 1), (H, 1, n_pad), (n_pad, n_pad), (H, n_pad, F) ->
+        (H, n_pad, F) aggregated outputs."""
+        out, _ = fwd(ed, es, adj, wx)
+        return out
+
+    def fwd(ed, es, adj, wx):
+        H, n_pad, F = wx.shape
+        grid = (H, n_pad // tile)
+        out = pl.pallas_call(
+            _fwd_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, tile, 1), lambda h, i: (h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n_pad), lambda h, i: (h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, n_pad), lambda h, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, F), lambda h, i: (h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile, F), lambda h, i: (h, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, n_pad, F), jnp.float32),
+            interpret=INTERPRET,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * H * n_pad * n_pad * F,
+                transcendentals=H * n_pad * n_pad,
+                bytes_accessed=H * n_pad * (n_pad + 8 * F),
+            ),
+        )(ed, es, adj, wx)
+        return out, (ed, es, adj, wx)
+
+    def bwd(res, g):
+        ed, es, adj, wx = res
+        H, n_pad, F = wx.shape
+        grid = (H, n_pad // tile)
+        ded, des, dwx = pl.pallas_call(
+            _bwd_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, tile, 1), lambda h, i: (h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n_pad), lambda h, i: (h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, n_pad), lambda h, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, F), lambda h, i: (h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile, F), lambda h, i: (h, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile, 1), lambda h, i: (h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n_pad), lambda h, i: (h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, F), lambda h, i: (h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((H, n_pad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((H, 1, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((H, n_pad, F), jnp.float32),
+            ],
+            interpret=INTERPRET,
+            cost_estimate=pl.CostEstimate(
+                flops=6 * H * n_pad * n_pad * F,
+                transcendentals=H * n_pad * n_pad,
+                bytes_accessed=2 * H * n_pad * (n_pad + 8 * F),
+            ),
+        )(ed, es, adj, wx, g)
+        return ded, des, None, dwx
+
+    core.defvjp(fwd, bwd)
+    _FLASH_CORES[tile] = core
+    return core
 
 
-def _flash_bwd(res, g):
-    ed, es, adj, wx = res
-    H, n_pad, F = wx.shape
-    grid = (H, n_pad // TILE)
-    ded, des, dwx = pl.pallas_call(
-        _bwd_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, TILE, 1), lambda h, i: (h, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda h, i: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, n_pad), lambda h, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, F), lambda h, i: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE, F), lambda h, i: (h, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, TILE, 1), lambda h, i: (h, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda h, i: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, F), lambda h, i: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((H, n_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((H, 1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((H, n_pad, F), jnp.float32),
-        ],
-        interpret=INTERPRET,
-        cost_estimate=pl.CostEstimate(
-            flops=6 * H * n_pad * n_pad * F,
-            transcendentals=H * n_pad * n_pad,
-            bytes_accessed=2 * H * n_pad * (n_pad + 8 * F),
-        ),
-    )(ed, es, adj, wx, g)
-    return ded, des, None, dwx
+# the universal-default core keeps its historical name (probes use it)
+_flash_core = _flash_core_for(TILE)
 
 
-_flash_core.defvjp(_flash_fwd, _flash_bwd)
-
-
-def flash_dense_max_n(F=512, H=4, budget_bytes=10 * 2**20 + 2**19):
-    """Largest n_pad whose per-step VMEM working set fits.
+def flash_dense_max_n(F=512, H=4, budget_bytes=10 * 2**20 + 2**19, tile=TILE):
+    """Largest n_pad whose per-step VMEM working set fits at this tile.
 
     The BACKWARD is the binding constraint: it holds wx (n*F*4) AND the dwx
     accumulator block (n*F*4 again) plus g, the adj tile and the softmax
-    recompute temporaries. H is accepted for interface symmetry with the
-    callers' (F, H) config but deliberately unused: the grid iterates one
-    head per step, so per-step VMEM depends only on F. The budget is
-    calibrated to the largest size measured to lower AND run fwd+bwd on a
-    v5e (n_pad = 2560 at F = 512, H = 4 — scripts/bench_gat_paths.py);
-    n_pad = 3072 is untested and may exhaust VMEM at lowering time."""
+    recompute temporaries (~4·tile rows' worth). H is accepted for interface
+    symmetry with the callers' (F, H) config but deliberately unused: the
+    grid iterates one head per step, so per-step VMEM depends only on F and
+    the tile. The budget is calibrated to the largest size measured to
+    lower AND run fwd+bwd on a v5e (n_pad = 2560 at F = 512, H = 4,
+    tile = 128 — scripts/bench_gat_paths.py); n_pad = 3072 is untested and
+    may exhaust VMEM at lowering time."""
     del H  # per-step working set is per-head (grid splits over heads)
-    n = budget_bytes // (4 * (F + 4 * TILE))
-    return (n // TILE) * TILE
+    n = budget_bytes // (4 * (F + 4 * tile))
+    return (n // tile) * tile
+
+
+def flash_tile_for(n_pad, F=512, H=4):
+    """Largest eligible tile for this shape: 256 halves the grid-step count
+    when the closure is small enough for its VMEM budget; 128 otherwise."""
+    for tile in (256, TILE):
+        if n_pad % tile == 0 and n_pad <= flash_dense_max_n(F, H, tile=tile):
+            return tile
+    return None
 
 
 def gat_attention_dense_flash(
@@ -220,7 +247,8 @@ def gat_attention_dense_flash(
     wx_h = Wx.transpose(1, 0, 2).astype(jnp.float32)       # (H, n_pad, F)
     ed = e_dst.T[:, :, None].astype(jnp.float32)           # (H, n_pad, 1)
     es = e_src.T[:, None, :].astype(jnp.float32)           # (H, 1, n_pad)
-    out = _flash_core(ed, es, adj_pad, wx_h)
+    tile = flash_tile_for(n_pad, F, H) or TILE
+    out = _flash_core_for(tile)(ed, es, adj_pad, wx_h)
     out = out.transpose(1, 0, 2)[:n]                       # (n, H, F)
     if concat:
         out = out.reshape(n, H * F)
