@@ -131,7 +131,10 @@ def acat_combine(pvals, weights=None):
     if not np.any(small):
         stat = np.sum(weights * np.tan((0.5 - pvals) * np.pi))
     else:
-        stat = np.sum(weights[small] / (np.pi * pvals[small]))
+        # w/p overflows to inf for denormal-range p; the stat>1e15 branch
+        # below returns the correct limit (p -> 0), so silence the warning
+        with np.errstate(over="ignore", divide="ignore"):
+            stat = np.sum(weights[small] / (np.pi * pvals[small]))
         stat += np.sum(weights[~small] * np.tan((0.5 - pvals[~small]) * np.pi))
     if stat > 1e15:
         return float(1 / (stat * np.pi))

@@ -79,6 +79,27 @@ def bw_sj(x, nb=1000):
     return optimize.brentq(fSD, lower, upper, xtol=0.1 * lower)
 
 
+def bw_nrd0(x):
+    """R's bw.nrd0 (Silverman rule-of-thumb) — the robust fallback when the
+    solve-the-equation estimate is inadmissible (near-point-mass samples)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    sd = np.std(x, ddof=1) if n > 1 else 0.0
+    q75, q25 = np.percentile(x, [75, 25])
+    lo = min(sd, (q75 - q25) / 1.349)
+    if lo <= 0:
+        lo = sd if sd > 0 else (abs(x[0]) if abs(x[0]) > 0 else 1.0)
+    return 0.9 * lo * n ** (-0.2)
+
+
+def bw_sj_safe(x, nb=1000):
+    """bw_sj with the bw.nrd0 fallback on inadmissible samples."""
+    try:
+        return bw_sj(x, nb)
+    except ValueError:
+        return bw_nrd0(x)
+
+
 def ksmooth_normal(x, y, x_eval, bandwidth):
     """Nadaraya-Watson smoother with the R 'normal' kernel convention:
     effective sd = bandwidth * 0.3706506, support cutoff 4*bandwidth."""

@@ -15,9 +15,24 @@ from spadot_tpu.utils.logging import logger
 
 def pca(X, n_comps=50):
     X = np.asarray(X, dtype=np.float64)
+    if not np.isfinite(X).all():
+        # a non-finite residual row would abort the whole preprocess run in
+        # LAPACK; zero it (the gene still clusters, on no signal) and say so
+        logger.warning(
+            "SVG PCA input has %d non-finite entries; zeroing them",
+            int((~np.isfinite(X)).sum()),
+        )
+        X = np.nan_to_num(X, nan=0.0, posinf=0.0, neginf=0.0)
     Xc = X - X.mean(axis=0, keepdims=True)
     n_comps = min(n_comps, min(Xc.shape) - 1)
-    U, S, Vt = np.linalg.svd(Xc, full_matrices=False)
+    try:
+        U, S, Vt = np.linalg.svd(Xc, full_matrices=False)
+    except np.linalg.LinAlgError:
+        # rare LAPACK non-convergence: the (smaller-side) Gram eigendecomp
+        # is more robust; recover row scores as Xc V = U S directly
+        evals, V = np.linalg.eigh(Xc.T @ Xc)
+        order = np.argsort(evals)[::-1][:n_comps]
+        return (Xc @ V[:, order]).astype(np.float64)
     return (U[:, :n_comps] * S[:n_comps]).astype(np.float64)
 
 

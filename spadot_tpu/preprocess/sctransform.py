@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 import scipy.sparse as sp
 
-from spadot_tpu.preprocess.bandwidth import bw_sj, ksmooth_normal
+from spadot_tpu.preprocess.bandwidth import bw_sj, bw_sj_safe, ksmooth_normal
 from spadot_tpu.utils.logging import logger
 
 MIN_THETA = 1e-7
@@ -130,15 +130,18 @@ def fit_poisson_genes(umi, log_umi, chunk=2048, dtype=np.float64):
 # ---------------------------------------------------------------------------
 
 def _robust_scale_binned(y, x, breaks):
-    """Robust z within bins of x (sctransform_utils.py:190-222 semantics)."""
+    """Robust z within bins of x (sctransform_utils.py:190-222 semantics).
+
+    NaN-tolerant: a non-finite fit in one bin must not NaN the whole bin's
+    median/MAD (one poisoned z row would then unflag every gene in the bin)."""
     z = np.zeros(len(y))
     which = np.digitize(x, breaks)
     eps = 2.220446e-16
     for b in np.unique(which):
         rows = which == b
         vals = y[rows]
-        med = np.median(vals)
-        mad = np.median(np.abs(vals - med)) * 1.4826
+        med = np.nanmedian(vals)
+        mad = np.nanmedian(np.abs(vals - med)) * 1.4826
         z[rows] = (vals - med) / (mad + eps)
     return z
 
@@ -151,7 +154,11 @@ def is_outlier_param(y, x, th=10.0):
     breaks2 = np.arange(x.min() - eps - bin_width / 2.0, x.max() + bin_width, bin_width)
     s1 = np.abs(_robust_scale_binned(y, x, breaks1))
     s2 = np.abs(_robust_scale_binned(y, x, breaks2))
-    return np.minimum(s1, s2) > th
+    # a non-finite parameter is always an outlier: one NaN surviving into the
+    # ksmooth numerator poisons the regularized params of EVERY gene within
+    # kernel support (observed at MouseOrganogenesis scale, where a
+    # near-constant cell-UMI profile made one GLM fit diverge)
+    return (np.minimum(s1, s2) > th) | ~np.isfinite(y)
 
 
 def _density_sampling_probs(vals):
@@ -227,6 +234,22 @@ def sctransform(
     thetas, intercepts, slopes = fit_poisson_genes(
         umi[step1_idx], log_umi, chunk=chunk
     )
+    # drop genes whose Newton/theta iteration diverged (non-finite fits):
+    # they carry no usable signal for the regularization and a single NaN
+    # would spread through the kernel smoother to all genes
+    finite = (
+        np.isfinite(thetas) & np.isfinite(intercepts) & np.isfinite(slopes)
+    )
+    if not finite.all():
+        logger.info(
+            "SCTransform: dropping %d/%d non-finite GLM fits before "
+            "regularization", int((~finite).sum()), len(finite),
+        )
+        step1_idx = step1_idx[finite]
+        thetas, intercepts, slopes = (
+            thetas[finite], intercepts[finite], slopes[finite],
+        )
+        log_gmean_s1 = log_gmean[step1_idx]
     thetas = np.maximum(thetas, MIN_THETA)
 
     # regularization (vst.py:245-325): od_factor parameterization
@@ -248,7 +271,7 @@ def sctransform(
     inv_order = np.empty_like(order)
     inv_order[order] = np.arange(len(order))
 
-    bw = bw_sj(gmean_kept) * bw_adjust
+    bw = bw_sj_safe(gmean_kept) * bw_adjust
     fitted = np.empty((G, 3))
     for c in range(3):
         _, smoothed = ksmooth_normal(

@@ -84,6 +84,54 @@ def test_sctransform_filters_rare_genes(rng):
     assert "g5" not in assay_out["scale.data"].index
 
 
+def test_sctransform_survives_nonfinite_glm_fit(rng, monkeypatch):
+    """A single diverged (NaN) GLM fit must not poison the regularized
+    params of every gene via the kernel smoother (observed at
+    MouseOrganogenesis scale with near-constant cell UMI totals)."""
+    import importlib
+
+    sct = importlib.import_module("spadot_tpu.preprocess.sctransform")
+
+    counts, log_umi, _, _ = _simulate_nb(rng, n_cells=250, n_genes=70)
+    real_fit = sct.fit_poisson_genes
+
+    def poisoned_fit(umi, log_umi, chunk=2048):
+        th, ic, sl = real_fit(umi, log_umi, chunk=chunk)
+        th[3], ic[3], sl[3] = np.inf, np.nan, np.nan
+        return th, ic, sl
+
+    monkeypatch.setattr(sct, "fit_poisson_genes", poisoned_fit)
+    genes = np.array([f"g{i}" for i in range(70)])
+    cells = np.array([f"c{i}" for i in range(250)])
+    assay_out, vst_out = sct.sctransform(sp.csr_matrix(counts), genes, cells)
+    X = assay_out["scale.data"].to_numpy()
+    assert np.isfinite(X).all()
+    mp = vst_out["model_pars_fit"][["Intercept", "log_umi"]].to_numpy()
+    assert np.isfinite(mp).all()
+
+
+def test_bw_sj_safe_fallback_on_point_mass():
+    """bw_sj raises on (near-)point-mass samples; the safe wrapper must fall
+    back to the Silverman rule instead of aborting preprocessing."""
+    from spadot_tpu.preprocess.bandwidth import bw_nrd0, bw_sj_safe
+
+    x = np.concatenate([np.full(500, 2.0), [2.001, 1.999]])
+    bw = bw_sj_safe(x)
+    assert np.isfinite(bw) and bw > 0
+    assert bw == pytest.approx(bw_nrd0(x))
+
+
+def test_svg_pca_sanitizes_nonfinite():
+    from spadot_tpu.preprocess.louvain import pca
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(50, 20))
+    X[3, 4] = np.nan
+    X[7, 1] = np.inf
+    comps = pca(X, n_comps=5)
+    assert np.isfinite(comps).all() and comps.shape == (50, 5)
+
+
 def test_bw_sj_reasonable(rng):
     x = rng.normal(0, 1, 500)
     bw = bw_sj(x)
