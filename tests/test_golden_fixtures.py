@@ -1,0 +1,80 @@
+"""Committed golden-run fixture sanity (SURVEY.md §4, §6).
+
+The reference ships golden outputs for two datasets —
+`examples/ChickenHeart_output/` and `examples/MouseOrganogenesis_output/`
+(SVG_genes.txt 2,954 / 9,281 genes) — as de-facto regression fixtures.
+This repo's analogues are `golden_out/` (ChickenHeart run shape: 4 tps,
+~2.5k spots) and `golden_out_mouse/` (MouseOrganogenesis run shape: 3 tps,
+4200/2400/3600 spots, ~14k input genes), produced by
+examples/golden_run.py / examples/golden_run_mouse.py on synthetic data.
+
+These tests validate the committed artifact contract (filenames, schema,
+row counts — mirroring the reference's output inventory at
+/root/reference/SpaDOT/preprocess.py:31, train.py:38-44,
+utils/_analyze_utils.py:98-138) and the recorded quality numbers, without
+recomputing the runs.
+"""
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+LOSS_COLS = ["elbo", "Recon", "SVGP_KL", "GAT_KL", "alignment", "KMeans", "OT"]
+
+
+def _check_golden_dir(out, n_tp, pairs):
+    # loss.csv: header + 100 epochs, reference column set (_train_utils.py:166)
+    loss = pd.read_csv(os.path.join(out, "loss.csv"), index_col=0)
+    assert list(loss.columns) == LOSS_COLS
+    assert len(loss) == 100
+    assert np.isfinite(loss.to_numpy()).all()
+
+    svgs = open(os.path.join(out, "SVG_genes.txt")).read().split()
+    assert len(svgs) == len(set(svgs)) >= 500  # ≥500 floor (_utils.py:190)
+
+    for tp in range(n_tp):
+        csv = os.path.join(out, f"{tp}_SVG_sparkx_clustered_louvain.csv")
+        df = pd.read_csv(csv, index_col=0)
+        # reference CSV schema (_preprocess_utils.py:104)
+        assert {"combinedPval", "adjustedPval", "cluster"} <= set(df.columns)
+        assert df["cluster"].nunique() >= 10  # ladder stops at ≥10 clusters
+        assert os.path.exists(os.path.join(out, f"{tp}_domains.png"))
+
+    for i, j in pairs:
+        assert os.path.exists(
+            os.path.join(out, f"transition_table_{i}_{j}.h5ad")
+        )
+        assert os.path.exists(
+            os.path.join(out, f"transition_dotplot_{i}_{j}.png")
+        )
+
+
+def test_chickenheart_golden_fixtures():
+    out = os.path.join(REPO, "golden_out")
+    if not os.path.exists(os.path.join(out, "loss.csv")):
+        pytest.skip("golden_out/ not present")
+    _check_golden_dir(out, n_tp=4, pairs=[(0, 1), (1, 2), (2, 3)])
+
+
+def test_mouse_golden_fixtures():
+    """MouseOrganogenesis-scale golden run (VERDICT r2 item 4): ~14k input
+    genes -> 8,329 SVGs kept (reference's own fixture: 9,281), 3 timepoints
+    at 4200/2400/3600 spots, full preprocess -> train -> analyze."""
+    out = os.path.join(REPO, "golden_out_mouse")
+    if not os.path.exists(os.path.join(out, "loss.csv")):
+        pytest.skip("golden_out_mouse/ not present")
+    _check_golden_dir(out, n_tp=3, pairs=[(0, 1), (1, 2)])
+
+    with open(os.path.join(out, "summary.json")) as f:
+        s = json.load(f)
+    # SVG count at the reference dataset's scale (9,281): same order, and the
+    # >500-per-tp union rule engaged (not the floor)
+    assert 5000 <= s["n_svgs"] <= 14000
+    # domain recovery on the synthetic truth labels
+    assert s["mean_ari"] >= 0.75
+    assert all(v >= 0.6 for v in s["aris"].values())
+    assert np.isfinite(list(s["final_losses"].values())).all()
