@@ -88,6 +88,11 @@ def main():
     cfg.update(
         input_dim=N_GENES, timepoints=[0, 1, 2, 3], maxiter=maxiter,
         dtype=dtype,
+        # parity runs pin true-f32/f64 numerics regardless of the package's
+        # speed default (the committed docs/parity curves were produced at
+        # "highest"; the bf16 production default is quality-gated separately
+        # by examples/precision_quality.py)
+        gat_matmul_precision="highest",
     )
     if os.environ.get("SPADOT_PARITY_CFG"):
         # ad-hoc overrides, e.g. '{"gat_dense_max_n": 0}' to skip the dense

@@ -42,12 +42,15 @@ class SpaDOTNet(nn.Module):
     gat_pallas_min_n: int = 4500
     gat_rev_max_n: int = 3500
     # matmul precision for the GAT branch only (projections + attention).
-    # The global default is "highest" (6-pass bf16 ~ true f32) because the
+    # The GLOBAL default is "highest" (6-pass bf16 ~ true f32) because the
     # SVGP Cholesky factors go non-PSD below it — but the GAT branch has no
     # such hazard, and on the MXU "default" (1-pass bf16) is ~6x the f32
     # rate, "high" (3-pass) ~2x. At 100k-spot scale the dense attention
-    # matmuls ARE the epoch, so this is a first-order lever.
-    gat_matmul_precision: str = "highest"
+    # matmuls ARE the epoch, so this is a first-order lever. Quality-gated
+    # bf16 default (examples/precision_quality.py: 100-epoch mean domain ARI
+    # 0.9514 vs 0.9559 at highest, same data/seed; set "highest" for
+    # float64/parity studies).
+    gat_matmul_precision: str = "default"
 
     def setup(self):
         self.svgp_z_dim = self.z_dim // 2
@@ -128,7 +131,7 @@ def build_net(model_config: Dict[str, Any]) -> SpaDOTNet:
         gat_pallas_min_n=int(model_config.get("gat_pallas_min_n", 4500)),
         gat_rev_max_n=int(model_config.get("gat_rev_max_n", 3500)),
         gat_matmul_precision=str(
-            model_config.get("gat_matmul_precision", "highest")
+            model_config.get("gat_matmul_precision", "default")
         ),
     )
 
