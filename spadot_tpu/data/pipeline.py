@@ -165,7 +165,9 @@ def prepare_data(adata, model_config):
 
                     logging.getLogger("spadot").info(
                         "tp %s: receptive closure P=%d exceeds "
-                        "gat_window_dense_max=%d; using window mode",
+                        "gat_window_dense_max=%d; falling back to exact "
+                        "full-graph GAT (set gat_exact_batches: false for "
+                        "the windowed approximation)",
                         tp, P, dense_max,
                     )
     return {

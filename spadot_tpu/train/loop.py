@@ -64,10 +64,25 @@ class Trainer:
         mode = str(model_config.get("encoder_mode", "dual"))
         half = self.z_dim // 2
         self.latent_dim = 2 * half if mode == "dual" else half
-        # O(window) minibatch GAT for large spot counts (full graph when 0)
+        # exact-minibatch receptive-closure tables (data/pipeline.py builds
+        # them when full_graph_gat=false and gat_exact_batches allows)
+        self.gat_ext = all(
+            "ext_idx" in data["tp_data"][tp] for tp in self.timepoints
+        )
+        # GAT execution: ext closures when present (exact, ~half the FLOPs);
+        # otherwise exact full graph (gat_window=0) — including when the
+        # 'auto' closure build was rejected for size. The O(window)
+        # approximation runs ONLY on explicit opt-in
+        # (full_graph_gat=false + gat_exact_batches=false).
+        exact_cfg = str(model_config.get("gat_exact_batches", "auto")).lower()
         self.gat_window = (
-            0 if model_config.get("full_graph_gat", True)
-            else int(model_config.get("gat_window", 512))
+            int(model_config.get("gat_window", 512))
+            if (
+                not model_config.get("full_graph_gat", True)
+                and not self.gat_ext
+                and exact_cfg in ("false", "0", "off")
+            )
+            else 0
         )
         # windows up to this many rows run dense-adjacency attention
         self.gat_window_dense_max = int(
@@ -88,11 +103,6 @@ class Trainer:
         self.tp_n = {
             tp: int(data["tp_data"][tp]["Y"].shape[0]) for tp in self.timepoints
         }
-        # exact-minibatch receptive-closure tables (data/pipeline.py builds
-        # them when full_graph_gat=false and gat_exact_batches allows)
-        self.gat_ext = all(
-            "ext_idx" in data["tp_data"][tp] for tp in self.timepoints
-        )
         fused_cfg = str(model_config.get("fused_epoch", "auto")).lower()
         self.fused = (
             fused_cfg in ("auto", "true", "1")

@@ -367,7 +367,11 @@ def test_rev_backward_full_model_grad_equality(windowed):
     cfg["gat_dense_max_n"] = 0
     if windowed:
         cfg.update(full_graph_gat=False, gat_window=24, batch_size=32,
-                   gat_window_dense_max=0)
+                   gat_window_dense_max=0, gat_exact_batches=False)
+    else:
+        # the rev lists only exist on the full-graph gather path (the
+        # exact-closure default never stages them)
+        cfg["full_graph_gat"] = True
     set_seed(1993)
     data = prepare_data(adata, cfg)
     trainer = Trainer(cfg, data)
