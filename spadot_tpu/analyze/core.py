@@ -8,6 +8,9 @@ from spadot_tpu.utils.logging import logger
 
 
 def analyze(args):
+    from spadot_tpu.utils.platform import select_platform
+
+    select_platform(getattr(args, "device", None), logger)
     data_dir = os.path.abspath(args.data)
     if not getattr(args, "output_dir", None):
         args.output_dir = os.path.dirname(data_dir)

@@ -1018,22 +1018,11 @@ def train(args):
     from spadot_tpu.io import read_h5ad
     from spadot_tpu.data.pipeline import prepare_data, save_inducing_points
 
-    device = getattr(args, "device", None)
-    if device:
-        platform = device.split(":")[0].lower()
-        if platform in ("cpu", "tpu", "gpu"):
-            previous = jax.config.jax_platforms
-            try:
-                jax.config.update("jax_platforms", platform)
-                jax.devices()  # force backend init NOW so failure is catchable
-            except Exception:
-                # e.g. --device tpu (the default) on a CPU-only host: fall
-                # back to whatever backend the installation provides
-                jax.config.update("jax_platforms", previous)
-                logger.warning(
-                    "platform %r unavailable; using default backend %s",
-                    platform, jax.default_backend(),
-                )
+    from spadot_tpu.utils.platform import select_platform
+
+    # e.g. --device tpu (the default) on a CPU-only host falls back to
+    # whatever backend the installation provides
+    select_platform(getattr(args, "device", None), logger)
 
     enable_compilation_cache()
     logger.info("Loading data...")
