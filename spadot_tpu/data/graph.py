@@ -151,6 +151,11 @@ def receptive_tables(nbr, nbr_mask, batch_idx, batch_mask, hops=3, pad_to=128):
         # TILE=256 (half the grid steps; 1536 = largest 256-multiple inside
         # ops/gat_flash.py:flash_dense_max_n(tile=256)'s VMEM budget)
         P = -(-P // 256) * 256
+    elif P > 2560:
+        # large closures: align to the head-fused tiled kernel's i tile
+        # (ops/gat_flash.py:TILE3_I) — measured 9.9 vs 18.1 ms/layer fwd+bwd
+        # at P=7680 over the XLA dense path; <= 7% extra rows
+        P = -(-P // 512) * 512
     ext_idx = np.zeros((nb, P), np.int32)
     ext_mask = np.zeros((nb, P), np.float32)
     loc_nbr = np.zeros((nb, P, K), np.int32)

@@ -18,8 +18,10 @@ import flax.linen as nn
 
 from spadot_tpu.ops.gat import gat_attention, gat_attention_dense
 from spadot_tpu.ops.gat_flash import (
-    FLASH2_MAX_N, flash1_gat_supported, flash2_gat_supported, flash2_tile,
+    FLASH2_MAX_N, FLASH3_MAX_N, TILE3_I, flash1_gat_supported,
+    flash2_gat_supported, flash2_tile, flash3_gat_supported,
     flash_dense_max_n, gat_attention_dense_flash, gat_attention_dense_flash2,
+    gat_attention_dense_flash3,
 )
 
 _XAVIER = nn.initializers.xavier_uniform()
@@ -60,11 +62,15 @@ class GATLayer(nn.Module):
       - adj provided (dense gates in data/pipeline.py + the windowed branch):
           n_pad <= ~2.5k : fused flash kernel (VMEM-resident softmax,
                            2.29 ms at 2500 vs 2.9 XLA dense);
-          n_pad <= 5120  : tiled FA2-style kernel (online softmax, split
-                           dq/dkv backward — 4.4 ms at 4000 vs 4.9);
+          512-aligned,
+          n_pad <= 16384 : head-fused tiled kernel (flash3: all heads per
+                           grid step, tall 512-row i tiles under a raised
+                           VMEM limit, single fused backward — 9.9 ms at
+                           7680 / 11.7 at 8192 vs 18.1 / 18.4 XLA dense);
+          n_pad <= 5120  : tiled FA2-style kernel (flash2 — flash3's
+                           fallback if its probe fails; 4.4 ms at 4000);
           beyond         : XLA dense-adjacency attention (batched MXU
-                           matmuls; 12.7 ms at 8704 — beats both tiled
-                           kernels there, grid-step overhead dominates them);
+                           matmuls — also the non-512-aligned fallback);
       - no adj, n >= pallas_min_n: windowed Pallas gather aggregation + XLA
         scatter backward (38.4 ms at n=8704 vs 51.8 XLA-autodiff);
       - no adj, n <= rev_max_n: XLA scan + scatter-free reverse-list
@@ -104,6 +110,14 @@ class GATLayer(nn.Module):
                     and flash1_gat_supported(F, H)
                 ):
                     return gat_attention_dense_flash(
+                        h, adj, W, att_src, att_dst, bias, concat=self.concat
+                    )
+                if (
+                    adj.shape[0] % TILE3_I == 0
+                    and adj.shape[0] <= FLASH3_MAX_N
+                    and flash3_gat_supported()
+                ):
+                    return gat_attention_dense_flash3(
                         h, adj, W, att_src, att_dst, bias, concat=self.concat
                     )
                 if (

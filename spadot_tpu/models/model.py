@@ -144,6 +144,27 @@ def _apply_gat(net, variables, h, nbr, nbr_mask, rev=None, adj=None):
         )
 
 
+def _gat_ext_forward(net, vars_nostats, Y, ext, gat_window_dense_max):
+    """GAT over one batch's receptive closure, batch-row outputs extracted.
+
+    ext is a receptive-table slice (ext_idx (P,), ext_mask (P,), loc_nbr
+    (P, K), loc_mask (P, K), batch_pos (b,)) from
+    data/graph.py:receptive_tables; the returned (mu, var) at the batch rows
+    are EXACTLY the full-graph values (tests/test_exact_batches.py)."""
+    ext_idx, ext_mask, loc_nbr, loc_mask, batch_pos = ext
+    P = loc_nbr.shape[0]
+    Y_ext = Y[ext_idx]
+    adj_ext = None
+    if P <= int(gat_window_dense_max):
+        rows_e = jnp.broadcast_to(jnp.arange(P)[:, None], loc_nbr.shape)
+        adj_ext = jnp.zeros((P, P), jnp.int8)
+        adj_ext = adj_ext.at[rows_e, loc_nbr].max(loc_mask.astype(jnp.int8))
+    gat_mu_e, gat_var_e = _apply_gat(
+        net, vars_nostats, Y_ext, loc_nbr, loc_mask, None, adj_ext
+    )
+    return gat_mu_e[batch_pos], gat_var_e[batch_pos]
+
+
 def forward_batch(
     net: SpaDOTNet,
     variables,
@@ -234,21 +255,9 @@ def forward_batch(
     if mode in ("dual", "gat"):
         if ext is not None:
             # --- exact receptive-field minibatch GAT ---
-            ext_idx, ext_mask, loc_nbr, loc_mask, batch_pos = ext
-            P = loc_nbr.shape[0]
-            Y_ext = Y[ext_idx]
-            adj_ext = None
-            if P <= int(gat_window_dense_max):
-                rows_e = jnp.broadcast_to(jnp.arange(P)[:, None], loc_nbr.shape)
-                adj_ext = jnp.zeros((P, P), jnp.int8)
-                adj_ext = adj_ext.at[rows_e, loc_nbr].max(
-                    loc_mask.astype(jnp.int8)
-                )
-            gat_mu_e, gat_var_e = _apply_gat(
-                net, vars_nostats, Y_ext, loc_nbr, loc_mask, None, adj_ext
+            gat_mu, gat_var = _gat_ext_forward(
+                net, vars_nostats, Y, ext, gat_window_dense_max
             )
-            gat_mu = gat_mu_e[batch_pos]
-            gat_var = gat_var_e[batch_pos]
         elif gat_window:
             # --- windowed minibatch GAT: message passing restricted to the
             # [batch_start - W, batch_end + W) row window. Spots are
@@ -379,6 +388,63 @@ def ot_loss(latent, batch_idx, batch_mask, assignments, centers, prev_centers, g
     )
     cost = jnp.sqrt(jnp.maximum(d2, 1e-30))
     return jnp.mean(gamma_rownorm * cost)
+
+
+def full_latent_ext(
+    net, variables, tp_data, svgp_state, ext_tables, *,
+    kernel_scale, kernel_type, jitter=1e-2, row_mask=None,
+    gat_window_dense_max=10000,
+):
+    """`full_latent` with the GAT branch computed per receptive closure.
+
+    ext_tables: the per-timepoint receptive tables (ext_idx (nb, P), ...,
+    batch_pos (nb, b)) from data/graph.py:receptive_tables, whose batches
+    are CONTIGUOUS row blocks (data/pipeline.py:make_batches) — so scanning
+    closures and concatenating batch-row outputs reproduces the full-graph
+    GAT exactly (tests/test_exact_batches.py) at ~1/4 the cost at 100k
+    spots (the closure runs the fused dense kernels; the full graph only
+    has the gather path).
+    """
+    Y, coords = tp_data["Y"], tp_data["coords"]
+    n = Y.shape[0]
+    mask = jnp.ones(n, Y.dtype) if row_mask is None else row_mask
+    n_eff = jnp.asarray(n, Y.dtype) if row_mask is None else jnp.sum(row_mask)
+    mode = net.encoder_mode
+    parts = []
+    if mode in ("dual", "svgp"):
+        qnet_mu, qnet_var = net.apply(
+            variables, Y, train=False, mask=None, method=SpaDOTNet.encode_svgp
+        )
+        terms = svgp_batch_terms(
+            coords, qnet_mu, qnet_var, mask, n_eff,
+            svgp_state["Z"], svgp_state["K_mm"], svgp_state["L_mm"],
+            kernel_scale=kernel_scale, jitter=jitter, kernel_type=kernel_type,
+            m_mask=svgp_state.get("m_mask"),
+            kl_const=svgp_state.get("kl_const", 0.0),
+        )
+        parts.append(terms["p_m"])
+    if mode in ("dual", "gat"):
+        vars_nostats = {"params": variables["params"]}
+
+        def body(carry, xs):
+            mu_b, _ = _gat_ext_forward(
+                net, vars_nostats, Y, xs, gat_window_dense_max
+            )
+            return carry, mu_b
+
+        xs = tuple(
+            ext_tables[k]
+            for k in ("ext_idx", "ext_mask", "loc_nbr", "loc_mask",
+                      "batch_pos")
+        )
+        _, mus = jax.lax.scan(body, None, xs)   # (nb, b, L)
+        gat_mu = mus.reshape(-1, mus.shape[-1])  # contiguous batches
+        if gat_mu.shape[0] < n:   # row-padded stacks (mesh mode)
+            gat_mu = jnp.pad(
+                gat_mu, ((0, n - gat_mu.shape[0]), (0, 0))
+            )
+        parts.append(gat_mu[:n])
+    return jnp.concatenate(parts, axis=1)
 
 
 def full_latent(net, variables, tp_data, svgp_state, *, kernel_scale, kernel_type, jitter=1e-2, row_mask=None):

@@ -537,6 +537,262 @@ def gat_attention_dense_flash2(
     return (out + bias).astype(h.dtype)
 
 
+# ---------------------------------------------------------------------------
+# head-fused tiled variant ("flash3"): FlashAttention-2 structure like
+# flash2, but engineered for the wx-streaming roofline that actually binds
+# beyond ~5k rows (measured: an (i, j)-gridded head loop alone ties flash2
+# at 14.9 ms/layer at P=7680 — grid-step count was NOT the constraint):
+#   - grid (i, j) with ALL H heads per step: the adjacency tile is DMA'd and
+#     cast once per (i, j) instead of once per (h, i, j);
+#   - TALL i tiles (TILE3_I=512): per-layer wx traffic is ni full sweeps of
+#     the (H, n, F) wx — halving ni halves the dominant HBM term;
+#   - wx/g blocks stream in bfloat16 when the ambient matmul precision is
+#     'default' (the quality-gated production mode): the MXU consumes bf16
+#     operands anyway, so this halves the dominant traffic with NO numeric
+#     change to the dots; at 'high'/'highest' everything stays f32;
+#   - ONE backward kernel: des/dwx accumulate over i (FA2 dkv), and the
+#     row-sums of dlog stream out as (i, j) partials that XLA reduces to ded
+#     — the separate dq kernel (a full extra sweep recomputing the same
+#     dlog) is gone.
+# ---------------------------------------------------------------------------
+
+# Tile choices are VMEM-driven (16M scoped limit, and the H-unrolled head
+# loop keeps ~H x live-tensors x (TI, TJ) f32 temporaries on the stack):
+#   fwd: TALL thin tiles — wx traffic is ni full sweeps, so TI is maxed;
+#        TJ=128 keeps the per-head temporaries small (TI=512, TJ=256
+#        measured 2.26M over the limit);
+#   bwd: the cotangent g streams once per j tile, so TJ is as large as the
+#        f32 dwx accumulator + double-buffered wx/g blocks allow.
+# n_pad must be a multiple of TILE3_I.
+TILE3_I = 512
+TILE3_J = 256
+TILE3_J_BWD = 512
+TILE3_I_BWD = 256
+# v5e has 128 MiB of physical VMEM; the compiler's default 16M scoped limit
+# is what forced flash1/flash2's small tiles. flash3 requests more and
+# spends it on tall tiles (fewer wx/g sweeps = less HBM traffic).
+_VMEM_LIMIT = 64 * 2**20
+
+
+def _flash3_fwd_kernel(ed_ref, es_ref, adj_ref, wx_ref,
+                       out_ref, m_ref, l_ref, m_s, l_s):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    H = ed_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        m_s[:] = jnp.full_like(m_s, NEG)
+        l_s[:] = jnp.zeros_like(l_s)
+
+    adj = adj_ref[:].astype(jnp.float32)   # once per (i, j) — shared by heads
+    keep = adj > 0
+    for h in range(H):
+        ed = ed_ref[h]                      # (TILE_I, 1)
+        es = es_ref[h]                      # (1, TILE_J)
+        raw = ed + es
+        logits = jnp.where(raw >= 0, raw, _SLOPE * raw)
+        logits = jnp.where(keep, logits, NEG)
+        m_prev = m_s[h]
+        m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+        scale = jnp.exp(m_prev - m_cur)
+        p = jnp.where(keep, jnp.exp(logits - m_cur), 0.0)
+        l_s[h] = l_s[h] * scale + jnp.sum(p, axis=1, keepdims=True)
+        m_s[h] = m_cur
+        # out_ref doubles as the accumulator (revisited block, stays in
+        # VMEM across the j sweep) — no (H, TILE_I, F) scratch needed
+        out_ref[h] = out_ref[h] * scale + jax.lax.dot_general(
+            p.astype(wx_ref.dtype), wx_ref[h],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == nj - 1)
+    def _():
+        l = jnp.maximum(l_s[:], 1e-30)
+        out_ref[:] = out_ref[:] / l
+        m_ref[:] = m_s[:]
+        l_ref[:] = l
+
+
+def _flash3_bwd_kernel(ed_ref, es_ref, adj_ref, wx_ref, g_ref, m_ref, l_ref,
+                       d_ref, des_ref, dwx_ref, dedp_ref):
+    """One backward sweep, grid (j, i) with i fastest: des/dwx accumulate
+    across i per j tile; the dlog row-sums stream out as per-(i, j) partials
+    (dedp) that XLA reduces — replacing a whole separate dq kernel."""
+    i = pl.program_id(1)
+    H = ed_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        des_ref[:] = jnp.zeros_like(des_ref)
+        dwx_ref[:] = jnp.zeros_like(dwx_ref)
+
+    adj = adj_ref[:].astype(jnp.float32)
+    keep = adj > 0
+    for h in range(H):
+        raw = ed_ref[h] + es_ref[h]
+        logits = jnp.where(raw >= 0, raw, _SLOPE * raw)
+        logits = jnp.where(keep, logits, NEG)
+        alpha = jnp.where(keep, jnp.exp(logits - m_ref[h]), 0.0) / l_ref[h]
+        dalpha = jax.lax.dot_general(
+            g_ref[h], wx_ref[h], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = (dalpha - d_ref[h]) * alpha
+        dlog = jnp.where(raw >= 0, dp, _SLOPE * dp)
+        des_ref[h] += jnp.sum(dlog, axis=0, keepdims=True)
+        dwx_ref[h] += jax.lax.dot_general(
+            alpha.astype(g_ref.dtype), g_ref[h],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dedp_ref[0, h] = jnp.sum(dlog, axis=1, keepdims=True)
+
+
+@jax.custom_vjp
+def _flash3_core(ed, es, adj, wx):
+    out, _ = _flash3_fwd(ed, es, adj, wx)
+    return out
+
+
+def _flash3_specs(H, F, kv_grid=False, ti=TILE3_I, tj=TILE3_J):
+    """Block specs shared by the flash3 kernels. Index maps take (i, j) for
+    the fwd/dq grids and (j, i) for the dkv grid (kv_grid=True)."""
+    if kv_grid:
+        I = lambda j, i: i  # noqa: E731, E741
+        J = lambda j, i: j  # noqa: E731
+    else:
+        I = lambda i, j: i  # noqa: E731, E741
+        J = lambda i, j: j  # noqa: E731
+    return {
+        "ed": pl.BlockSpec((H, ti, 1), lambda a, b: (0, I(a, b), 0),
+                           memory_space=pltpu.VMEM),
+        "es": pl.BlockSpec((H, 1, tj), lambda a, b: (0, 0, J(a, b)),
+                           memory_space=pltpu.VMEM),
+        "adj": pl.BlockSpec((ti, tj),
+                            lambda a, b: (I(a, b), J(a, b)),
+                            memory_space=pltpu.VMEM),
+        "wx": pl.BlockSpec((H, tj, F), lambda a, b: (0, J(a, b), 0),
+                           memory_space=pltpu.VMEM),
+        "gi": pl.BlockSpec((H, ti, F), lambda a, b: (0, I(a, b), 0),
+                           memory_space=pltpu.VMEM),
+        "ri": pl.BlockSpec((H, ti, 1), lambda a, b: (0, I(a, b), 0),
+                           memory_space=pltpu.VMEM),
+        "rj": pl.BlockSpec((H, 1, tj), lambda a, b: (0, 0, J(a, b)),
+                           memory_space=pltpu.VMEM),
+        "wj": pl.BlockSpec((H, tj, F), lambda a, b: (0, J(a, b), 0),
+                           memory_space=pltpu.VMEM),
+    }
+
+
+def _flash3_fwd(ed, es, adj, wx):
+    H, n_pad, F = wx.shape
+    s = _flash3_specs(H, F)
+    grid = (n_pad // TILE3_I, n_pad // TILE3_J)
+    out, m, l = pl.pallas_call(
+        _flash3_fwd_kernel,
+        grid=grid,
+        in_specs=[s["ed"], s["es"], s["adj"], s["wx"]],
+        out_specs=[s["gi"], s["ri"], s["ri"]],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, n_pad, F), jnp.float32),
+            jax.ShapeDtypeStruct((H, n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((H, n_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H, TILE3_I, 1), jnp.float32),
+            pltpu.VMEM((H, TILE3_I, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * n_pad * n_pad * F,
+            transcendentals=H * n_pad * n_pad,
+            bytes_accessed=n_pad * n_pad + 8 * H * n_pad * F,
+        ),
+    )(ed, es, adj, wx)
+    return out, (ed, es, adj, wx, m, l, out)
+
+
+def _flash3_bwd(res, g):
+    ed, es, adj, wx, m, l, out = res
+    H, n_pad, F = wx.shape
+    # D_i = rowsum(dO . O) — the FlashAttention-2 trick that removes the
+    # full-row softmax-backward reduction from the kernel
+    d = jnp.sum(g * out, axis=2, keepdims=True)  # (H, n_pad, 1)
+    g = g.astype(wx.dtype)  # stream the cotangents at the wx width
+    nj = n_pad // TILE3_J_BWD
+    skv = _flash3_specs(H, F, kv_grid=True, ti=TILE3_I_BWD, tj=TILE3_J_BWD)
+    in_specs_kv = [skv["ed"], skv["es"], skv["adj"], skv["wx"], skv["gi"],
+                   skv["ri"], skv["ri"], skv["ri"]]
+    # (nj, H, n_pad, 1) so the block's trailing dims satisfy Mosaic's
+    # (8, 128)-or-full tiling rule (the array's last dim IS 1)
+    dedp_spec = pl.BlockSpec(
+        (1, H, TILE3_I_BWD, 1), lambda j, i: (j, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    des, dwx, dedp = pl.pallas_call(
+        _flash3_bwd_kernel,
+        grid=(nj, n_pad // TILE3_I_BWD),
+        in_specs=in_specs_kv,
+        out_specs=[skv["rj"], skv["wj"], dedp_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, 1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((H, n_pad, F), jnp.float32),
+            jax.ShapeDtypeStruct((nj, H, n_pad, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * H * n_pad * n_pad * F,
+            transcendentals=H * n_pad * n_pad,
+            bytes_accessed=n_pad * n_pad + 8 * H * n_pad * F,
+        ),
+    )(ed, es, adj, wx, g, m, l, d)
+    ded = jnp.sum(dedp, axis=0)  # (H, n_pad, 1)
+    return ded, des, None, dwx.astype(wx.dtype)
+
+
+_flash3_core.defvjp(_flash3_fwd, _flash3_bwd)
+
+_BF16_PRECISIONS = (None, "default", "bfloat16", "fastest")
+
+
+def gat_attention_dense_flash3(
+    h, adj_pad, W, att_src, att_dst, bias, *, concat=True
+):
+    """Head-fused tiled dense-GAT layer; contract of
+    `gat_attention_dense_flash2`. adj_pad must be a multiple of
+    max(TILE3_I, TILE3_J). Under the ambient 'default' matmul precision the
+    wx / cotangent streams run in bfloat16 (identical dot numerics to the
+    XLA dense path's 1-pass bf16, half the dominant HBM traffic); any other
+    precision keeps full float32 streams."""
+    n = h.shape[0]
+    n_pad = adj_pad.shape[0]
+    HF = W.shape[1]
+    H = att_src.shape[0]
+    F = HF // H
+    Wx = (h @ W).reshape(-1, H, F)
+    if Wx.shape[0] < n_pad:
+        Wx = jnp.pad(Wx, ((0, n_pad - Wx.shape[0]), (0, 0), (0, 0)))
+    e_src = jnp.einsum("nhf,hf->nh", Wx, att_src)
+    e_dst = jnp.einsum("nhf,hf->nh", Wx, att_dst)
+    prec = jax.config.jax_default_matmul_precision
+    wx_dt = jnp.bfloat16 if prec in _BF16_PRECISIONS else jnp.float32
+    wx_h = Wx.transpose(1, 0, 2).astype(wx_dt)
+    ed = e_dst.T[:, :, None].astype(jnp.float32)
+    es = e_src.T[:, None, :].astype(jnp.float32)
+    out = _flash3_core(ed, es, adj_pad, wx_h)
+    out = out.transpose(1, 0, 2)[:n]
+    if concat:
+        out = out.reshape(n, H * F)
+    else:
+        out = jnp.mean(out, axis=1)
+    return (out + bias).astype(h.dtype)
+
+
 def pad_adjacency(adj, multiple=None, F=512, H=4):
     """Host-side: pad an (n, n) {0,1} adjacency to a lane-aligned square.
 
@@ -558,8 +814,12 @@ def pad_adjacency(adj, multiple=None, F=512, H=4):
     n = adj.shape[0]
     if multiple is None:
         n128 = _round_up(n, TILE)
-        in_flash2_band = flash_dense_max_n(F, H) < n128 <= FLASH2_MAX_N
-        multiple = TILE_J if in_flash2_band else TILE
+        # above the flash1 band everything up to FLASH3_MAX_N goes to the
+        # head-fused tiled kernel (or flash2 as its fallback) — both need
+        # 512 alignment (TILE3_I == TILE_J); the <= 7% extra rows cost far
+        # less than the measured ~1.8x kernel win (flash3 vs XLA dense)
+        in_tiled_band = flash_dense_max_n(F, H) < n128 <= FLASH3_MAX_N
+        multiple = TILE3_I if in_tiled_band else TILE
     n_pad = _round_up(n, multiple)
     out = np.zeros((n_pad, n_pad), np.int8)
     out[:n, :n] = np.asarray(adj) > 0
@@ -614,6 +874,50 @@ def flash1_gat_supported(F=512, H=4):
 
 
 _FLASH2_CACHE = {}
+
+
+# measured (v5e, F=512, H=4, fwd+bwd, K=31 edges/row): flash3 9.9 ms vs
+# 18.1 XLA dense at P=7680, 11.7 vs 18.4 at 8192, 5.5 vs 7.2 at 4608 — it
+# wins the whole band above flash1; the bound below only caps the probe
+# shape (the dense-path gates, gat_window_dense_max / gat_dense_max_n,
+# bind first in practice)
+FLASH3_MAX_N = 16384
+
+_FLASH3_CACHE = {}
+
+
+def flash3_gat_supported():
+    """Probe whether the head-fused tiled kernels (`_flash3_core`) compile
+    AND run fwd+bwd on this backend, at a multi-tile shape. Mirrors
+    `flash2_gat_supported`; probe executables land in the persistent compile
+    cache, so warm restarts pay nothing."""
+    backend = jax.default_backend()
+    if backend in _FLASH3_CACHE:
+        return _FLASH3_CACHE[backend]
+    if backend != "tpu":
+        _FLASH3_CACHE[backend] = False
+        return False
+    try:
+        n_pad, H, F = 2 * TILE3_I, 4, 512
+        ed = jnp.zeros((H, n_pad, 1), jnp.float32)
+        es = jnp.zeros((H, 1, n_pad), jnp.float32)
+        adj = jnp.eye(n_pad, dtype=jnp.int8)
+        # probe BOTH stream widths (bf16 is the production default;
+        # f32 is the parity mode and has the larger VMEM footprint)
+        for dt in (jnp.bfloat16, jnp.float32):
+            wx = jnp.zeros((H, n_pad, F), dt)
+
+            def loss(ed, es, wx):
+                return jnp.sum(_flash3_core(ed, es, adj, wx))
+
+            grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(ed, es, wx)
+            jax.block_until_ready(grads)
+        _FLASH3_CACHE[backend] = True
+    except Exception as e:  # pragma: no cover - backend dependent
+        print(f"head-fused tiled flash GAT kernel unavailable on {backend}: "
+              f"{type(e).__name__}; using the tiled/XLA dense paths")
+        _FLASH3_CACHE[backend] = False
+    return _FLASH3_CACHE[backend]
 
 
 def flash2_gat_supported():

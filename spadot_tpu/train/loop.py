@@ -372,11 +372,21 @@ class Trainer:
         )
         return variables, opt_state, rng, jnp.mean(vecs, axis=0)
 
-    def _latent_impl(self, variables, tp_dev, svgp_state):
-        from spadot_tpu.models.model import full_latent
+    def _latent_impl(self, variables, tp_dev, svgp_state, ext_tables=None):
+        from spadot_tpu.models.model import full_latent, full_latent_ext
 
         # row_mask present when tp_dev is a row-padded view of the fused
         # stack: padded rows must not enter the SVGP posterior or n_eff
+        if ext_tables is not None:
+            # receptive-closure GAT (proven equal to full-graph at the
+            # batch rows) — the closures run the fused dense kernels where
+            # the 100k-row full graph only has the gather path
+            return full_latent_ext(
+                self.net, variables, tp_dev, svgp_state, ext_tables,
+                kernel_scale=self.kernel_scale, kernel_type=self.kernel_type,
+                row_mask=tp_dev.get("row_mask"),
+                gat_window_dense_max=self.gat_window_dense_max,
+            )
         return full_latent(
             self.net, variables, tp_dev, svgp_state,
             kernel_scale=self.kernel_scale, kernel_type=self.kernel_type,
@@ -428,16 +438,20 @@ class Trainer:
         return variables, opt_state, rng, losses
 
     def latent(self, variables, tp):
-        lat = self._latent_jit(variables, self.tp_dev[tp], self.svgp_states[tp])
+        lat = self._latent_jit(
+            variables, self.tp_dev[tp], self.svgp_states[tp],
+            self.tp_ext.get(tp),
+        )
         return lat[: self.tp_n[tp]]
 
-    def _refresh_impl(self, variables, tp_dev, svgp_state, key, *, n, tp_i):
+    def _refresh_impl(self, variables, tp_dev, svgp_state, key, ext_tables,
+                      *, n, tp_i):
         """Latent extraction + KMeans refresh for one timepoint, fused into a
         single dispatch (the per-epoch refresh is tunnel-latency-bound)."""
         from spadot_tpu.ops.kmeans import _kmeans_fit_impl
 
         jax = self.jax
-        lat = self._latent_impl(variables, tp_dev, svgp_state)[:n]
+        lat = self._latent_impl(variables, tp_dev, svgp_state, ext_tables)[:n]
         sub = jax.random.fold_in(key, tp_i)
         with jax.default_matmul_precision("highest"):
             centers, labels, _ = _kmeans_fit_impl(
@@ -451,7 +465,7 @@ class Trainer:
         for i, tp in enumerate(self.timepoints):
             centers, labels = self._refresh_jit(
                 variables, self.tp_dev[tp], self.svgp_states[tp], key,
-                n=self.tp_n[tp], tp_i=i,
+                self.tp_ext.get(tp), n=self.tp_n[tp], tp_i=i,
             )
             km["centers"][tp] = centers
             km["assign"][tp] = labels
@@ -707,19 +721,36 @@ class Trainer:
 
         # per-tp KMeans refresh (sequential lax.map bounds peak memory at one
         # timepoint's full-graph latents)
-        from spadot_tpu.models.model import full_latent
+        from spadot_tpu.models.model import full_latent, full_latent_ext
         from spadot_tpu.ops.kmeans import _kmeans_fit_impl
 
         def refresh(i):
             tp_data, svgp_state = self._tp_slice(stacked, i)
-            row_mask = lax.dynamic_index_in_dim(
-                stacked["row_mask"], i, keepdims=False
-            )
-            lat = full_latent(
-                self.net, variables, tp_data, svgp_state,
-                kernel_scale=self.kernel_scale, kernel_type=self.kernel_type,
-                row_mask=row_mask,
-            )
+            dyn = lambda a: lax.dynamic_index_in_dim(a, i, keepdims=False)
+            row_mask = dyn(stacked["row_mask"])
+            if "ext_idx" in stacked:
+                # closure-batched GAT: the fused dense kernels instead of the
+                # 100k-row gather path (identical latents — see
+                # full_latent_ext); sentinel batches only write rows past
+                # row_mask's support
+                ext_tables = {
+                    k: dyn(stacked[k])
+                    for k in ("ext_idx", "ext_mask", "loc_nbr", "loc_mask",
+                              "batch_pos")
+                }
+                lat = full_latent_ext(
+                    self.net, variables, tp_data, svgp_state, ext_tables,
+                    kernel_scale=self.kernel_scale,
+                    kernel_type=self.kernel_type, row_mask=row_mask,
+                    gat_window_dense_max=self.gat_window_dense_max,
+                )
+            else:
+                lat = full_latent(
+                    self.net, variables, tp_data, svgp_state,
+                    kernel_scale=self.kernel_scale,
+                    kernel_type=self.kernel_type,
+                    row_mask=row_mask,
+                )
             sub = jax.random.fold_in(km_key, i)
             with jax.default_matmul_precision("highest"):
                 centers, labels, _ = _kmeans_fit_impl(

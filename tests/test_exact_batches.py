@@ -118,6 +118,37 @@ def test_exact_mode_trains_and_fuses():
     )
 
 
+def test_full_latent_ext_equals_full_latent():
+    """The closure-batched latent extraction (full_latent_ext — used by the
+    KMeans refresh and get_latent in ext mode) must reproduce the full-graph
+    full_latent exactly on every real row."""
+    from spadot_tpu.models.model import full_latent, full_latent_ext
+
+    t, _ = _setup()
+    v, _ = t.init_state(jax.random.PRNGKey(0))
+    for tp in (0, 1):
+        tp_dev, svgp = t.tp_dev[tp], t.svgp_states[tp]
+        lat_full = full_latent(
+            t.net, v, tp_dev, svgp,
+            kernel_scale=t.kernel_scale, kernel_type=t.kernel_type,
+        )
+        lat_ext = full_latent_ext(
+            t.net, v, tp_dev, svgp, t.tp_ext[tp],
+            kernel_scale=t.kernel_scale, kernel_type=t.kernel_type,
+            gat_window_dense_max=t.gat_window_dense_max,
+        )
+        n = t.tp_n[tp]
+        np.testing.assert_allclose(
+            np.asarray(lat_ext)[:n], np.asarray(lat_full)[:n],
+            rtol=2e-5, atol=1e-6,
+        )
+        # trainer.latent routes through the ext tables too
+        np.testing.assert_allclose(
+            np.asarray(t.latent(v, tp)), np.asarray(lat_full)[:n],
+            rtol=2e-5, atol=1e-6,
+        )
+
+
 def test_exact_batches_off_falls_back_to_window():
     t, data = _setup(gat_exact_batches=False)
     assert not t.gat_ext and "ext_idx" not in data["tp_data"][0]

@@ -210,6 +210,74 @@ def test_flash2_tiled_dense_gat_matches_xla(rng):
         gat_flash.INTERPRET = False
 
 
+def test_flash3_headfused_dense_gat_matches_xla(rng):
+    """Head-fused tiled dense-GAT kernels (flash3: grid (i, j), all heads
+    per step, adjacency tile cast once) vs the XLA dense path — outputs and
+    all gradients, with n spanning multiple tiles and row padding."""
+    from spadot_tpu.ops import gat_flash
+    from spadot_tpu.ops.gat import dense_adjacency, gat_attention_dense
+    from spadot_tpu.data.graph import build_knn_graph
+
+    n, F_in, H, F = 700, 10, 4, 128  # n_pad = 1024 = 2 i tiles, 4 j tiles
+    xy = rng.uniform(0, 10, size=(n, 2))
+    nbr, msk = build_knn_graph(xy, 6)
+    adj_pad = jnp.asarray(
+        gat_flash.pad_adjacency(dense_adjacency(nbr, msk), multiple=512)
+    )
+    assert adj_pad.shape[0] == 1024
+    h = jnp.asarray(rng.normal(size=(n, F_in)), jnp.float32)
+    W = jnp.asarray(rng.normal(size=(F_in, H * F)) * 0.2, jnp.float32)
+    a_s = jnp.asarray(rng.normal(size=(H, F)) * 0.2, jnp.float32)
+    a_d = jnp.asarray(rng.normal(size=(H, F)) * 0.2, jnp.float32)
+
+    gat_flash.INTERPRET = True
+    try:
+        for concat in (True, False):
+            bias = jnp.asarray(
+                rng.normal(size=(H * F,) if concat else (F,)), jnp.float32
+            )
+
+            def loss_x(h, W, a_s, a_d):
+                out = gat_attention_dense(
+                    h, adj_pad, W, a_s, a_d, bias, concat=concat
+                )
+                return jnp.sum(out**2), out
+
+            def loss_f(h, W, a_s, a_d):
+                out = gat_flash.gat_attention_dense_flash3(
+                    h, adj_pad, W, a_s, a_d, bias, concat=concat
+                )
+                return jnp.sum(out**2), out
+
+            # at 'highest' the kernel streams full f32 — exact match
+            with jax.default_matmul_precision("highest"):
+                (_, o_ref), g_ref = jax.value_and_grad(
+                    loss_x, argnums=(0, 1, 2, 3), has_aux=True)(h, W, a_s, a_d)
+                (_, o_fl), g_fl = jax.value_and_grad(
+                    loss_f, argnums=(0, 1, 2, 3), has_aux=True)(h, W, a_s, a_d)
+            np.testing.assert_allclose(
+                np.asarray(o_fl), np.asarray(o_ref), rtol=2e-4, atol=2e-4
+            )
+            for a, b in zip(g_fl, g_ref):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
+                )
+            # at 'default' the wx/cotangent streams are bf16 (the production
+            # mode) — same result within bf16 rounding
+            with jax.default_matmul_precision("default"):
+                (_, o_bf), g_bf = jax.value_and_grad(
+                    loss_f, argnums=(0, 1, 2, 3), has_aux=True)(h, W, a_s, a_d)
+            # scale-relative: bf16 rounding errors are a fraction of the
+            # tensor's magnitude, not of each (possibly tiny) element
+            err = np.abs(np.asarray(o_bf) - np.asarray(o_ref)).max()
+            assert err <= 5e-3 * np.abs(np.asarray(o_ref)).max() + 1e-3
+            for a, b in zip(g_bf, g_ref):
+                a, b = np.asarray(a), np.asarray(b)
+                assert np.abs(a - b).max() <= 5e-3 * np.abs(b).max() + 1e-3
+    finally:
+        gat_flash.INTERPRET = False
+
+
 def test_multihead_aggregation_and_gradients(rng):
     from spadot_tpu.ops.gat_pallas import aggregate_windowed_mh
 
