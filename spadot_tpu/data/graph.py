@@ -183,6 +183,22 @@ def receptive_tables(nbr, nbr_mask, batch_idx, batch_mask, hops=3, pad_to=128):
     }
 
 
+def closure_adjacency(loc_nbr, loc_mask):
+    """Static (nb, P, P) int8 closure adjacencies from receptive tables.
+
+    The closure tables never change during training, so building the dense
+    attention mask once on the host removes the per-step (P, P) scatter
+    from the batch scan (measured 5.9 ms/step at P=7680 — ~0.3 s/epoch at
+    atlas scale). Storage is the caller's trade: nb * P^2 bytes per
+    timepoint (int8), gated by `gat_ext_static_adj` in the pipeline."""
+    nb, P, K = loc_nbr.shape
+    adj = np.zeros((nb, P, P), np.int8)
+    rows = np.broadcast_to(np.arange(P)[None, :, None], (nb, P, K))
+    bi = np.broadcast_to(np.arange(nb)[:, None, None], (nb, P, K))
+    np.maximum.at(adj, (bi, rows, loc_nbr), (loc_mask > 0).astype(np.int8))
+    return adj
+
+
 def build_knn_graph(coords: np.ndarray, k: int):
     """Return (nbr (n, k+1) int32, nbr_mask (n, k+1) float32).
 

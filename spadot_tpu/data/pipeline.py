@@ -160,6 +160,28 @@ def prepare_data(adata, model_config):
                 dense_max = int(model_config.get("gat_window_dense_max", 10000))
                 if exact_cfg in ("true", "1") or P <= dense_max:
                     tp_data[tp].update(ext)
+                    # static closure adjacencies: remove the per-step (P, P)
+                    # mask scatter from the batch scan at the price of
+                    # nb * P^2 int8 bytes of HBM per timepoint ('auto' =
+                    # when the whole run stays under ~4 GiB)
+                    static_cfg = str(
+                        model_config.get("gat_ext_static_adj", "auto")
+                    ).lower()
+                    nb_t = ext["loc_nbr"].shape[0]
+                    total_bytes = (
+                        len(timepoints) * nb_t * P * P
+                        if static_cfg == "auto" else 0
+                    )
+                    if P <= dense_max and (
+                        static_cfg in ("true", "1")
+                        or (static_cfg == "auto"
+                            and total_bytes <= 4 * 2**30)
+                    ):
+                        from spadot_tpu.data.graph import closure_adjacency
+
+                        tp_data[tp]["ext_adj"] = closure_adjacency(
+                            ext["loc_nbr"], ext["loc_mask"]
+                        )
                 else:
                     import logging
 

@@ -149,13 +149,15 @@ def _gat_ext_forward(net, vars_nostats, Y, ext, gat_window_dense_max):
 
     ext is a receptive-table slice (ext_idx (P,), ext_mask (P,), loc_nbr
     (P, K), loc_mask (P, K), batch_pos (b,)) from
-    data/graph.py:receptive_tables; the returned (mu, var) at the batch rows
+    data/graph.py:receptive_tables, optionally extended with a precomputed
+    static (P, P) int8 closure adjacency (graph.py:closure_adjacency — skips
+    the per-step mask scatter); the returned (mu, var) at the batch rows
     are EXACTLY the full-graph values (tests/test_exact_batches.py)."""
-    ext_idx, ext_mask, loc_nbr, loc_mask, batch_pos = ext
+    ext_idx, ext_mask, loc_nbr, loc_mask, batch_pos = ext[:5]
+    adj_ext = ext[5] if len(ext) > 5 else None
     P = loc_nbr.shape[0]
     Y_ext = Y[ext_idx]
-    adj_ext = None
-    if P <= int(gat_window_dense_max):
+    if adj_ext is None and P <= int(gat_window_dense_max):
         rows_e = jnp.broadcast_to(jnp.arange(P)[:, None], loc_nbr.shape)
         adj_ext = jnp.zeros((P, P), jnp.int8)
         adj_ext = adj_ext.at[rows_e, loc_nbr].max(loc_mask.astype(jnp.int8))
@@ -432,11 +434,10 @@ def full_latent_ext(
             )
             return carry, mu_b
 
-        xs = tuple(
-            ext_tables[k]
-            for k in ("ext_idx", "ext_mask", "loc_nbr", "loc_mask",
-                      "batch_pos")
-        )
+        keys = ["ext_idx", "ext_mask", "loc_nbr", "loc_mask", "batch_pos"]
+        if "ext_adj" in ext_tables:
+            keys.append("ext_adj")
+        xs = tuple(ext_tables[k] for k in keys)
         _, mus = jax.lax.scan(body, None, xs)   # (nb, b, L)
         gat_mu = mus.reshape(-1, mus.shape[-1])  # contiguous batches
         if gat_mu.shape[0] < n:   # row-padded stacks (mesh mode)

@@ -167,6 +167,9 @@ class Trainer:
                     "loc_mask": jnp.asarray(d["loc_mask"], dtype),
                     "batch_pos": jnp.asarray(d["batch_pos"]),
                 }
+                if "ext_adj" in d:
+                    # static closure adjacencies (graph.py:closure_adjacency)
+                    self.tp_ext[tp]["ext_adj"] = jnp.asarray(d["ext_adj"])
         self.obs_rows = {tp: data["tp_data"][tp]["obs_rows"] for tp in self.timepoints}
 
         self._epoch_jit = jax.jit(self._epoch_impl, donate_argnums=(0, 1))
@@ -215,11 +218,11 @@ class Trainer:
                 self.tp_dev[tp] = dev
                 if self.gat_ext:
                     nb = data["tp_data"][tp]["batch_idx"].shape[0]
-                    self.tp_ext[tp] = {
-                        k2: s[k2][i, :nb]
-                        for k2 in ("ext_idx", "ext_mask", "loc_nbr",
-                                   "loc_mask", "batch_pos")
-                    }
+                    ekeys = ["ext_idx", "ext_mask", "loc_nbr",
+                             "loc_mask", "batch_pos"]
+                    if "ext_adj" in s:
+                        ekeys.append("ext_adj")
+                    self.tp_ext[tp] = {k2: s[k2][i, :nb] for k2 in ekeys}
         # staged tiny device constants: over the remote-TPU tunnel every
         # host->device transfer costs a round trip, so the per-epoch scalars
         # (beta1, use_kmeans, use_ot), the zero placeholders and the
@@ -293,11 +296,12 @@ class Trainer:
             variables, opt_state, rng = carry
             idx, msk = batch["idx"], batch["msk"]
             valid = batch["valid"] if gated else None
-            ext = (
-                (batch["ext_idx"], batch["ext_mask"], batch["loc_nbr"],
-                 batch["loc_mask"], batch["batch_pos"])
-                if "ext_idx" in batch else None
-            )
+            ext = None
+            if "ext_idx" in batch:
+                ext = (batch["ext_idx"], batch["ext_mask"], batch["loc_nbr"],
+                       batch["loc_mask"], batch["batch_pos"])
+                if "ext_adj" in batch:
+                    ext = ext + (batch["ext_adj"],)
             rng, sub = jax.random.split(rng)
 
             def loss_fn(params):
@@ -619,6 +623,20 @@ class Trainer:
                 loc_nbr=jnp.asarray(LN), loc_mask=jnp.asarray(LM),
                 batch_pos=jnp.asarray(BP),
             )
+            if all("ext_adj" in td[tp] for tp in tps):
+                # static closure adjacencies: self-loop diagonal everywhere
+                # (sentinel batches and the P padding band), real blocks
+                # copied in — mirrors the LN/LM sentinel convention
+                EA = np.zeros((T, nb_max, P_max, P_max), np.int8)
+                di = np.arange(P_max)
+                EA[:, :, di, di] = 1
+                for i, tp in enumerate(tps):
+                    d = td[tp]
+                    nb, p, _ = d["ext_adj"].shape
+                    # real (p, p) blocks are exact (they carry their own
+                    # self-loops); rows >= p keep the diagonal sentinel
+                    EA[i, :nb, :p, :p] = d["ext_adj"]
+                stacked["ext_adj"] = jnp.asarray(EA)
         if self.mesh is not None:
             # place the stack: spot-major arrays sharded on axis 1 over the
             # 'data' mesh axis, everything else (inducing state, batch
@@ -701,8 +719,11 @@ class Trainer:
             if gated:
                 xs["valid"] = dyn(stacked["batch_valid"])
             if "ext_idx" in stacked:
-                for k in ("ext_idx", "ext_mask", "loc_nbr", "loc_mask",
-                          "batch_pos"):
+                ekeys = ["ext_idx", "ext_mask", "loc_nbr", "loc_mask",
+                         "batch_pos"]
+                if "ext_adj" in stacked:
+                    ekeys.append("ext_adj")
+                for k in ekeys:
                     xs[k] = dyn(stacked[k])
             (variables, opt_state, rng), vecs = lax.scan(
                 step, (variables, opt_state, rng), xs
@@ -733,11 +754,11 @@ class Trainer:
                 # 100k-row gather path (identical latents — see
                 # full_latent_ext); sentinel batches only write rows past
                 # row_mask's support
-                ext_tables = {
-                    k: dyn(stacked[k])
-                    for k in ("ext_idx", "ext_mask", "loc_nbr", "loc_mask",
-                              "batch_pos")
-                }
+                ekeys = ["ext_idx", "ext_mask", "loc_nbr", "loc_mask",
+                         "batch_pos"]
+                if "ext_adj" in stacked:
+                    ekeys.append("ext_adj")
+                ext_tables = {k: dyn(stacked[k]) for k in ekeys}
                 lat = full_latent_ext(
                     self.net, variables, tp_data, svgp_state, ext_tables,
                     kernel_scale=self.kernel_scale,

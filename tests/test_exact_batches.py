@@ -118,6 +118,40 @@ def test_exact_mode_trains_and_fuses():
     )
 
 
+def test_static_closure_adjacency_matches_scatter():
+    """graph.py:closure_adjacency must equal the per-step scatter build, and
+    a trainer fed static adjacencies must produce the same fused-epoch
+    losses as one scatter-building per step."""
+    from spadot_tpu.data.graph import closure_adjacency
+
+    t_static, data = _setup()  # default: auto -> static masks built
+    assert "ext_adj" in data["tp_data"][0]
+    d = data["tp_data"][0]
+    nb, P, _ = d["loc_nbr"].shape
+    adj = closure_adjacency(d["loc_nbr"], d["loc_mask"])
+    for bi in range(nb):
+        ref = np.zeros((P, P), np.int8)
+        rows = np.broadcast_to(np.arange(P)[:, None], d["loc_nbr"][bi].shape)
+        np.maximum.at(ref, (rows, d["loc_nbr"][bi]),
+                      (d["loc_mask"][bi] > 0).astype(np.int8))
+        np.testing.assert_array_equal(adj[bi], ref)
+
+    t_scatter, _ = _setup(gat_ext_static_adj=False)
+    losses = {}
+    for name, t in (("static", t_static), ("scatter", t_scatter)):
+        v, o = t.init_state(jax.random.PRNGKey(0))
+        km = {"centers": {}, "assign": {}, "_stacked": t._km_stacked,
+              "_have": False}
+        _, _, _, l = t.run_epoch_fused(
+            v, o, jax.random.PRNGKey(1), jax.random.PRNGKey(7), [0, 1],
+            km, 0, 0.5,
+        )
+        losses[name] = np.asarray(l)
+    np.testing.assert_allclose(
+        losses["static"], losses["scatter"], rtol=1e-5, atol=1e-6
+    )
+
+
 def test_full_latent_ext_equals_full_latent():
     """The closure-batched latent extraction (full_latent_ext — used by the
     KMeans refresh and get_latent in ext mode) must reproduce the full-graph
