@@ -89,7 +89,9 @@ def prepare_data(adata, model_config):
             inducing_points_dict[tp] = inducing_points[ind_tp == i, :2].copy()
             N_train_dict[tp] = int(np.sum(tp_values == tp))
 
-    X = adata.toarray().astype(np.float32)
+    # copy=False: expression is usually already float32 — a forced astype
+    # copy is seconds + an extra X-sized allocation at atlas scale
+    X = np.asarray(adata.toarray(), dtype=np.float32)
     tp_data = OrderedDict()
     batch_size = int(model_config["batch_size"])
     for tp in timepoints:
