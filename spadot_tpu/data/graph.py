@@ -183,6 +183,82 @@ def receptive_tables(nbr, nbr_mask, batch_idx, batch_mask, hops=3, pad_to=128):
     }
 
 
+def rcm_reorder_tables(ext):
+    """Reverse-Cuthill-McKee reorder each closure's LOCAL labeling in place.
+
+    Morton-ordered closures have long-range local edges at Morton
+    discontinuities (p99 |i-j| ~ P/2), but RCM on the closure graph brings
+    the maximum bandwidth down to a few hundred (measured <= 508 at
+    P = 8192 / K = 31 / batch 4096 — atlas scale), unlocking the exact
+    banded attention path (ops/gat.py:gat_attention_banded). The reorder is
+    a pure relabeling: same graph, same batch rows, identical outputs.
+
+    Returns (ext, band) where band is the max |i - j| over all real edges
+    after reordering. Padding rows (mask 0, self-loop sentinel) keep their
+    positions at the tail — bandwidth 0.
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    ext_idx, ext_mask = ext["ext_idx"], ext["ext_mask"]
+    loc_nbr, loc_mask = ext["loc_nbr"], ext["loc_mask"]
+    batch_pos = ext["batch_pos"]
+    nb, P, K = loc_nbr.shape
+    band = 0
+    for bi in range(nb):
+        p = int(ext_mask[bi].sum())
+        rows = np.repeat(np.arange(p), K)
+        data = loc_mask[bi, :p].ravel() > 0
+        cols = loc_nbr[bi, :p].ravel()
+        A = sp.coo_matrix(
+            (data[data], (rows[data], cols[data])), shape=(p, p)
+        ).tocsr()
+        perm = reverse_cuthill_mckee(A + A.T, symmetric_mode=True)
+        perm = np.asarray(perm, np.int64)
+        inv = np.empty(P, np.int64)
+        inv[perm] = np.arange(p)
+        inv[p:] = np.arange(p, P)  # padding rows stay put
+        full_perm = np.concatenate([perm, np.arange(p, P)])
+        ext_idx[bi] = ext_idx[bi][full_perm]
+        ext_mask[bi] = ext_mask[bi][full_perm]
+        loc_nbr[bi] = inv[loc_nbr[bi][full_perm]]
+        loc_mask[bi] = loc_mask[bi][full_perm]
+        batch_pos[bi] = inv[batch_pos[bi]]
+        r = np.broadcast_to(np.arange(P)[:, None], (P, K))
+        off = np.abs(loc_nbr[bi] - r)[loc_mask[bi] > 0]
+        if off.size:
+            band = max(band, int(off.max()))
+    return ext, band
+
+
+def banded_closure_adjacency(loc_nbr, loc_mask, ti, bpad):
+    """Static (nb, ni, TI, Wb) int8 banded closure masks (Wb = TI + 2*bpad).
+
+    Strip s of closure bi covers center rows [s*TI, (s+1)*TI); its columns
+    map to closure rows [s*TI - bpad, s*TI + TI + bpad), zero (masked)
+    outside the valid range. Requires every edge's |i - j| <= bpad
+    (rcm_reorder_tables' band) — asserted here."""
+    nb, P, K = loc_nbr.shape
+    assert P % ti == 0, (P, ti)
+    ni = P // ti
+    wb = ti + 2 * bpad
+    adj = np.zeros((nb, ni, ti, wb), np.int8)
+    rows = np.broadcast_to(np.arange(P)[None, :, None], (nb, P, K))
+    off = loc_nbr - rows  # signed offset, |off| <= bpad for real edges
+    valid = loc_mask > 0
+    assert np.abs(off[valid]).max() <= bpad, "band smaller than an edge"
+    s = rows // ti                       # strip of each center row
+    r_in = rows % ti                     # row within strip
+    c_in = off + (rows - s * ti) + bpad  # column within strip window
+    b_idx = np.broadcast_to(np.arange(nb)[:, None, None], (nb, P, K))
+    np.maximum.at(
+        adj,
+        (b_idx[valid], s[valid], r_in[valid], c_in[valid]),
+        np.ones(int(valid.sum()), np.int8),
+    )
+    return adj
+
+
 def closure_adjacency(loc_nbr, loc_mask):
     """Static (nb, P, P) int8 closure adjacencies from receptive tables.
 

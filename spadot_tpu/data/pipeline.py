@@ -161,11 +161,33 @@ def prepare_data(adata, model_config):
                 P = ext["ext_idx"].shape[1]
                 dense_max = int(model_config.get("gat_window_dense_max", 10000))
                 if exact_cfg in ("true", "1") or P <= dense_max:
+                    # banded closures: RCM-relabel each closure so every edge
+                    # fits a small |i-j| band, then store the attention mask
+                    # as (nb, ni, TI, Wb) strips — exact, ~P/Wb x less
+                    # attention work than any dense-square path
+                    banded_cfg = str(
+                        model_config.get("gat_ext_banded", "auto")
+                    ).lower()
+                    band_ti = int(model_config.get("gat_ext_band_ti", 512))
+                    banded = None
+                    if (
+                        banded_cfg in ("auto", "true", "1")
+                        and P % band_ti == 0 and P >= 3 * band_ti
+                    ):
+                        from spadot_tpu.data.graph import (
+                            banded_closure_adjacency, rcm_reorder_tables,
+                        )
+
+                        ext, band = rcm_reorder_tables(ext)
+                        bpad = max(128, -(-band // 128) * 128)
+                        wb = band_ti + 2 * bpad
+                        # only pays when the strips are actually narrow
+                        if banded_cfg in ("true", "1") or 2 * wb <= P:
+                            banded = banded_closure_adjacency(
+                                ext["loc_nbr"], ext["loc_mask"],
+                                band_ti, bpad,
+                            )
                     tp_data[tp].update(ext)
-                    # static closure adjacencies: remove the per-step (P, P)
-                    # mask scatter from the batch scan at the price of
-                    # nb * P^2 int8 bytes of HBM per timepoint ('auto' =
-                    # when the whole run stays under ~4 GiB)
                     static_cfg = str(
                         model_config.get("gat_ext_static_adj", "auto")
                     ).lower()
@@ -174,7 +196,12 @@ def prepare_data(adata, model_config):
                         len(timepoints) * nb_t * P * P
                         if static_cfg == "auto" else 0
                     )
-                    if P <= dense_max and (
+                    if banded is not None:
+                        tp_data[tp]["ext_adj"] = banded
+                    elif P <= dense_max and (
+                        # square static masks: remove the per-step (P, P)
+                        # scatter at nb * P^2 int8 bytes per timepoint
+                        # ('auto' = while the whole run stays under ~4 GiB)
                         static_cfg in ("true", "1")
                         or (static_cfg == "auto"
                             and total_bytes <= 4 * 2**30)

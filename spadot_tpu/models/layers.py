@@ -16,7 +16,9 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
-from spadot_tpu.ops.gat import gat_attention, gat_attention_dense
+from spadot_tpu.ops.gat import (
+    gat_attention, gat_attention_banded, gat_attention_dense,
+)
 from spadot_tpu.ops.gat_flash import (
     FLASH2_MAX_N, FLASH3_MAX_N, TILE3_I, flash1_gat_supported,
     flash2_gat_supported, flash2_tile, flash3_gat_supported,
@@ -99,6 +101,13 @@ class GATLayer(nn.Module):
         att_dst = self.param("att_dst", _XAVIER, (H, F), self.param_dtype)
         bias_shape = (H * F,) if self.concat else (F,)
         bias = self.param("bias", nn.initializers.zeros, bias_shape, self.param_dtype)
+        if adj is not None and adj.ndim == 3:
+            # banded closure adjacency (ni, TI, Wb) — RCM-reordered strips,
+            # exact at ~P/Wb times less work than any dense-square path
+            # (ops/gat.py:gat_attention_banded)
+            return gat_attention_banded(
+                h, adj, W, att_src, att_dst, bias, concat=self.concat
+            )
         if adj is not None:
             # lane-aligned adj: fused flash kernel where one head of Wx fits
             # VMEM; tiled FA2-style kernel in the 2.5k-5k band; XLA dense

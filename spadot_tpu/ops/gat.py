@@ -190,6 +190,57 @@ def gat_attention_dense(
     return out + bias
 
 
+def gat_attention_banded(
+    h, band_adj, W, att_src, att_dst, bias, *, concat=True, negative_slope=0.2
+):
+    """One multi-head GAT layer over a BANDED adjacency (exact).
+
+    For RCM-reordered receptive closures every edge's |i - j| offset is
+    bounded by a small bandwidth B (measured <= 508 at atlas scale vs
+    P = 8192 — data/graph.py:rcm_reorder_tables), so each 512-row strip of
+    centers only attends within a (TI + 2*Bpad)-column window. That turns
+    the dense (H, P, P) attention — whose HBM-streamed n^2 tensors are what
+    the dense path pays for — into ni batched (TI, Wb) strips: ~P/Wb times
+    less logits/softmax/aggregation traffic AND compute, still pure MXU
+    matmuls, still exact (the band covers every edge by construction).
+
+    band_adj: (ni, TI, Wb) int8 — strip s's rows are closure rows
+    [s*TI, (s+1)*TI) and its columns are closure rows
+    [s*TI - Bpad, s*TI + TI + Bpad) where Bpad = (Wb - TI) // 2, clipped by
+    zero-padding at the array edges; every row carries >= 1 valid slot.
+    h: (P, F_in) with P = ni * TI (closure arrays are TI-aligned).
+    """
+    ni, TI, Wb = band_adj.shape
+    bpad = (Wb - TI) // 2
+    P = h.shape[0]
+    HF = W.shape[1]
+    H = att_src.shape[0]
+    F = HF // H
+    Wx = (h @ W).reshape(P, H, F)
+    e_src = jnp.einsum("nhf,hf->nh", Wx, att_src)
+    e_dst = jnp.einsum("nhf,hf->nh", Wx, att_dst)
+    # strip views of the neighbor-side arrays, zero-padded by Bpad rows so
+    # strip s starts at padded row s*TI (static gather indices)
+    wxp = jnp.pad(Wx, ((bpad, bpad), (0, 0), (0, 0)))
+    esp = jnp.pad(e_src, ((bpad, bpad), (0, 0)))
+    idx = (jnp.arange(ni) * TI)[:, None] + jnp.arange(Wb)[None, :]
+    wx_s = wxp[idx]                      # (ni, Wb, H, F)
+    es_s = esp[idx]                      # (ni, Wb, H)
+    ed_s = e_dst.reshape(ni, TI, H)
+    e = ed_s[:, :, None, :] + es_s[:, None, :, :]     # (ni, TI, Wb, H)
+    e = jax.nn.leaky_relu(e, negative_slope)
+    keep = band_adj[:, :, :, None] > 0
+    e = jnp.where(keep, e, -jnp.inf)
+    alpha = jax.nn.softmax(e, axis=2)
+    alpha = jnp.where(keep, alpha, 0.0)
+    out = jnp.einsum("siwh,swhf->sihf", alpha, wx_s).reshape(P, H, F)
+    if concat:
+        out = out.reshape(P, H * F)
+    else:
+        out = jnp.mean(out, axis=1)
+    return out + bias
+
+
 # ---------------------------------------------------------------------------
 # the GAT layer
 # ---------------------------------------------------------------------------

@@ -623,8 +623,27 @@ class Trainer:
                 loc_nbr=jnp.asarray(LN), loc_mask=jnp.asarray(LM),
                 batch_pos=jnp.asarray(BP),
             )
-            if all("ext_adj" in td[tp] for tp in tps):
-                # static closure adjacencies: self-loop diagonal everywhere
+            ea_list = [td[tp].get("ext_adj") for tp in tps]
+            ranks = {e.ndim for e in ea_list if e is not None}
+            if all(e is not None for e in ea_list) and ranks == {4}:
+                # banded masks (nb, ni, TI, Wb): center-align each tp's band
+                # inside the cross-tp max window; sentinel strips/batches get
+                # the center diagonal (self-loop) — mirrors the LN sentinel
+                ti_b = ea_list[0].shape[2]
+                wb_max = max(e.shape[3] for e in ea_list)
+                ni_max = P_max // ti_b
+                EA = np.zeros((T, nb_max, ni_max, ti_b, wb_max), np.int8)
+                r = np.arange(ti_b)
+                EA[:, :, :, r, r + (wb_max - ti_b) // 2] = 1
+                for i, tp in enumerate(tps):
+                    e = td[tp]["ext_adj"]
+                    nb, ni, _, wb = e.shape
+                    dpad = (wb_max - wb) // 2
+                    EA[i, :nb, :ni] = 0
+                    EA[i, :nb, :ni, :, dpad:dpad + wb] = e
+                stacked["ext_adj"] = jnp.asarray(EA)
+            elif all(e is not None for e in ea_list) and ranks == {3}:
+                # square static masks: self-loop diagonal everywhere
                 # (sentinel batches and the P padding band), real blocks
                 # copied in — mirrors the LN/LM sentinel convention
                 EA = np.zeros((T, nb_max, P_max, P_max), np.int8)

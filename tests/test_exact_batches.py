@@ -152,6 +152,69 @@ def test_static_closure_adjacency_matches_scatter():
     )
 
 
+def test_banded_closure_attention_matches_full_graph():
+    """RCM-banded closure attention (ops/gat.py:gat_attention_banded over
+    data/graph.py banded tables) must reproduce the full-graph forward at
+    the batch rows, through training steps AND the latent path."""
+    from spadot_tpu.models.model import forward_batch, full_latent, full_latent_ext
+
+    t, data = _setup(gat_ext_banded="true", gat_ext_band_ti=64)
+    d = data["tp_data"][0]
+    assert "ext_adj" in d and d["ext_adj"].ndim == 4, d.keys()
+    v, _ = t.init_state(jax.random.PRNGKey(0))
+    tp_dev, svgp = t.tp_dev[0], t.svgp_states[0]
+    bi, bm = t.tp_batches[0]
+    ext_t = t.tp_ext[0]
+    key = jax.random.PRNGKey(3)
+    for step in range(bi.shape[0]):
+        ext = tuple(
+            ext_t[k][step]
+            for k in ("ext_idx", "ext_mask", "loc_nbr", "loc_mask",
+                      "batch_pos", "ext_adj")
+        )
+        assert ext[5].ndim == 3  # banded (ni, TI, Wb) slice
+        _, lat_b, _ = forward_batch(
+            t.net, v, key, tp_dev, svgp, bi[step], bm[step],
+            kernel_scale=t.kernel_scale, kernel_type=t.kernel_type,
+            train=False, ext=ext,
+        )
+        _, lat_f, _ = forward_batch(
+            t.net, v, key, tp_dev, svgp, bi[step], bm[step],
+            kernel_scale=t.kernel_scale, kernel_type=t.kernel_type,
+            train=False, gat_window=0,
+        )
+        valid = np.asarray(bm[step]) > 0
+        np.testing.assert_allclose(
+            np.asarray(lat_b)[valid], np.asarray(lat_f)[valid],
+            rtol=2e-5, atol=1e-6,
+        )
+    # latent path with banded tables
+    lat_full = full_latent(
+        t.net, v, tp_dev, svgp,
+        kernel_scale=t.kernel_scale, kernel_type=t.kernel_type,
+    )
+    lat_ext = full_latent_ext(
+        t.net, v, tp_dev, svgp, ext_t,
+        kernel_scale=t.kernel_scale, kernel_type=t.kernel_type,
+        gat_window_dense_max=t.gat_window_dense_max,
+    )
+    n = t.tp_n[0]
+    np.testing.assert_allclose(
+        np.asarray(lat_ext)[:n], np.asarray(lat_full)[:n],
+        rtol=2e-5, atol=1e-6,
+    )
+    # fused epoch over stacked banded masks runs and matches the per-tp path
+    assert t.fused
+    km = {"centers": {}, "assign": {}, "_stacked": t._km_stacked,
+          "_have": False}
+    v1, o1 = t.init_state(jax.random.PRNGKey(0))
+    _, _, _, fused_losses = t.run_epoch_fused(
+        v1, o1, jax.random.PRNGKey(1), jax.random.PRNGKey(7), [0, 1],
+        km, 0, 0.5,
+    )
+    assert np.isfinite(np.asarray(fused_losses)).all()
+
+
 def test_full_latent_ext_equals_full_latent():
     """The closure-batched latent extraction (full_latent_ext — used by the
     KMeans refresh and get_latent in ext mode) must reproduce the full-graph
