@@ -160,33 +160,38 @@ def prepare_data(adata, model_config):
                 )
                 P = ext["ext_idx"].shape[1]
                 dense_max = int(model_config.get("gat_window_dense_max", 10000))
-                if exact_cfg in ("true", "1") or P <= dense_max:
-                    # banded closures: RCM-relabel each closure so every edge
-                    # fits a small |i-j| band, then store the attention mask
-                    # as (nb, ni, TI, Wb) strips — exact, ~P/Wb x less
-                    # attention work than any dense-square path
-                    banded_cfg = str(
-                        model_config.get("gat_ext_banded", "auto")
-                    ).lower()
-                    band_ti = int(model_config.get("gat_ext_band_ti", 512))
-                    banded = None
-                    if (
-                        banded_cfg in ("auto", "true", "1")
-                        and P % band_ti == 0 and P >= 3 * band_ti
-                    ):
-                        from spadot_tpu.data.graph import (
-                            banded_closure_adjacency, rcm_reorder_tables,
-                        )
+                # banded closures: RCM-relabel each closure so every edge
+                # fits a small |i-j| band, then store the attention mask
+                # as (nb, ni, TI, Wb) strips — exact, ~P/Wb x less
+                # attention work than any dense-square path. Banding also
+                # LIFTS the dense-size gate: a banded P > dense_max closure
+                # costs P*Wb, not P^2.
+                banded_cfg = str(
+                    model_config.get("gat_ext_banded", "auto")
+                ).lower()
+                band_ti = int(model_config.get("gat_ext_band_ti", 512))
+                banded = None
+                if (
+                    banded_cfg in ("auto", "true", "1")
+                    and P % band_ti == 0 and P >= 3 * band_ti
+                ):
+                    from spadot_tpu.data.graph import (
+                        banded_closure_adjacency, rcm_reorder_tables,
+                    )
 
-                        ext, band = rcm_reorder_tables(ext)
-                        bpad = max(128, -(-band // 128) * 128)
-                        wb = band_ti + 2 * bpad
-                        # only pays when the strips are actually narrow
-                        if banded_cfg in ("true", "1") or 2 * wb <= P:
-                            banded = banded_closure_adjacency(
-                                ext["loc_nbr"], ext["loc_mask"],
-                                band_ti, bpad,
-                            )
+                    ext, band = rcm_reorder_tables(ext)
+                    bpad = max(128, -(-band // 128) * 128)
+                    wb = band_ti + 2 * bpad
+                    # only pays when the strips are actually narrow
+                    if banded_cfg in ("true", "1") or 2 * wb <= P:
+                        banded = banded_closure_adjacency(
+                            ext["loc_nbr"], ext["loc_mask"],
+                            band_ti, bpad,
+                        )
+                if (
+                    exact_cfg in ("true", "1") or P <= dense_max
+                    or banded is not None
+                ):
                     tp_data[tp].update(ext)
                     static_cfg = str(
                         model_config.get("gat_ext_static_adj", "auto")
