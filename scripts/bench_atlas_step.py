@@ -107,17 +107,20 @@ def main():
     qv = jnp.abs(jnp.asarray(rng.normal(size=(bsz, L)).astype(np.float32))) + 0.5
     msk = jnp.ones((bsz,), jnp.float32)
 
-    def svgp_loss(qm, qv):
-        t = svgp_batch_terms(
-            x_b, qm, qv, msk, 102400.0, state["Z"], state["K_mm"],
-            state["L_mm"], kernel_scale=0.1, jitter=1e-2,
-            kernel_type="Gaussian",
-        )
-        return jnp.sum(t["recon"]) + jnp.sum(t["kl"]) + jnp.sum(t["p_m"] ** 2)
+    for prec in ("highest", "high", "default"):
+        def svgp_loss(qm, qv, _prec=prec):
+            t = svgp_batch_terms(
+                x_b, qm, qv, msk, 102400.0, state["Z"], state["K_mm"],
+                state["L_mm"], kernel_scale=0.1, jitter=1e-2,
+                kernel_type="Gaussian", matmul_precision=_prec,
+            )
+            return jnp.sum(t["recon"]) + jnp.sum(t["kl"]) + jnp.sum(t["p_m"] ** 2)
 
-    fb = jax.jit(jax.grad(svgp_loss, argnums=(0, 1)))
-    print(f"svgp_batch_terms fwd+bwd (b={bsz}, m={m}, L={L}): "
-          f"{timed(fb, qm, qv):7.2f} ms")
+        fb = jax.jit(jax.grad(svgp_loss, argnums=(0, 1)))
+        out = fb(qm, qv)
+        finite = bool(jnp.all(jnp.isfinite(out[0])) & jnp.all(jnp.isfinite(out[1])))
+        print(f"svgp_batch_terms fwd+bwd (b={bsz}, m={m}, L={L}) prec={prec:8s}: "
+              f"{timed(fb, qm, qv):7.2f} ms  finite={finite}")
 
     # --- encoder/decoder at batch 4096 ------------------------------------
     import flax.linen as nn

@@ -51,6 +51,13 @@ class SpaDOTNet(nn.Module):
     # 0.9514 vs 0.9559 at highest, same data/seed; set "highest" for
     # float64/parity studies).
     gat_matmul_precision: str = "default"
+    # matmul precision for the TRAINING SVGP batch terms (ops/svgp.py). The
+    # whitened B = I + ratio·UΛUᵀ Cholesky is unconditionally stable
+    # (B ⪰ I), so "high" (3-pass bf16, ~2x MXU rate) is a candidate speed
+    # lever for the three (m, b) gemms per latent dim; default stays
+    # "highest" (true f32) pending a quality gate. Latent-extraction /
+    # KMeans-refresh SVGP calls always run "highest" — they feed artifacts.
+    svgp_matmul_precision: str = "highest"
 
     def setup(self):
         self.svgp_z_dim = self.z_dim // 2
@@ -132,6 +139,9 @@ def build_net(model_config: Dict[str, Any]) -> SpaDOTNet:
         gat_rev_max_n=int(model_config.get("gat_rev_max_n", 3500)),
         gat_matmul_precision=str(
             model_config.get("gat_matmul_precision", "default")
+        ),
+        svgp_matmul_precision=str(
+            model_config.get("svgp_matmul_precision", "highest")
         ),
     )
 
@@ -245,6 +255,7 @@ def forward_batch(
             kernel_scale=kernel_scale, jitter=jitter, kernel_type=kernel_type,
             m_mask=svgp_state.get("m_mask"),
             kl_const=svgp_state.get("kl_const", 0.0),
+            matmul_precision=net.svgp_matmul_precision,
         )
         inside_elbo = jnp.sum(terms["recon"]) - (b_eff / N_train) * jnp.sum(terms["kl"])
         ce = gauss_cross_entropy(terms["p_m"], terms["p_v"], qnet_mu, qnet_var)

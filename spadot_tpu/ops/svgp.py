@@ -93,11 +93,11 @@ def svgp_shared_padded(Z, m_max, kernel_type="Gaussian", kernel_scale=0.1,
     )
 
 
-@partial(jax.jit, static_argnames=("kernel_type",))
+@partial(jax.jit, static_argnames=("kernel_type", "matmul_precision"))
 def svgp_batch_terms(
     x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
     kernel_scale=0.1, jitter=1e-2, kernel_type="Gaussian",
-    m_mask=None, kl_const=0.0,
+    m_mask=None, kl_const=0.0, matmul_precision="highest",
 ):
     """Posterior means/vars and ELBO terms for one batch, all latent dims.
 
@@ -117,11 +117,16 @@ def svgp_batch_terms(
     epoch — zero columns of K_nm for padded slots and subtract their exact
     closed-form KL constant (see `svgp_shared_padded`).
 
-    All matmuls feeding the Cholesky factorizations run at full float32
-    precision regardless of the global matmul default — bf16 MXU passes can
-    make sigma_l numerically non-PSD and poison the whole model with NaNs.
+    By default every matmul here runs at full float32 precision regardless
+    of the global matmul default — 1-pass bf16 MXU products can make sigma_l
+    numerically non-PSD and poison the whole model with NaNs (observed with
+    the reference's direct chol(Σ); the whitened B ⪰ I form is far more
+    tolerant). `matmul_precision` exposes the scoped setting: "high"
+    (3-pass bf16, ~2x the f32 MXU rate) is a measured-safe speed lever for
+    the (m, b) gemms since B's Cholesky is unconditionally stable; keep
+    "highest" for parity/float64 studies.
     """
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(matmul_precision):
         return _svgp_batch_terms_impl(
             x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
             kernel_scale, jitter, kernel_type, m_mask, kl_const,
@@ -142,8 +147,8 @@ def _svgp_batch_terms_impl(
     K_nn = kernel_diag(x, kernel_type, kernel_scale) * mask  # (b,)
     # whitened quantities (K̃ = K_mm + jitter·I = L Lᵀ):
     U = solve_triangular(L_mm, K_nm.T, lower=True)  # L⁻¹ K_mn (m, b)
-    W = solve_triangular(L_mm.T, U, lower=False).T  # K_nm K̃⁻¹ (b, m)
     C = solve_triangular(L_mm, K_mm, lower=True)  # L⁻¹ K_mm (m, m)
+    M = solve_triangular(L_mm, C.T, lower=True)  # L⁻¹ K_mm L⁻ᵀ (symmetric)
     diag_Qnn = jnp.sum(U * U, axis=0)  # diag(K_nm K̃⁻¹ K_mn)
 
     logdet_Kmm = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_mm)))
@@ -155,45 +160,46 @@ def _svgp_batch_terms_impl(
         # B has eigenvalues >= 1, so its UNJITTERED Cholesky is numerically
         # robust at any data scale — the direct chol(Σ) the reference inverts
         # (svgp.py:74-75) goes indefinite in float32 once ratio·b·prec is
-        # large (observed at batch 4096, m 600).
+        # large (observed at batch 4096, m 600). B ⪰ I also bounds
+        # ‖Lb⁻¹‖₂ ≤ 1, so materializing Lb⁻¹ once is numerically safe and
+        # turns every downstream triangular solve into an MXU gemm.
         B = eye_m + ratio * (U * prec[None, :]) @ U.T
         Lb = cholesky(B, lower=True)
+        Lb_inv = solve_triangular(Lb, eye_m, lower=True)
 
-        def sig_solve(X):
-            # (Σ + jI)^{-1} X via four triangular solves
-            t = solve_triangular(L_mm, X, lower=True)
-            t = solve_triangular(Lb, t, lower=True)
-            t = solve_triangular(Lb.T, t, lower=False)
-            return solve_triangular(L_mm.T, t, lower=False)
-
-        rhs = K_nm.T @ (y_l * prec)  # (m,)
-        sig_inv_rhs = sig_solve(rhs)
+        # Everything below uses Σ̃⁻¹ = L⁻ᵀ Lb⁻ᵀ Lb⁻¹ L⁻¹ so that the batch
+        # axis is touched by exactly THREE (m, b)-sized gemms per latent dim
+        # (B above, S, and R @ U) — the naive form (four triangular solves
+        # over an (m, b) RHS plus W @ A_hat) costs 2× the FLOPs and runs as
+        # TPU-hostile wide triangular solves.
+        S = Lb_inv @ U  # (m, b): diag(K_nm Σ̃⁻¹ K_mn) = colsum(S²)
+        R = Lb_inv @ M  # (m, m)
+        t = Lb_inv @ (U @ (y_l * prec))  # Lb⁻¹ L⁻¹ K_mn Λ y (m,)
         # posterior at x (svgp.py:76-79)
-        p_m = ratio * (K_nm @ sig_inv_rhs)
-        V2 = sig_solve(K_nm.T)  # (m, b)
-        diag_Snn = jnp.sum(K_nm * V2.T, axis=1)
+        p_m = ratio * (S.T @ t)
+        diag_Snn = jnp.sum(S * S, axis=0)
         p_v = K_nn - diag_Qnn + diag_Snn
         p_v = jnp.maximum(p_v, 1e-10)  # guard for the sqrt in sampling
         # mu_hat / A_hat (svgp.py:81-82); A_hat = Cᵀ B⁻¹ C = GᵀG is PSD by
         # construction (G = Lb⁻¹ C)
-        mu_hat = ratio * (K_mm @ sig_inv_rhs)  # (m,)
-        G = solve_triangular(Lb, C, lower=True)
+        mu_hat = ratio * (C.T @ (Lb_inv.T @ t))  # ratio·K_mm Σ̃⁻¹ rhs (m,)
+        G = Lb_inv @ C
         A_hat = G.T @ G
-        # KL term (svgp.py:86-94)
+        # KL term (svgp.py:86-94); tr(K̃⁻¹ A_hat) = tr(M B⁻¹ M) = ‖R‖²_F
         L_A = _jittered_chol(A_hat, jitter)
         logdet_A = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_A)))
-        Kmm_inv_A = cho_solve((L_mm, True), A_hat)
         Kmm_inv_mu = cho_solve((L_mm, True), mu_hat)
         kl = 0.5 * (
             logdet_Kmm - logdet_A - m
-            + jnp.trace(Kmm_inv_A)
+            + jnp.sum(R * R)
             + jnp.sum(mu_hat * Kmm_inv_mu)
         ) - kl_const
-        # L3 reconstruction term (svgp.py:96-104)
+        # L3 reconstruction term (svgp.py:96-104):
+        # diag(W A_hat Wᵀ) = colsum((R U)²) since L⁻¹ A_hat L⁻ᵀ = M B⁻¹ M.
         mean_vector = K_nm @ Kmm_inv_mu  # (b,)
         K_tilde = prec * (K_nn - diag_Qnn)
-        WA = W @ A_hat  # (b, m)
-        trace_terms = prec * jnp.sum(WA * W, axis=1)
+        T2 = R @ U  # (m, b)
+        trace_terms = prec * jnp.sum(T2 * T2, axis=0)
         recon = -0.5 * (
             jnp.sum(K_tilde)
             + jnp.sum(trace_terms)
