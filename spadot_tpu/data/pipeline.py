@@ -180,7 +180,12 @@ def prepare_data(adata, model_config):
                     )
 
                     ext, band = rcm_reorder_tables(ext)
-                    bpad = max(128, -(-band // 128) * 128)
+                    # band padding rounds UP to a multiple of the strip
+                    # height: the fused banded kernel (ops/gat_flash.py:
+                    # gat_attention_banded_flash) needs TI-aligned windows,
+                    # and at the measured atlas band (<= 508 vs TI = 512)
+                    # the rounded width is what a 128-rounding gave anyway
+                    bpad = max(band_ti, -(-band // band_ti) * band_ti)
                     wb = band_ti + 2 * bpad
                     # only pays when the strips are actually narrow
                     if banded_cfg in ("true", "1") or 2 * wb <= P:

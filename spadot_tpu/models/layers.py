@@ -20,10 +20,11 @@ from spadot_tpu.ops.gat import (
     gat_attention, gat_attention_banded, gat_attention_dense,
 )
 from spadot_tpu.ops.gat_flash import (
-    FLASH2_MAX_N, FLASH3_MAX_N, TILE3_I, flash1_gat_supported,
-    flash2_gat_supported, flash2_tile, flash3_gat_supported,
-    flash_dense_max_n, gat_attention_dense_flash, gat_attention_dense_flash2,
-    gat_attention_dense_flash3,
+    FLASH2_MAX_N, FLASH3_MAX_N, TILE3_I, banded_flash_eligible,
+    flash1_gat_supported, flash2_gat_supported, flash2_tile,
+    flash3_gat_supported, flash3b_gat_supported, flash_dense_max_n,
+    gat_attention_banded_flash, gat_attention_dense_flash,
+    gat_attention_dense_flash2, gat_attention_dense_flash3,
 )
 
 _XAVIER = nn.initializers.xavier_uniform()
@@ -103,8 +104,18 @@ class GATLayer(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, bias_shape, self.param_dtype)
         if adj is not None and adj.ndim == 3:
             # banded closure adjacency (ni, TI, Wb) — RCM-reordered strips,
-            # exact at ~P/Wb times less work than any dense-square path
+            # exact at ~P/Wb times less work than any dense-square path.
+            # Fused kernel when the layout allows (no HBM strip views,
+            # Wb/P x less wx streaming than flash3); XLA banded otherwise
             # (ops/gat.py:gat_attention_banded)
+            if (
+                self.use_pallas and F % 128 == 0
+                and banded_flash_eligible(adj.shape)
+                and flash3b_gat_supported()
+            ):
+                return gat_attention_banded_flash(
+                    h, adj, W, att_src, att_dst, bias, concat=self.concat
+                )
             return gat_attention_banded(
                 h, adj, W, att_src, att_dst, bias, concat=self.concat
             )

@@ -793,6 +793,335 @@ def gat_attention_dense_flash3(
     return (out + bias).astype(h.dtype)
 
 
+# ---------------------------------------------------------------------------
+# banded head-fused variant ("flash3b"): flash3's FA2 structure restricted to
+# the RCM band of a receptive closure (data/graph.py:rcm_reorder_tables). The
+# XLA banded path (ops/gat.py:gat_attention_banded) already cuts the
+# attention FLOPs to P*Wb, but it materializes the (ni, Wb, H, F) strip views
+# and the (ni, TI, Wb, H) logits/alpha tensors in HBM (~200 MB/layer at atlas
+# shapes). Here each (strip, j-tile) grid step DMAs its blocks straight out
+# of the bpad-padded Wx — no strip views, no HBM softmax tensors — and the
+# per-layer wx traffic drops from flash3's ni full sweeps of (H, n, F) to ni
+# band sweeps of (H, Wb, F): Wb/P (~5x at atlas) less of the stream that
+# measured as flash3's binding constraint.
+#
+# Layout contract (asserted in the wrapper; data/pipeline.py builds tables
+# to match): strips of TI rows with TI % 128 == 0, band padding
+# bpad = (Wb - TI)/2 a MULTIPLE OF TI, so strip s's window starts at padded
+# row s*TI exactly and the backward's column blocks of size TI tile the
+# window. Forward grid (ni, Wb/TJ) reuses flash3's online-softmax body; the
+# single backward kernel runs on a (g, k) grid over global padded column
+# blocks g x the nw = Wb/TI candidate strips that can see block g
+# (i = g - (nw-1) + k; out-of-range candidates are zeroed in-kernel from the
+# program ids), with des/dwx accumulated over consecutive k and the dlog
+# row-sums streamed out as per-(g, k) partials that XLA segment-sums back to
+# strips (flash3's dedp trick, banded).
+# ---------------------------------------------------------------------------
+
+
+def _flash3b_fwd_kernel(ed_ref, es_ref, adj_ref, wx_ref,
+                        out_ref, m_ref, l_ref, m_s, l_s):
+    """flash3's forward body over a banded adjacency block (1, TI, TJ)."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    H = ed_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        m_s[:] = jnp.full_like(m_s, NEG)
+        l_s[:] = jnp.zeros_like(l_s)
+
+    adj = adj_ref[0].astype(jnp.float32)   # (TI, TJ), cast shared by heads
+    keep = adj > 0
+    for h in range(H):
+        raw = ed_ref[h] + es_ref[h]
+        logits = jnp.where(raw >= 0, raw, _SLOPE * raw)
+        logits = jnp.where(keep, logits, NEG)
+        m_prev = m_s[h]
+        m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+        scale = jnp.exp(m_prev - m_cur)
+        p = jnp.where(keep, jnp.exp(logits - m_cur), 0.0)
+        l_s[h] = l_s[h] * scale + jnp.sum(p, axis=1, keepdims=True)
+        m_s[h] = m_cur
+        out_ref[h] = out_ref[h] * scale + jax.lax.dot_general(
+            p.astype(wx_ref.dtype), wx_ref[h],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == nj - 1)
+    def _():
+        l = jnp.maximum(l_s[:], 1e-30)
+        out_ref[:] = out_ref[:] / l
+        m_ref[:] = m_s[:]
+        l_ref[:] = l
+
+
+def _flash3b_bwd_kernel(ed_ref, es_ref, adj_ref, wx_ref, g_ref, m_ref, l_ref,
+                        d_ref, des_ref, dwx_ref, dedp_ref, *, ni):
+    """One banded backward sweep, grid (g, k) with k (candidate strip)
+    fastest: des/dwx accumulate over k per global column block g; the dlog
+    row-sums stream out as per-(g, k) partials. Candidate strip
+    i = g - (nw-1) + k can fall outside [0, ni) at the window edges — those
+    steps read clamped (wrong) blocks, so their contribution is multiplied
+    by 0 (validity recomputed here from the program ids)."""
+    gidx = pl.program_id(0)
+    k = pl.program_id(1)
+    nw = pl.num_programs(1)
+    H = ed_ref.shape[0]
+
+    @pl.when(k == 0)
+    def _():
+        des_ref[:] = jnp.zeros_like(des_ref)
+        dwx_ref[:] = jnp.zeros_like(dwx_ref)
+
+    i_raw = gidx - (nw - 1) + k
+    vf = jnp.where((i_raw >= 0) & (i_raw < ni), 1.0, 0.0)
+    adj = adj_ref[0].astype(jnp.float32)   # (TI, TJB)
+    keep = adj > 0
+    for h in range(H):
+        raw = ed_ref[h] + es_ref[h]
+        logits = jnp.where(raw >= 0, raw, _SLOPE * raw)
+        logits = jnp.where(keep, logits, NEG)
+        alpha = jnp.where(keep, jnp.exp(logits - m_ref[h]), 0.0) / l_ref[h]
+        alpha = alpha * vf
+        dalpha = jax.lax.dot_general(
+            g_ref[h], wx_ref[h], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = (dalpha - d_ref[h]) * alpha
+        dlog = jnp.where(raw >= 0, dp, _SLOPE * dp)
+        des_ref[h] += jnp.sum(dlog, axis=0, keepdims=True)
+        dwx_ref[h] += jax.lax.dot_general(
+            alpha.astype(g_ref.dtype), g_ref[h],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dedp_ref[0, 0, h] = jnp.sum(dlog, axis=1, keepdims=True)
+
+
+@jax.custom_vjp
+def _flash3b_core(ed, esp, adjb, wxp):
+    out, _ = _flash3b_fwd(ed, esp, adjb, wxp)
+    return out
+
+
+def _flash3b_fwd(ed, esp, adjb, wxp):
+    H, P, _ = ed.shape
+    F = wxp.shape[2]
+    ni, TI, Wb = adjb.shape
+    TJ = TI if TI <= 256 else TI // 2
+    r = TI // TJ
+    grid = (ni, Wb // TJ)
+    out, m, l = pl.pallas_call(
+        _flash3b_fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((H, TI, 1), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 1, TJ), lambda i, j: (0, 0, i * r + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TI, TJ), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, TJ, F), lambda i, j: (0, i * r + j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((H, TI, F), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, TI, 1), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, TI, 1), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, P, F), jnp.float32),
+            jax.ShapeDtypeStruct((H, P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((H, P, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H, TI, 1), jnp.float32),
+            pltpu.VMEM((H, TI, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * P * Wb * F,
+            transcendentals=H * P * Wb,
+            bytes_accessed=ni * TI * Wb + 2 * H * ni * Wb * F + 6 * H * P * F,
+        ),
+    )(ed, esp, adjb, wxp)
+    return out, (ed, esp, adjb, wxp, m, l, out)
+
+
+def _flash3b_bwd(res, g):
+    ed, esp, adjb, wxp, m, l, out = res
+    H, P, _ = ed.shape
+    Pp = wxp.shape[1]
+    F = wxp.shape[2]
+    ni, TI, Wb = adjb.shape
+    nw = Wb // TI
+    ngb = Pp // TI
+    d = jnp.sum(g * out, axis=2, keepdims=True)  # (H, P, 1) FA2 D_i
+    g = g.astype(wxp.dtype)
+
+    # (g, k) -> candidate strip, clamped for the block DMA (the kernel
+    # zeroes out-of-range contributions, so the XLA reduction below can
+    # include every partial). Index maps get traced grid indices — the
+    # clamping runs as scalar arithmetic at grid-index evaluation time.
+    def _strip_of(gi, k):
+        return jnp.clip(gi - (nw - 1) + k, 0, ni - 1)
+
+    def _adj_idx(gi, k):
+        ic = _strip_of(gi, k)
+        return (ic, 0, jnp.clip(gi - ic, 0, nw - 1))
+
+    strip_spec = lambda last: pl.BlockSpec(            # noqa: E731
+        (H, TI, last), lambda gi, k: (0, _strip_of(gi, k), 0),
+        memory_space=pltpu.VMEM,
+    )
+    des, dwx, dedp = pl.pallas_call(
+        functools.partial(_flash3b_bwd_kernel, ni=ni),
+        grid=(ngb, nw),
+        in_specs=[
+            strip_spec(1),                                        # ed
+            pl.BlockSpec((H, 1, TI), lambda gi, k: (0, 0, gi),    # esp
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TI, TI), _adj_idx,                   # adjb
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, TI, F), lambda gi, k: (0, gi, 0),    # wxp
+                         memory_space=pltpu.VMEM),
+            strip_spec(F),                                        # g
+            strip_spec(1),                                        # m
+            strip_spec(1),                                        # l
+            strip_spec(1),                                        # d
+        ],
+        out_specs=[
+            pl.BlockSpec((H, 1, TI), lambda gi, k: (0, 0, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, TI, F), lambda gi, k: (0, gi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H, TI, 1), lambda gi, k: (gi, k, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, 1, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((H, Pp, F), jnp.float32),
+            jax.ShapeDtypeStruct((ngb, nw, H, TI, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * H * P * Wb * F,
+            transcendentals=H * P * Wb,
+            bytes_accessed=ni * TI * Wb + 4 * H * ni * Wb * F + 8 * H * P * F,
+        ),
+    )(ed, esp, adjb, wxp, g, m, l, d)
+    # segment-sum the per-(g, k) ded partials back to strips (invalid
+    # candidates were zeroed in-kernel, so every partial can be added at its
+    # clamped strip)
+    i_map = np.clip(
+        np.arange(ngb)[:, None] - (nw - 1) + np.arange(nw)[None, :],
+        0, ni - 1,
+    ).ravel()
+    flat = dedp.reshape(ngb * nw, H, TI, 1)
+    ded = jnp.zeros((ni, H, TI, 1), jnp.float32).at[
+        jnp.asarray(i_map)
+    ].add(flat)
+    ded = ded.transpose(1, 0, 2, 3).reshape(H, P, 1)
+    return ded, des, None, dwx.astype(wxp.dtype)
+
+
+_flash3b_core.defvjp(_flash3b_fwd, _flash3b_bwd)
+
+
+def banded_flash_eligible(band_adj_shape):
+    """Shape gate for the banded fused kernel: TI lane-aligned and the band
+    padding a multiple of TI (data/pipeline.py builds tables to satisfy
+    this; direct callers with odd shapes fall back to the XLA banded path)."""
+    ni, TI, Wb = band_adj_shape
+    bpad = (Wb - TI) // 2
+    return (
+        TI % 128 == 0 and Wb == TI + 2 * bpad and bpad % TI == 0 and bpad > 0
+    )
+
+
+def gat_attention_banded_flash(
+    h, band_adj, W, att_src, att_dst, bias, *, concat=True
+):
+    """Fused-kernel variant of `ops/gat.py:gat_attention_banded` — same
+    banded (ni, TI, Wb) contract, same math, no HBM strip views. Under the
+    ambient 'default' matmul precision the wx / cotangent streams run in
+    bfloat16 (matching flash3 / the XLA paths' 1-pass bf16 dots); any other
+    precision keeps full float32 streams."""
+    ni, TI, Wb = band_adj.shape
+    assert banded_flash_eligible(band_adj.shape), band_adj.shape
+    bpad = (Wb - TI) // 2
+    P = ni * TI
+    assert h.shape[0] == P, (h.shape, band_adj.shape)
+    HF = W.shape[1]
+    H = att_src.shape[0]
+    F = HF // H
+    Wx = (h @ W).reshape(P, H, F)
+    e_src = jnp.einsum("nhf,hf->nh", Wx, att_src)
+    e_dst = jnp.einsum("nhf,hf->nh", Wx, att_dst)
+    prec = jax.config.jax_default_matmul_precision
+    wx_dt = jnp.bfloat16 if prec in _BF16_PRECISIONS else jnp.float32
+    wxp = jnp.pad(Wx, ((bpad, bpad), (0, 0), (0, 0)))
+    wxp = wxp.transpose(1, 0, 2).astype(wx_dt)              # (H, Pp, F)
+    esp = jnp.pad(e_src, ((bpad, bpad), (0, 0)))
+    esp = esp.T[:, None, :].astype(jnp.float32)             # (H, 1, Pp)
+    ed = e_dst.T[:, :, None].astype(jnp.float32)            # (H, P, 1)
+    out = _flash3b_core(ed, esp, band_adj, wxp)
+    out = out.transpose(1, 0, 2)                            # (P, H, F)
+    if concat:
+        out = out.reshape(P, H * F)
+    else:
+        out = jnp.mean(out, axis=1)
+    return (out + bias).astype(h.dtype)
+
+
+_FLASH3B_CACHE = {}
+
+
+def flash3b_gat_supported():
+    """Probe whether the banded fused kernels compile AND run fwd+bwd on
+    this backend at a production-shaped band (TI=512, Wb=1536, both stream
+    widths). Mirrors `flash3_gat_supported`; probe executables land in the
+    persistent compile cache."""
+    backend = jax.default_backend()
+    if backend in _FLASH3B_CACHE:
+        return _FLASH3B_CACHE[backend]
+    if backend != "tpu":
+        _FLASH3B_CACHE[backend] = False
+        return False
+    try:
+        ni, TI, H, F = 4, TILE3_I, 4, 512
+        bpad = TI
+        Wb = TI + 2 * bpad
+        P = ni * TI
+        ed = jnp.zeros((H, P, 1), jnp.float32)
+        esp = jnp.zeros((H, 1, P + 2 * bpad), jnp.float32)
+        adjb = np.zeros((ni, TI, Wb), np.int8)
+        adjb[:, np.arange(TI), bpad + np.arange(TI)] = 1  # in-band self-loops
+        adjb = jnp.asarray(adjb)
+        for dt in (jnp.bfloat16, jnp.float32):
+            wxp = jnp.zeros((H, P + 2 * bpad, F), dt)
+
+            def loss(ed, esp, wxp):
+                return jnp.sum(_flash3b_core(ed, esp, adjb, wxp))
+
+            grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(ed, esp, wxp)
+            jax.block_until_ready(grads)
+        _FLASH3B_CACHE[backend] = True
+    except Exception as e:  # pragma: no cover - backend dependent
+        print(f"banded fused flash GAT kernel unavailable on {backend}: "
+              f"{type(e).__name__}; using the XLA banded path")
+        _FLASH3B_CACHE[backend] = False
+    return _FLASH3B_CACHE[backend]
+
+
 def pad_adjacency(adj, multiple=None, F=512, H=4):
     """Host-side: pad an (n, n) {0,1} adjacency to a lane-aligned square.
 

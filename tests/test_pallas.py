@@ -278,6 +278,82 @@ def test_flash3_headfused_dense_gat_matches_xla(rng):
         gat_flash.INTERPRET = False
 
 
+def test_flash3b_banded_gat_matches_xla_banded(rng):
+    """Banded fused kernel (flash3b, interpret mode) vs the XLA banded path
+    (ops/gat.py:gat_attention_banded): outputs and all gradients, over real
+    RCM-banded receptive-closure tables (window-edge clamping, multi-strip
+    band, closure padding rows), at both stream precisions."""
+    from spadot_tpu.ops import gat_flash
+    from spadot_tpu.ops.gat import gat_attention_banded
+    from spadot_tpu.data.graph import (
+        banded_closure_adjacency, build_knn_graph, receptive_tables,
+        rcm_reorder_tables,
+    )
+    from spadot_tpu.data.pipeline import make_batches
+
+    TI = 128
+    n, F_in, H, F = 500, 10, 4, 128
+    xy = rng.uniform(0, 10, size=(n, 2))
+    nbr, msk = build_knn_graph(xy, 6)
+    bidx, bmask = make_batches(n, 128)
+    ext = receptive_tables(nbr, msk, bidx, bmask, hops=3, pad_to=TI)
+    ext, band = rcm_reorder_tables(ext)
+    bpad = max(TI, -(-band // TI) * TI)
+    banded = banded_closure_adjacency(
+        ext["loc_nbr"], ext["loc_mask"], TI, bpad
+    )
+    adjb = jnp.asarray(banded[0])
+    assert gat_flash.banded_flash_eligible(adjb.shape)
+    assert adjb.shape[2] // TI >= 3  # multi-strip band exercises the k grid
+    P = adjb.shape[0] * TI
+    h = jnp.asarray(rng.normal(size=(P, F_in)), jnp.float32)
+    W = jnp.asarray(rng.normal(size=(F_in, H * F)) * 0.2, jnp.float32)
+    a_s = jnp.asarray(rng.normal(size=(H, F)) * 0.2, jnp.float32)
+    a_d = jnp.asarray(rng.normal(size=(H, F)) * 0.2, jnp.float32)
+
+    gat_flash.INTERPRET = True
+    try:
+        for concat in (True, False):
+            bias = jnp.asarray(
+                rng.normal(size=(H * F,) if concat else (F,)), jnp.float32
+            )
+
+            def loss_x(h, W, a_s, a_d):
+                out = gat_attention_banded(
+                    h, adjb, W, a_s, a_d, bias, concat=concat
+                )
+                return jnp.sum(out**2), out
+
+            def loss_f(h, W, a_s, a_d):
+                out = gat_flash.gat_attention_banded_flash(
+                    h, adjb, W, a_s, a_d, bias, concat=concat
+                )
+                return jnp.sum(out**2), out
+
+            with jax.default_matmul_precision("highest"):
+                (_, o_ref), g_ref = jax.value_and_grad(
+                    loss_x, argnums=(0, 1, 2, 3), has_aux=True)(h, W, a_s, a_d)
+                (_, o_fl), g_fl = jax.value_and_grad(
+                    loss_f, argnums=(0, 1, 2, 3), has_aux=True)(h, W, a_s, a_d)
+            np.testing.assert_allclose(
+                np.asarray(o_fl), np.asarray(o_ref), rtol=2e-4, atol=2e-4
+            )
+            for a, b in zip(g_fl, g_ref):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
+                )
+            with jax.default_matmul_precision("default"):
+                (_, o_bf), g_bf = jax.value_and_grad(
+                    loss_f, argnums=(0, 1, 2, 3), has_aux=True)(h, W, a_s, a_d)
+            err = np.abs(np.asarray(o_bf) - np.asarray(o_ref)).max()
+            assert err <= 5e-3 * np.abs(np.asarray(o_ref)).max() + 1e-3
+            for a, b in zip(g_bf, g_ref):
+                a, b = np.asarray(a), np.asarray(b)
+                assert np.abs(a - b).max() <= 5e-3 * np.abs(b).max() + 1e-3
+    finally:
+        gat_flash.INTERPRET = False
+
+
 def test_multihead_aggregation_and_gradients(rng):
     from spadot_tpu.ops.gat_pallas import aggregate_windowed_mh
 
