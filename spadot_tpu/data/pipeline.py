@@ -169,12 +169,21 @@ def prepare_data(adata, model_config):
                 banded_cfg = str(
                     model_config.get("gat_ext_banded", "auto")
                 ).lower()
-                band_ti = int(model_config.get("gat_ext_band_ti", 512))
+                ti_cfg = str(
+                    model_config.get("gat_ext_band_ti", "auto")
+                ).lower()
+                # strip-height candidates: 'auto' picks, among the
+                # lane-aligned heights that divide P, the one minimizing the
+                # strip width Wb = TI + 2*bpad — a small band (RCM bandwidth
+                # scales ~sqrt(P*K): ~140 at ChickenHeart closures, ~500 at
+                # atlas) prefers short strips, whose tighter TI-rounded
+                # padding cuts the P*Wb attention work further
+                cand = (
+                    [512, 256, 128] if ti_cfg == "auto" else [int(ti_cfg)]
+                )
+                cand = [t for t in cand if P % t == 0 and P >= 3 * t]
                 banded = None
-                if (
-                    banded_cfg in ("auto", "true", "1")
-                    and P % band_ti == 0 and P >= 3 * band_ti
-                ):
+                if banded_cfg in ("auto", "true", "1") and cand:
                     from spadot_tpu.data.graph import (
                         banded_closure_adjacency, rcm_reorder_tables,
                     )
@@ -182,13 +191,23 @@ def prepare_data(adata, model_config):
                     ext, band = rcm_reorder_tables(ext)
                     # band padding rounds UP to a multiple of the strip
                     # height: the fused banded kernel (ops/gat_flash.py:
-                    # gat_attention_banded_flash) needs TI-aligned windows,
-                    # and at the measured atlas band (<= 508 vs TI = 512)
-                    # the rounded width is what a 128-rounding gave anyway
-                    bpad = max(band_ti, -(-band // band_ti) * band_ti)
-                    wb = band_ti + 2 * bpad
-                    # only pays when the strips are actually narrow
-                    if banded_cfg in ("true", "1") or 2 * wb <= P:
+                    # gat_attention_banded_flash) needs TI-aligned windows
+                    # estimated strip cost: attention work scales with Wb,
+                    # wx streaming with Wb/TI (taller strips amortize the
+                    # band reads — flash3's measured binding constraint);
+                    # the 512 weight calibrates stream ~ compute at TI=512,
+                    # consistent with the flash3 roofline measurements
+                    best = None
+                    for t in cand:  # descending: ties keep the tallest TI
+                        bp = max(t, -(-band // t) * t)
+                        est = (t + 2 * bp) * (1.0 + 512.0 / t)
+                        if best is None or est < best[3]:
+                            best = (t, bp, t + 2 * bp, est)
+                    band_ti, bpad, wb, _ = best
+                    # 'auto' bands only on a clear work win (the square-mask
+                    # flash kernels are faster per element at small P; force
+                    # with gat_ext_banded: true to A/B)
+                    if banded_cfg in ("true", "1") or 3 * wb <= P:
                         banded = banded_closure_adjacency(
                             ext["loc_nbr"], ext["loc_mask"],
                             band_ti, bpad,
