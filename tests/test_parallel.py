@@ -178,6 +178,42 @@ def test_sharded_factored_sinkhorn_matches_single_device(rng):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("banded", ["false", "true"])
+def test_exact_closures_on_mesh(banded):
+    """Exact receptive-closure minibatch GAT (the default at scale) must run
+    spot-sharded over the mesh — square AND banded closure masks — and
+    reproduce the single-device losses (the closure gather Y[ext_idx]
+    crosses shard boundaries; GSPMD inserts the collectives)."""
+    from spadot_tpu.train.loop import Trainer
+
+    adata = make_synthetic_adata(n_per_tp=150, n_genes=24, n_tp=1)
+    cfg = default_config()
+    cfg.update(
+        input_dim=24, timepoints=[0], maxiter=1, ot_epoch=1, batch_size=32,
+        inducing_point_nums=20, gat_encoder_hidden=8, gat_attention_heads=2,
+        svgp_encoder_layers=[16, 8], decoder_layers=[8, 16], n_clusters=3,
+        full_graph_gat=False, gat_exact_batches=True,
+        gat_ext_banded=banded, gat_ext_band_ti=64,
+        max_neighbors=5, knn_cutoff=6,
+    )
+    runs = []
+    for mesh in (None, make_mesh({"data": 8})):
+        set_seed(1993)
+        data = prepare_data(adata, cfg)
+        if banded == "true":
+            d = data["tp_data"][0]
+            assert "ext_adj" in d and d["ext_adj"].ndim == 4  # (nb, ni, TI, Wb)
+        tr = Trainer(cfg, data, mesh=mesh)
+        v, o = tr.init_state(jax.random.PRNGKey(0))
+        v, o, _, losses = tr.run_epoch(
+            v, o, jax.random.PRNGKey(1), 0,
+            {"centers": {}, "assign": {}}, {}, 0, 0, 0.5,
+        )
+        runs.append(np.asarray(losses))
+    np.testing.assert_allclose(runs[1], runs[0], rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
 def test_windowed_gat_on_mesh():
     """Windowed minibatch GAT + spot-sharded mesh combine correctly."""
     from spadot_tpu.train.loop import Trainer
