@@ -625,7 +625,15 @@ class Trainer:
             )
             ea_list = [td[tp].get("ext_adj") for tp in tps]
             ranks = {e.ndim for e in ea_list if e is not None}
-            if all(e is not None for e in ea_list) and ranks == {4}:
+            # the banded stack needs ONE strip height across timepoints; the
+            # auto TI choice is per-tp (band/P dependent), so mixed heights —
+            # or a banded/square mix — fall back to the per-step scatter
+            # build (correct, just slower; _gat_ext_forward)
+            same_ti = (
+                ranks == {4}
+                and len({e.shape[2] for e in ea_list if e is not None}) == 1
+            )
+            if all(e is not None for e in ea_list) and same_ti:
                 # banded masks (nb, ni, TI, Wb): center-align each tp's band
                 # inside the cross-tp max window; sentinel strips/batches get
                 # the center diagonal (self-loop) — mirrors the LN sentinel
@@ -656,6 +664,12 @@ class Trainer:
                     # self-loops); rows >= p keep the diagonal sentinel
                     EA[i, :nb, :p, :p] = d["ext_adj"]
                 stacked["ext_adj"] = jnp.asarray(EA)
+            elif any(e is not None for e in ea_list):
+                logger.info(
+                    "closure masks differ across timepoints (banded/square "
+                    "mix or unequal strip heights); the fused epoch uses the "
+                    "per-step adjacency build instead of a static stack"
+                )
         if self.mesh is not None:
             # place the stack: spot-major arrays sharded on axis 1 over the
             # 'data' mesh axis, everything else (inducing state, batch

@@ -215,6 +215,35 @@ def test_banded_closure_attention_matches_full_graph():
     assert np.isfinite(np.asarray(fused_losses)).all()
 
 
+def test_stacked_mixed_band_shapes_fallback():
+    """If timepoints end up with closure masks of different shapes (the
+    auto strip-height choice is per-tp), the fused stack must NOT try to
+    stack them — it drops the static masks (scatter fallback, exact) and
+    the fused epoch still runs."""
+    from spadot_tpu.config import default_config
+    from spadot_tpu.data.pipeline import prepare_data
+    from spadot_tpu.train.loop import Trainer
+
+    adata = make_synthetic_adata(n_per_tp=150, n_genes=24, n_tp=2)
+    cfg = _cfg(gat_ext_banded="true", gat_ext_band_ti=64)
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+    e = data["tp_data"][1]["ext_adj"]
+    nb, ni, TI, Wb = e.shape
+    # doctor tp 1's strip height: the stacker must refuse to stack, not crash
+    data["tp_data"][1]["ext_adj"] = e.reshape(nb, ni * 2, TI // 2, Wb)
+    t = Trainer(cfg, data)
+    assert t.fused and "ext_adj" not in t._stacked
+    v, o = t.init_state(jax.random.PRNGKey(0))
+    km = {"centers": {}, "assign": {}, "_stacked": t._km_stacked,
+          "_have": False}
+    _, _, _, losses = t.run_epoch_fused(
+        v, o, jax.random.PRNGKey(1), jax.random.PRNGKey(7), [0, 1],
+        km, 0, 0.5,
+    )
+    assert np.isfinite(np.asarray(losses)).all()
+
+
 def test_full_latent_ext_equals_full_latent():
     """The closure-batched latent extraction (full_latent_ext — used by the
     KMeans refresh and get_latent in ext mode) must reproduce the full-graph
