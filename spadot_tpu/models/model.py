@@ -166,7 +166,15 @@ def _gat_ext_forward(net, vars_nostats, Y, ext, gat_window_dense_max):
     ext_idx, ext_mask, loc_nbr, loc_mask, batch_pos = ext[:5]
     adj_ext = ext[5] if len(ext) > 5 else None
     P = loc_nbr.shape[0]
+    # Y may be a staged bfloat16 copy (train/loop.py gat_bf16_gather: the
+    # row gather is pure HBM traffic, ~6.6 ms/step at atlas from a float32
+    # source; bf16 halves it). Upcast right after the gather: under the
+    # production 1-pass bf16 matmul precision the first GAT matmul rounds
+    # its operands to bf16 anyway, so results are bit-identical, and the
+    # rest of the branch keeps float32 dtype flow.
     Y_ext = Y[ext_idx]
+    if Y_ext.dtype == jnp.bfloat16:
+        Y_ext = Y_ext.astype(jnp.float32)
     if adj_ext is None and P <= int(gat_window_dense_max):
         rows_e = jnp.broadcast_to(jnp.arange(P)[:, None], loc_nbr.shape)
         adj_ext = jnp.zeros((P, P), jnp.int8)
@@ -269,7 +277,8 @@ def forward_batch(
         if ext is not None:
             # --- exact receptive-field minibatch GAT ---
             gat_mu, gat_var = _gat_ext_forward(
-                net, vars_nostats, Y, ext, gat_window_dense_max
+                net, vars_nostats, tp_data.get("Y_gat", Y), ext,
+                gat_window_dense_max,
             )
         elif gat_window:
             # --- windowed minibatch GAT: message passing restricted to the
@@ -284,7 +293,11 @@ def forward_batch(
             win_start = jnp.clip(
                 jnp.min(batch_idx) - int(gat_window), 0, n - win_size
             )
-            Y_win = jax.lax.dynamic_slice_in_dim(Y, win_start, win_size, 0)
+            Y_win = jax.lax.dynamic_slice_in_dim(
+                tp_data.get("Y_gat", Y), win_start, win_size, 0
+            )
+            if Y_win.dtype == jnp.bfloat16:  # staged gather copy — see
+                Y_win = Y_win.astype(jnp.float32)  # _gat_ext_forward
             nbr_win = jax.lax.dynamic_slice_in_dim(nbr, win_start, win_size, 0)
             msk_win = jax.lax.dynamic_slice_in_dim(nbr_mask, win_start, win_size, 0)
             rel = nbr_win - win_start
@@ -439,9 +452,11 @@ def full_latent_ext(
     if mode in ("dual", "gat"):
         vars_nostats = {"params": variables["params"]}
 
+        Y_gat = tp_data.get("Y_gat", Y)
+
         def body(carry, xs):
             mu_b, _ = _gat_ext_forward(
-                net, vars_nostats, Y, xs, gat_window_dense_max
+                net, vars_nostats, Y_gat, xs, gat_window_dense_max
             )
             return carry, mu_b
 

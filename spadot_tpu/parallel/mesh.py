@@ -53,7 +53,8 @@ def shard_tp_data(dev, mesh):
     n = np.asarray(dev["Y"]).shape[0]
     for k, v in dev.items():
         if hasattr(v, "ndim") and v.ndim >= 1 and k in (
-            "Y", "coords", "nbr", "nbr_mask", "rev_src", "rev_slot", "rev_mask"
+            "Y", "Y_gat", "coords", "nbr", "nbr_mask",
+            "rev_src", "rev_slot", "rev_mask",
         ):
             arr = _pad_rows(np.asarray(v), n_dev)
             if k == "nbr" and arr.shape[0] > n:

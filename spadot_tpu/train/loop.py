@@ -88,6 +88,26 @@ class Trainer:
         self.gat_window_dense_max = int(
             model_config.get("gat_window_dense_max", 10000)
         )
+        # stage a bfloat16 copy of the expression matrix for the GAT-branch
+        # row gathers (pure HBM traffic — 6.6 ms/step at atlas from f32;
+        # bf16 halves it). The gather result is upcast immediately
+        # (models/model.py:_gat_ext_forward), and under the production
+        # 1-pass bf16 matmul precision the first GAT matmul rounds its
+        # operands to bf16 anyway — bit-identical results. 'auto' = TPU
+        # backend + a bf16-class gat_matmul_precision; CPU keeps f32 (its
+        # matmuls don't round operands, so pre-rounding would change math).
+        bf16g = str(model_config.get("gat_bf16_gather", "auto")).lower()
+        gat_prec = str(
+            model_config.get("gat_matmul_precision", "default")
+        ).lower()
+        self.gat_bf16_gather = (self.gat_ext or self.gat_window > 0) and (
+            bf16g in ("true", "1")
+            or (
+                bf16g == "auto"
+                and jax.default_backend() == "tpu"
+                and gat_prec in ("default", "bfloat16", "fastest")
+            )
+        )
 
         # float32 by default; `dtype: float64` (with jax x64 enabled by
         # resolve_dtype) runs the data/SVGP path in f64 for parity ablations
@@ -142,6 +162,8 @@ class Trainer:
                     # mesh the row-sharded gather path is used so 1-dev and
                     # N-dev runs trace identically); int8 pad_adjacency mask
                     dev["adj"] = jnp.asarray(d["adj"])
+                if self.gat_bf16_gather:
+                    dev["Y_gat"] = jnp.asarray(d["Y"], jnp.bfloat16)
                 if mesh is not None:
                     dev = shard_tp_data(dev, mesh)
                 self.tp_dev[tp] = dev
@@ -215,6 +237,8 @@ class Trainer:
                 }
                 if "adj" in s:
                     dev["adj"] = s["adj"][i]
+                if "Y_gat" in s:
+                    dev["Y_gat"] = s["Y_gat"][i]
                 self.tp_dev[tp] = dev
                 if self.gat_ext:
                     nb = data["tp_data"][tp]["batch_idx"].shape[0]
@@ -593,6 +617,8 @@ class Trainer:
         }
         if have_adj:
             stacked["adj"] = jnp.asarray(A)
+        if self.gat_bf16_gather:
+            stacked["Y_gat"] = jnp.asarray(Y, jnp.bfloat16)
         if self.gat_ext:
             # stack the receptive-closure tables: pad nb -> nb_max with
             # sentinel batches and P/K to the cross-timepoint max; every
@@ -683,7 +709,8 @@ class Trainer:
 
             s_spot = NamedSharding(self.mesh, P(None, "data"))
             s_rep = replicated(self.mesh)
-            spot_keys = {"Y", "coords", "nbr", "nbr_mask", "row_mask"}
+            spot_keys = {"Y", "Y_gat", "coords", "nbr", "nbr_mask",
+                         "row_mask"}
             stacked = {
                 k: _jax.device_put(
                     v,

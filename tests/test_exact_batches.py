@@ -215,6 +215,34 @@ def test_banded_closure_attention_matches_full_graph():
     assert np.isfinite(np.asarray(fused_losses)).all()
 
 
+def test_bf16_gather_staging_matches_f32():
+    """gat_bf16_gather stages a bfloat16 copy of Y for the GAT-branch row
+    gathers (train/loop.py); with the upcast-after-gather design the run
+    must track the f32-source run within bf16 operand-rounding tolerance
+    (on TPU with 1-pass bf16 matmuls the results are bit-identical)."""
+    losses = {}
+    for flag in ("false", "true"):
+        t, _ = _setup(gat_bf16_gather=flag)
+        if flag == "true":
+            assert t.gat_bf16_gather
+            assert t.tp_dev[0]["Y_gat"].dtype == jax.numpy.bfloat16
+        else:
+            assert "Y_gat" not in t.tp_dev[0]
+        v, o = t.init_state(jax.random.PRNGKey(0))
+        km = {"centers": {}, "assign": {}, "_stacked": t._km_stacked,
+              "_have": False}
+        _, _, _, ls = t.run_epoch_fused(
+            v, o, jax.random.PRNGKey(1), jax.random.PRNGKey(7), [0, 1],
+            km, 0, 0.5,
+        )
+        losses[flag] = np.asarray(ls)
+    assert np.isfinite(losses["true"]).all()
+    # bf16 pre-rounding of the GAT input rows only — losses stay close
+    np.testing.assert_allclose(
+        losses["true"], losses["false"], rtol=2e-2, atol=2e-2
+    )
+
+
 def test_stacked_mixed_band_shapes_fallback():
     """If timepoints end up with closure masks of different shapes (the
     auto strip-height choice is per-tp), the fused stack must NOT try to
