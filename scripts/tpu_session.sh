@@ -18,5 +18,21 @@ timeout 900 python scripts/bench_gather.py 2>&1 | tee /tmp/tpu_logs/gather.log
 # 4. atlas epoch bench (banded default + static adjacencies + svgp restructure)
 timeout 3600 env BENCH_MODE=atlas python bench.py 2>&1 | tee /tmp/tpu_logs/bench_atlas.log
 
-# 5. ChickenHeart headline bench (r03 default config)
+# 5. ChickenHeart headline bench (r03 default config, incl. bf16 gather auto)
 timeout 3600 python bench.py 2>&1 | tee /tmp/tpu_logs/bench_ch.log
+
+# 6. atlas A/B: bf16 gather staging off (vs step 4's auto-on)
+timeout 3600 env BENCH_MODE=atlas BENCH_CFG='{"gat_bf16_gather": "false"}' \
+  python bench.py 2>&1 | tee /tmp/tpu_logs/bench_atlas_nobf16.log
+
+# 7. atlas A/B: banded closures off (square static masks + flash3)
+timeout 3600 env BENCH_MODE=atlas BENCH_CFG='{"gat_ext_banded": "false"}' \
+  python bench.py 2>&1 | tee /tmp/tpu_logs/bench_atlas_nobanded.log
+
+# 8. ChickenHeart A/B: force banded closures (auto keeps them off at P~1280)
+timeout 3600 env BENCH_CFG='{"gat_ext_banded": "true", "gat_ext_band_ti": 128}' \
+  python bench.py 2>&1 | tee /tmp/tpu_logs/bench_ch_banded.log
+
+# 9. SVGP 'high' (3-pass bf16) candidate at ChickenHeart scale
+timeout 3600 env BENCH_CFG='{"svgp_matmul_precision": "high"}' \
+  python bench.py 2>&1 | tee /tmp/tpu_logs/bench_ch_svgp_high.log
