@@ -43,7 +43,7 @@ def main():
     Y = jnp.asarray(rng.normal(size=(n, g)).astype(np.float32))
     Ybf = Y.astype(jnp.bfloat16)
     # closure-shaped indices: batch span plus Morton-local fringe
-    start = 4096 * 3
+    start = min(4096 * 3, max(0, n - b))  # clamped for small-n smoke runs
     fringe = rng.integers(max(0, start - 4096), min(n, start + b + 4096), size=P - b)
     ext_idx = np.sort(np.concatenate([np.arange(start, start + b), fringe])).astype(np.int32)
     ext_idx_d = jnp.asarray(ext_idx)

@@ -36,3 +36,10 @@ timeout 3600 env BENCH_CFG='{"gat_ext_banded": "true", "gat_ext_band_ti": 128}' 
 # 9. SVGP 'high' (3-pass bf16) candidate at ChickenHeart scale
 timeout 3600 env BENCH_CFG='{"svgp_matmul_precision": "high"}' \
   python bench.py 2>&1 | tee /tmp/tpu_logs/bench_ch_svgp_high.log
+
+# 10. windowed-vs-exact training quality at 51200 spots/tp, 100 epochs
+# (VERDICT r2 weak #4: no quality number at a scale where windowed mode
+# matters; exact closures are the default now, windowed is the opt-in
+# approximation — this quantifies what opting in costs at 51k)
+timeout 5400 python examples/windowed_quality.py 51200 100 \
+  2>&1 | tee /tmp/tpu_logs/windowed_quality_51k.log

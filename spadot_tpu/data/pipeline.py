@@ -111,24 +111,6 @@ def prepare_data(adata, model_config):
         # reverse padded lists -> scatter-free GAT backward (ops/gat.py)
         rev_src, rev_slot, rev_mask = reverse_graph(nbr, nbr_mask)
         batch_idx, batch_mask = make_batches(n, batch_size)
-        # dense (n, n) adjacency for the small-n MXU attention path
-        # (ops/gat.py:gat_attention_dense) — below the gate where the n^2
-        # mask is a few MB. Built in every mode: the full-graph training
-        # path consumes it per step, and the latent/KMeans-refresh passes
-        # (exact full-graph in ALL modes) use it too.
-        adj = None
-        if n <= int(model_config.get("gat_dense_max_n", 10000)):
-            from spadot_tpu.ops.gat import dense_adjacency
-            from spadot_tpu.ops.gat_flash import pad_adjacency
-
-            # lane-aligned padded mask: ready for the fused flash kernel,
-            # and the XLA dense path handles n_pad >= n transparently; the
-            # model's actual (F, H) decide the tiled-kernel alignment band
-            adj = pad_adjacency(
-                dense_adjacency(nbr, nbr_mask),
-                F=int(model_config.get("gat_encoder_hidden", 512)),
-                H=int(model_config.get("gat_attention_heads", 4)),
-            )
         tp_data[tp] = {
             "Y": X[rows],
             "coords": coords_tp,
@@ -142,8 +124,6 @@ def prepare_data(adata, model_config):
             "batch_mask": batch_mask,
             "obs_rows": rows,
         }
-        if adj is not None:
-            tp_data[tp]["adj"] = adj
         if not model_config.get("full_graph_gat", True):
             # EXACT minibatch GAT: per-batch 3-hop receptive-field closures
             # (data/graph.py:receptive_tables). 'auto' uses them when every
@@ -250,6 +230,32 @@ def prepare_data(adata, model_config):
                         "the windowed approximation)",
                         tp, P, dense_max,
                     )
+    # dense (n, n) adjacency for the small-n MXU attention path
+    # (ops/gat.py:gat_attention_dense) — below the gate where the n^2 mask
+    # is a few MB. Built only where something consumes it: the full-graph /
+    # windowed forward and the full_latent refresh path. In exact-closure
+    # mode every GAT call (training, latent, refresh) routes through the
+    # closure tables instead, so the n^2 host build + device upload would
+    # be pure waste there — and ext mode is all-or-nothing across
+    # timepoints (train/loop.py: gat_ext), so one rejected closure means
+    # every tp runs full-graph and needs its mask back.
+    ext_all = all("ext_idx" in tp_data[tp] for tp in timepoints)
+    dense_max_n = int(model_config.get("gat_dense_max_n", 10000))
+    for tp in timepoints:
+        d = tp_data[tp]
+        n = d["Y"].shape[0]
+        if not ext_all and n <= dense_max_n:
+            from spadot_tpu.ops.gat import dense_adjacency
+            from spadot_tpu.ops.gat_flash import pad_adjacency
+
+            # lane-aligned padded mask: ready for the fused flash kernel,
+            # and the XLA dense path handles n_pad >= n transparently; the
+            # model's actual (F, H) decide the tiled-kernel alignment band
+            d["adj"] = pad_adjacency(
+                dense_adjacency(d["nbr"], d["nbr_mask"]),
+                F=int(model_config.get("gat_encoder_hidden", 512)),
+                H=int(model_config.get("gat_attention_heads", 4)),
+            )
     return {
         "timepoints": timepoints,
         "inducing_points": inducing_points_dict,

@@ -111,7 +111,9 @@ class GATLayer(nn.Module):
             if (
                 self.use_pallas and F % 128 == 0
                 and banded_flash_eligible(adj.shape)
-                and flash3b_gat_supported()
+                and flash3b_gat_supported(
+                    TI=adj.shape[1], Wb=adj.shape[2], F=F, H=H
+                )
             ):
                 return gat_attention_banded_flash(
                     h, adj, W, att_src, att_dst, bias, concat=self.concat

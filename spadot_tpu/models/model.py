@@ -154,17 +154,42 @@ def _apply_gat(net, variables, h, nbr, nbr_mask, rev=None, adj=None):
         )
 
 
+# the receptive-table field order: every producer (data/pipeline.py via
+# graph.py:receptive_tables), stager (train/loop.py), and the positional
+# unpack in _gat_ext_forward below go through this ONE tuple — adding or
+# reordering a field is a single-site edit. 'ext_adj' (the optional static
+# closure adjacency) is appended LAST when present (ext_xs).
+EXT_KEYS = ("ext_idx", "ext_mask", "loc_nbr", "loc_mask", "batch_pos")
+
+
+def ext_keys_of(tables):
+    """EXT_KEYS plus the optional trailing 'ext_adj' when `tables` has it."""
+    return (
+        EXT_KEYS + ("ext_adj",) if "ext_adj" in tables else EXT_KEYS
+    )
+
+
+def ext_xs(tables, index=None):
+    """The positional ext tuple `_gat_ext_forward` consumes, in EXT_KEYS
+    order (+ trailing ext_adj when present). `index` applies a callable to
+    each field (e.g. a traced dynamic_index_in_dim for fused-stack slices)."""
+    keys = ext_keys_of(tables)
+    if index is None:
+        return tuple(tables[k] for k in keys)
+    return tuple(index(tables[k]) for k in keys)
+
+
 def _gat_ext_forward(net, vars_nostats, Y, ext, gat_window_dense_max):
     """GAT over one batch's receptive closure, batch-row outputs extracted.
 
-    ext is a receptive-table slice (ext_idx (P,), ext_mask (P,), loc_nbr
-    (P, K), loc_mask (P, K), batch_pos (b,)) from
+    ext is a receptive-table slice in EXT_KEYS order (ext_idx (P,),
+    ext_mask (P,), loc_nbr (P, K), loc_mask (P, K), batch_pos (b,)) from
     data/graph.py:receptive_tables, optionally extended with a precomputed
     static (P, P) int8 closure adjacency (graph.py:closure_adjacency — skips
     the per-step mask scatter); the returned (mu, var) at the batch rows
     are EXACTLY the full-graph values (tests/test_exact_batches.py)."""
-    ext_idx, ext_mask, loc_nbr, loc_mask, batch_pos = ext[:5]
-    adj_ext = ext[5] if len(ext) > 5 else None
+    ext_idx, ext_mask, loc_nbr, loc_mask, batch_pos = ext[:len(EXT_KEYS)]
+    adj_ext = ext[len(EXT_KEYS)] if len(ext) > len(EXT_KEYS) else None
     P = loc_nbr.shape[0]
     # Y may be a staged bfloat16 copy (train/loop.py gat_bf16_gather: the
     # row gather is pure HBM traffic, ~6.6 ms/step at atlas from a float32
@@ -460,10 +485,7 @@ def full_latent_ext(
             )
             return carry, mu_b
 
-        keys = ["ext_idx", "ext_mask", "loc_nbr", "loc_mask", "batch_pos"]
-        if "ext_adj" in ext_tables:
-            keys.append("ext_adj")
-        xs = tuple(ext_tables[k] for k in keys)
+        xs = ext_xs(ext_tables)
         _, mus = jax.lax.scan(body, None, xs)   # (nb, b, L)
         gat_mu = mus.reshape(-1, mus.shape[-1])  # contiguous batches
         if gat_mu.shape[0] < n:   # row-padded stacks (mesh mode)

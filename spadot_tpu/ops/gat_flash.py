@@ -248,6 +248,8 @@ def gat_attention_dense_flash(
     ed = e_dst.T[:, :, None].astype(jnp.float32)           # (H, n_pad, 1)
     es = e_src.T[:, None, :].astype(jnp.float32)           # (H, 1, n_pad)
     tile = flash_tile_for(n_pad, F, H) or TILE
+    if tile != TILE and not flash1_tile_supported(tile, F, H):
+        tile = TILE  # unprobed/failed larger tile degrades, never crashes
     out = _flash_core_for(tile)(ed, es, adj_pad, wx_h)
     out = out.transpose(1, 0, 2)[:n]                       # (n, H, F)
     if concat:
@@ -574,24 +576,14 @@ TILE3_I_BWD = 256
 _VMEM_LIMIT = 64 * 2**20
 
 
-def _flash3_fwd_kernel(ed_ref, es_ref, adj_ref, wx_ref,
-                       out_ref, m_ref, l_ref, m_s, l_s):
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
-    H = ed_ref.shape[0]
-
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-        m_s[:] = jnp.full_like(m_s, NEG)
-        l_s[:] = jnp.zeros_like(l_s)
-
-    adj = adj_ref[:].astype(jnp.float32)   # once per (i, j) — shared by heads
-    keep = adj > 0
-    for h in range(H):
-        ed = ed_ref[h]                      # (TILE_I, 1)
-        es = es_ref[h]                      # (1, TILE_J)
-        raw = ed + es
+def _fa2_fwd_heads(keep, ed_ref, es_ref, wx_ref, out_ref, m_s, l_s):
+    """Shared online-softmax head loop of the flash3/flash3b forwards: one
+    adjacency cast (`keep`) serves every head; out_ref doubles as the
+    accumulator (revisited block, stays in VMEM across the j sweep) — no
+    (H, TI, F) scratch needed. The head loop is a static Python unroll
+    (Mosaic has no dynamic indexing on the head axis)."""
+    for h in range(ed_ref.shape[0]):
+        raw = ed_ref[h] + es_ref[h]         # (TI, 1) + (1, TJ)
         logits = jnp.where(raw >= 0, raw, _SLOPE * raw)
         logits = jnp.where(keep, logits, NEG)
         m_prev = m_s[h]
@@ -600,13 +592,55 @@ def _flash3_fwd_kernel(ed_ref, es_ref, adj_ref, wx_ref,
         p = jnp.where(keep, jnp.exp(logits - m_cur), 0.0)
         l_s[h] = l_s[h] * scale + jnp.sum(p, axis=1, keepdims=True)
         m_s[h] = m_cur
-        # out_ref doubles as the accumulator (revisited block, stays in
-        # VMEM across the j sweep) — no (H, TILE_I, F) scratch needed
         out_ref[h] = out_ref[h] * scale + jax.lax.dot_general(
             p.astype(wx_ref.dtype), wx_ref[h],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+
+def _fa2_bwd_heads(keep, ed_ref, es_ref, wx_ref, g_ref, m_ref, l_ref, d_ref,
+                   des_ref, dwx_ref, store_dedp, valid=None):
+    """Shared softmax-recompute head loop of the flash3/flash3b backwards:
+    alpha from the saved (m, l), softmax + leaky-relu backward, des/dwx
+    accumulated in-place, dlog row-sums handed to `store_dedp(h, val)` (the
+    callers' partial-stream layouts differ). `valid` (flash3b window edges)
+    scales alpha so out-of-range candidate strips contribute exactly 0."""
+    for h in range(ed_ref.shape[0]):
+        raw = ed_ref[h] + es_ref[h]
+        logits = jnp.where(raw >= 0, raw, _SLOPE * raw)
+        logits = jnp.where(keep, logits, NEG)
+        alpha = jnp.where(keep, jnp.exp(logits - m_ref[h]), 0.0) / l_ref[h]
+        if valid is not None:
+            alpha = alpha * valid
+        dalpha = jax.lax.dot_general(
+            g_ref[h], wx_ref[h], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = (dalpha - d_ref[h]) * alpha
+        dlog = jnp.where(raw >= 0, dp, _SLOPE * dp)
+        des_ref[h] += jnp.sum(dlog, axis=0, keepdims=True)
+        dwx_ref[h] += jax.lax.dot_general(
+            alpha.astype(g_ref.dtype), g_ref[h],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        store_dedp(h, jnp.sum(dlog, axis=1, keepdims=True))
+
+
+def _flash3_fwd_kernel(ed_ref, es_ref, adj_ref, wx_ref,
+                       out_ref, m_ref, l_ref, m_s, l_s):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        m_s[:] = jnp.full_like(m_s, NEG)
+        l_s[:] = jnp.zeros_like(l_s)
+
+    keep = adj_ref[:].astype(jnp.float32) > 0  # once per (i, j) step
+    _fa2_fwd_heads(keep, ed_ref, es_ref, wx_ref, out_ref, m_s, l_s)
 
     @pl.when(j == nj - 1)
     def _():
@@ -622,33 +656,19 @@ def _flash3_bwd_kernel(ed_ref, es_ref, adj_ref, wx_ref, g_ref, m_ref, l_ref,
     across i per j tile; the dlog row-sums stream out as per-(i, j) partials
     (dedp) that XLA reduces — replacing a whole separate dq kernel."""
     i = pl.program_id(1)
-    H = ed_ref.shape[0]
 
     @pl.when(i == 0)
     def _():
         des_ref[:] = jnp.zeros_like(des_ref)
         dwx_ref[:] = jnp.zeros_like(dwx_ref)
 
-    adj = adj_ref[:].astype(jnp.float32)
-    keep = adj > 0
-    for h in range(H):
-        raw = ed_ref[h] + es_ref[h]
-        logits = jnp.where(raw >= 0, raw, _SLOPE * raw)
-        logits = jnp.where(keep, logits, NEG)
-        alpha = jnp.where(keep, jnp.exp(logits - m_ref[h]), 0.0) / l_ref[h]
-        dalpha = jax.lax.dot_general(
-            g_ref[h], wx_ref[h], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = (dalpha - d_ref[h]) * alpha
-        dlog = jnp.where(raw >= 0, dp, _SLOPE * dp)
-        des_ref[h] += jnp.sum(dlog, axis=0, keepdims=True)
-        dwx_ref[h] += jax.lax.dot_general(
-            alpha.astype(g_ref.dtype), g_ref[h],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dedp_ref[0, h] = jnp.sum(dlog, axis=1, keepdims=True)
+    keep = adj_ref[:].astype(jnp.float32) > 0
+
+    def store_dedp(h, val):
+        dedp_ref[0, h] = val
+
+    _fa2_bwd_heads(keep, ed_ref, es_ref, wx_ref, g_ref, m_ref, l_ref, d_ref,
+                   des_ref, dwx_ref, store_dedp)
 
 
 @jax.custom_vjp
@@ -824,7 +844,6 @@ def _flash3b_fwd_kernel(ed_ref, es_ref, adj_ref, wx_ref,
     """flash3's forward body over a banded adjacency block (1, TI, TJ)."""
     j = pl.program_id(1)
     nj = pl.num_programs(1)
-    H = ed_ref.shape[0]
 
     @pl.when(j == 0)
     def _():
@@ -832,23 +851,8 @@ def _flash3b_fwd_kernel(ed_ref, es_ref, adj_ref, wx_ref,
         m_s[:] = jnp.full_like(m_s, NEG)
         l_s[:] = jnp.zeros_like(l_s)
 
-    adj = adj_ref[0].astype(jnp.float32)   # (TI, TJ), cast shared by heads
-    keep = adj > 0
-    for h in range(H):
-        raw = ed_ref[h] + es_ref[h]
-        logits = jnp.where(raw >= 0, raw, _SLOPE * raw)
-        logits = jnp.where(keep, logits, NEG)
-        m_prev = m_s[h]
-        m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
-        scale = jnp.exp(m_prev - m_cur)
-        p = jnp.where(keep, jnp.exp(logits - m_cur), 0.0)
-        l_s[h] = l_s[h] * scale + jnp.sum(p, axis=1, keepdims=True)
-        m_s[h] = m_cur
-        out_ref[h] = out_ref[h] * scale + jax.lax.dot_general(
-            p.astype(wx_ref.dtype), wx_ref[h],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    keep = adj_ref[0].astype(jnp.float32) > 0  # (TI, TJ), shared by heads
+    _fa2_fwd_heads(keep, ed_ref, es_ref, wx_ref, out_ref, m_s, l_s)
 
     @pl.when(j == nj - 1)
     def _():
@@ -869,7 +873,6 @@ def _flash3b_bwd_kernel(ed_ref, es_ref, adj_ref, wx_ref, g_ref, m_ref, l_ref,
     gidx = pl.program_id(0)
     k = pl.program_id(1)
     nw = pl.num_programs(1)
-    H = ed_ref.shape[0]
 
     @pl.when(k == 0)
     def _():
@@ -878,27 +881,13 @@ def _flash3b_bwd_kernel(ed_ref, es_ref, adj_ref, wx_ref, g_ref, m_ref, l_ref,
 
     i_raw = gidx - (nw - 1) + k
     vf = jnp.where((i_raw >= 0) & (i_raw < ni), 1.0, 0.0)
-    adj = adj_ref[0].astype(jnp.float32)   # (TI, TJB)
-    keep = adj > 0
-    for h in range(H):
-        raw = ed_ref[h] + es_ref[h]
-        logits = jnp.where(raw >= 0, raw, _SLOPE * raw)
-        logits = jnp.where(keep, logits, NEG)
-        alpha = jnp.where(keep, jnp.exp(logits - m_ref[h]), 0.0) / l_ref[h]
-        alpha = alpha * vf
-        dalpha = jax.lax.dot_general(
-            g_ref[h], wx_ref[h], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = (dalpha - d_ref[h]) * alpha
-        dlog = jnp.where(raw >= 0, dp, _SLOPE * dp)
-        des_ref[h] += jnp.sum(dlog, axis=0, keepdims=True)
-        dwx_ref[h] += jax.lax.dot_general(
-            alpha.astype(g_ref.dtype), g_ref[h],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dedp_ref[0, 0, h] = jnp.sum(dlog, axis=1, keepdims=True)
+    keep = adj_ref[0].astype(jnp.float32) > 0  # (TI, TJB)
+
+    def store_dedp(h, val):
+        dedp_ref[0, 0, h] = val
+
+    _fa2_bwd_heads(keep, ed_ref, es_ref, wx_ref, g_ref, m_ref, l_ref, d_ref,
+                   des_ref, dwx_ref, store_dedp, valid=vf)
 
 
 @jax.custom_vjp
@@ -1085,21 +1074,25 @@ def gat_attention_banded_flash(
 _FLASH3B_CACHE = {}
 
 
-def flash3b_gat_supported():
+def flash3b_gat_supported(TI=TILE3_I, Wb=3 * TILE3_I, F=512, H=4):
     """Probe whether the banded fused kernels compile AND run fwd+bwd on
-    this backend at a production-shaped band (TI=512, Wb=1536, both stream
-    widths). Mirrors `flash3_gat_supported`; probe executables land in the
-    persistent compile cache."""
+    this backend at THIS band shape (strip height TI, window Wb, both
+    stream widths). The auto strip-height choice admits TI ∈ {128, 256,
+    512} (data/pipeline.py) and per-step VMEM scales with TI·Wb·F, so each
+    distinct shape gets its own probe — a TI that fails at lowering must
+    degrade to the XLA banded path, not crash mid-training. Mirrors
+    `flash3_gat_supported`; probe executables land in the persistent
+    compile cache. Per-step VMEM is ni-independent, so ni is fixed small."""
     backend = jax.default_backend()
-    if backend in _FLASH3B_CACHE:
-        return _FLASH3B_CACHE[backend]
+    key = (backend, TI, Wb, F)
+    if key in _FLASH3B_CACHE:
+        return _FLASH3B_CACHE[key]
     if backend != "tpu":
-        _FLASH3B_CACHE[backend] = False
+        _FLASH3B_CACHE[key] = False
         return False
     try:
-        ni, TI, H, F = 4, TILE3_I, 4, 512
-        bpad = TI
-        Wb = TI + 2 * bpad
+        ni = 4
+        bpad = (Wb - TI) // 2
         P = ni * TI
         ed = jnp.zeros((H, P, 1), jnp.float32)
         esp = jnp.zeros((H, 1, P + 2 * bpad), jnp.float32)
@@ -1114,12 +1107,12 @@ def flash3b_gat_supported():
 
             grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(ed, esp, wxp)
             jax.block_until_ready(grads)
-        _FLASH3B_CACHE[backend] = True
+        _FLASH3B_CACHE[key] = True
     except Exception as e:  # pragma: no cover - backend dependent
-        print(f"banded fused flash GAT kernel unavailable on {backend}: "
-              f"{type(e).__name__}; using the XLA banded path")
-        _FLASH3B_CACHE[backend] = False
-    return _FLASH3B_CACHE[backend]
+        print(f"banded fused flash GAT kernel (TI={TI}, Wb={Wb}) unavailable "
+              f"on {backend}: {type(e).__name__}; using the XLA banded path")
+        _FLASH3B_CACHE[key] = False
+    return _FLASH3B_CACHE[key]
 
 
 def pad_adjacency(adj, multiple=None, F=512, H=4):
@@ -1167,39 +1160,52 @@ def flash_gat_supported():
 _FLASH1_CACHE = {}
 
 
-def flash1_gat_supported(F=512, H=4):
-    """Probe whether the fused dense kernel (`_flash_core`) compiles AND runs
-    on this backend — forward and backward at the gate's upper bound
-    (flash_dense_max_n). The windowed-gather probe (`flash_gat_supported`)
-    exercises a DIFFERENT kernel; a toolchain where the gather kernel lowers
-    but the fused dense one does not would otherwise crash mid-training
-    instead of falling back to the XLA dense path. Probe executables land in
-    the persistent compile cache, so warm restarts pay nothing."""
+def flash1_tile_supported(tile, F=512, H=4):
+    """Probe whether the fused dense kernel at THIS tile size compiles AND
+    runs fwd+bwd on this backend, at the tile's own gate bound
+    (flash_dense_max_n(..., tile=tile)). `gat_attention_dense_flash` picks
+    its tile per shape (flash_tile_for: 256 at closure sizes, 128
+    otherwise), so every tile the dispatcher can select needs its own probe
+    — a toolchain where the 128-tile core lowers but the 256-tile working
+    set fails at lowering would otherwise crash mid-training instead of
+    degrading to the 128 tile. Probe executables land in the persistent
+    compile cache, so warm restarts pay nothing."""
     backend = jax.default_backend()
-    key = (backend, F)
+    key = (backend, F, tile)
     if key in _FLASH1_CACHE:
         return _FLASH1_CACHE[key]
     if backend != "tpu":
         _FLASH1_CACHE[key] = False
         return False
     try:
-        n_pad = flash_dense_max_n(F, H)
+        n_pad = flash_dense_max_n(F, H, tile=tile)
+        if n_pad < tile:
+            _FLASH1_CACHE[key] = False
+            return False
         ed = jnp.zeros((H, n_pad, 1), jnp.float32)
         es = jnp.zeros((H, 1, n_pad), jnp.float32)
         adj = jnp.eye(n_pad, dtype=jnp.int8)
         wx = jnp.zeros((H, n_pad, F), jnp.float32)
+        core = _flash_core_for(tile)
 
         def loss(ed, es, wx):
-            return jnp.sum(_flash_core(ed, es, adj, wx))
+            return jnp.sum(core(ed, es, adj, wx))
 
         grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(ed, es, wx)
         jax.block_until_ready(grads)
         _FLASH1_CACHE[key] = True
     except Exception as e:  # pragma: no cover - backend dependent
-        print(f"fused flash GAT kernel unavailable on {backend}: "
-              f"{type(e).__name__}; using the XLA dense path")
+        print(f"fused flash GAT kernel (tile={tile}) unavailable on "
+              f"{backend}: {type(e).__name__}; falling back")
         _FLASH1_CACHE[key] = False
     return _FLASH1_CACHE[key]
+
+
+def flash1_gat_supported(F=512, H=4):
+    """Path-admission probe: the universal 128 tile must work (it is the
+    fallback tile every shape can run); larger tiles degrade per-shape
+    inside `gat_attention_dense_flash` via their own probes."""
+    return flash1_tile_supported(TILE, F, H)
 
 
 _FLASH2_CACHE = {}

@@ -241,12 +241,12 @@ class Trainer:
                     dev["Y_gat"] = s["Y_gat"][i]
                 self.tp_dev[tp] = dev
                 if self.gat_ext:
+                    from spadot_tpu.models.model import ext_keys_of
+
                     nb = data["tp_data"][tp]["batch_idx"].shape[0]
-                    ekeys = ["ext_idx", "ext_mask", "loc_nbr",
-                             "loc_mask", "batch_pos"]
-                    if "ext_adj" in s:
-                        ekeys.append("ext_adj")
-                    self.tp_ext[tp] = {k2: s[k2][i, :nb] for k2 in ekeys}
+                    self.tp_ext[tp] = {
+                        k2: s[k2][i, :nb] for k2 in ext_keys_of(s)
+                    }
         # staged tiny device constants: over the remote-TPU tunnel every
         # host->device transfer costs a round trip, so the per-epoch scalars
         # (beta1, use_kmeans, use_ot), the zero placeholders and the
@@ -322,10 +322,9 @@ class Trainer:
             valid = batch["valid"] if gated else None
             ext = None
             if "ext_idx" in batch:
-                ext = (batch["ext_idx"], batch["ext_mask"], batch["loc_nbr"],
-                       batch["loc_mask"], batch["batch_pos"])
-                if "ext_adj" in batch:
-                    ext = ext + (batch["ext_adj"],)
+                from spadot_tpu.models.model import ext_xs
+
+                ext = ext_xs(batch)
             rng, sub = jax.random.split(rng)
 
             def loss_fn(params):
@@ -738,6 +737,8 @@ class Trainer:
         }
         if "adj" in stacked:
             tp_data["adj"] = dyn(stacked["adj"])
+        if "Y_gat" in stacked:
+            tp_data["Y_gat"] = dyn(stacked["Y_gat"])
         svgp_state = {
             "Z": dyn(stacked["Z"]), "K_mm": dyn(stacked["K_mm"]),
             "L_mm": dyn(stacked["L_mm"]), "m_mask": dyn(stacked["m_mask"]),
@@ -779,11 +780,9 @@ class Trainer:
             if gated:
                 xs["valid"] = dyn(stacked["batch_valid"])
             if "ext_idx" in stacked:
-                ekeys = ["ext_idx", "ext_mask", "loc_nbr", "loc_mask",
-                         "batch_pos"]
-                if "ext_adj" in stacked:
-                    ekeys.append("ext_adj")
-                for k in ekeys:
+                from spadot_tpu.models.model import ext_keys_of
+
+                for k in ext_keys_of(stacked):
                     xs[k] = dyn(stacked[k])
             (variables, opt_state, rng), vecs = lax.scan(
                 step, (variables, opt_state, rng), xs
@@ -814,11 +813,9 @@ class Trainer:
                 # 100k-row gather path (identical latents — see
                 # full_latent_ext); sentinel batches only write rows past
                 # row_mask's support
-                ekeys = ["ext_idx", "ext_mask", "loc_nbr", "loc_mask",
-                         "batch_pos"]
-                if "ext_adj" in stacked:
-                    ekeys.append("ext_adj")
-                ext_tables = {k: dyn(stacked[k]) for k in ekeys}
+                from spadot_tpu.models.model import ext_keys_of
+
+                ext_tables = {k: dyn(stacked[k]) for k in ext_keys_of(stacked)}
                 lat = full_latent_ext(
                     self.net, variables, tp_data, svgp_state, ext_tables,
                     kernel_scale=self.kernel_scale,

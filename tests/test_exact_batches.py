@@ -237,7 +237,11 @@ def test_bf16_gather_staging_matches_f32():
         )
         losses[flag] = np.asarray(ls)
     assert np.isfinite(losses["true"]).all()
-    # bf16 pre-rounding of the GAT input rows only — losses stay close
+    # the staged copy must actually be CONSUMED by the fused epoch: bf16
+    # pre-rounding of the GAT input rows has to move the losses (guards the
+    # regression where _tp_slice dropped Y_gat and the flag was a no-op)
+    assert not np.array_equal(losses["true"], losses["false"])
+    # ... but only by bf16 operand-rounding — losses stay close
     np.testing.assert_allclose(
         losses["true"], losses["false"], rtol=2e-2, atol=2e-2
     )
