@@ -312,3 +312,36 @@ def test_exact_batches_off_falls_back_to_window():
     assert not t.gat_ext and "ext_idx" not in data["tp_data"][0]
     # windowed mode without exact tables cannot fuse
     assert not t.fused
+
+
+@pytest.mark.slow
+def test_mixed_ext_acceptance_falls_back_full_graph():
+    """If ANY timepoint's closure is rejected for size, the trainer falls
+    back to exact full-graph GAT for EVERY timepoint (gat_ext is
+    all-or-nothing) — and prepare_data must then restore the dense (n, n)
+    masks it skips in pure ext mode, or the fallback would silently run the
+    slow gather path (data/pipeline.py post-loop build)."""
+    from spadot_tpu.train.loop import Trainer
+
+    # k scales with n (graph.py:effective_k), so the bigger tp's 3-hop
+    # closure lands at P=512 vs the small tp's 256; dense_max=384 splits them
+    adata = make_synthetic_adata(n_per_tp=[150, 2500], n_genes=24, n_tp=2)
+    cfg = _cfg(
+        max_neighbors=30, gat_ext_banded="false", gat_window_dense_max=384,
+    )
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+    d0, d1 = data["tp_data"][0], data["tp_data"][1]
+    assert "ext_idx" in d0 and "ext_idx" not in d1  # mixed acceptance
+    assert "adj" in d0 and "adj" in d1  # masks restored for the fallback
+    t = Trainer(cfg, data)
+    assert not t.gat_ext and t.gat_window == 0  # exact full-graph mode
+    assert t.fused
+    v, o = t.init_state(jax.random.PRNGKey(0))
+    km = {"centers": {}, "assign": {}, "_stacked": t._km_stacked,
+          "_have": False}
+    _, _, _, losses = t.run_epoch_fused(
+        v, o, jax.random.PRNGKey(1), jax.random.PRNGKey(7), [0, 1],
+        km, 0, 0.5,
+    )
+    assert np.isfinite(np.asarray(losses)).all()
