@@ -37,7 +37,13 @@ timeout 3600 env BENCH_CFG='{"gat_ext_banded": "true", "gat_ext_band_ti": 128}' 
 timeout 3600 env BENCH_CFG='{"svgp_matmul_precision": "high"}' \
   python bench.py 2>&1 | tee /tmp/tpu_logs/bench_ch_svgp_high.log
 
-# 10. windowed-vs-exact training quality at 51200 spots/tp, 100 epochs
+# 10. flash3 tall-tile A/B: TI=1024 vs 512 at the 1024-aligned dense size
+# (8192 auto-switches under the env; 4608/7680 stay 512 — same log shows
+# both, so one run gives the comparison against step 1's defaults)
+timeout 1800 env SPADOT_FLASH3_TI=1024 python scripts/bench_banded.py 8192 \
+  2>&1 | tee /tmp/tpu_logs/flash3_ti1024.log
+
+# 11. windowed-vs-exact training quality at 51200 spots/tp, 100 epochs
 # (VERDICT r2 weak #4: no quality number at a scale where windowed mode
 # matters; exact closures are the default now, windowed is the opt-in
 # approximation — this quantifies what opting in costs at 51k)

@@ -671,12 +671,6 @@ def _flash3_bwd_kernel(ed_ref, es_ref, adj_ref, wx_ref, g_ref, m_ref, l_ref,
                    des_ref, dwx_ref, store_dedp)
 
 
-@jax.custom_vjp
-def _flash3_core(ed, es, adj, wx):
-    out, _ = _flash3_fwd(ed, es, adj, wx)
-    return out
-
-
 def _flash3_specs(H, F, kv_grid=False, ti=TILE3_I, tj=TILE3_J):
     """Block specs shared by the flash3 kernels. Index maps take (i, j) for
     the fwd/dq grids and (j, i) for the dkv grid (kv_grid=True)."""
@@ -707,75 +701,113 @@ def _flash3_specs(H, F, kv_grid=False, ti=TILE3_I, tj=TILE3_J):
     }
 
 
-def _flash3_fwd(ed, es, adj, wx):
-    H, n_pad, F = wx.shape
-    s = _flash3_specs(H, F)
-    grid = (n_pad // TILE3_I, n_pad // TILE3_J)
-    out, m, l = pl.pallas_call(
-        _flash3_fwd_kernel,
-        grid=grid,
-        in_specs=[s["ed"], s["es"], s["adj"], s["wx"]],
-        out_specs=[s["gi"], s["ri"], s["ri"]],
-        out_shape=[
-            jax.ShapeDtypeStruct((H, n_pad, F), jnp.float32),
-            jax.ShapeDtypeStruct((H, n_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((H, n_pad, 1), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((H, TILE3_I, 1), jnp.float32),
-            pltpu.VMEM((H, TILE3_I, 1), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=INTERPRET,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * H * n_pad * n_pad * F,
-            transcendentals=H * n_pad * n_pad,
-            bytes_accessed=n_pad * n_pad + 8 * H * n_pad * F,
-        ),
-    )(ed, es, adj, wx)
-    return out, (ed, es, adj, wx, m, l, out)
+_FLASH3_CORE_CACHE = {}
 
 
-def _flash3_bwd(res, g):
-    ed, es, adj, wx, m, l, out = res
-    H, n_pad, F = wx.shape
-    # D_i = rowsum(dO . O) — the FlashAttention-2 trick that removes the
-    # full-row softmax-backward reduction from the kernel
-    d = jnp.sum(g * out, axis=2, keepdims=True)  # (H, n_pad, 1)
-    g = g.astype(wx.dtype)  # stream the cotangents at the wx width
-    nj = n_pad // TILE3_J_BWD
-    skv = _flash3_specs(H, F, kv_grid=True, ti=TILE3_I_BWD, tj=TILE3_J_BWD)
-    in_specs_kv = [skv["ed"], skv["es"], skv["adj"], skv["wx"], skv["gi"],
-                   skv["ri"], skv["ri"], skv["ri"]]
-    # (nj, H, n_pad, 1) so the block's trailing dims satisfy Mosaic's
-    # (8, 128)-or-full tiling rule (the array's last dim IS 1)
-    dedp_spec = pl.BlockSpec(
-        (1, H, TILE3_I_BWD, 1), lambda j, i: (j, 0, i, 0),
-        memory_space=pltpu.VMEM,
-    )
-    des, dwx, dedp = pl.pallas_call(
-        _flash3_bwd_kernel,
-        grid=(nj, n_pad // TILE3_I_BWD),
-        in_specs=in_specs_kv,
-        out_specs=[skv["rj"], skv["wj"], dedp_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((H, 1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((H, n_pad, F), jnp.float32),
-            jax.ShapeDtypeStruct((nj, H, n_pad, 1), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=INTERPRET,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * H * n_pad * n_pad * F,
-            transcendentals=H * n_pad * n_pad,
-            bytes_accessed=n_pad * n_pad + 8 * H * n_pad * F,
-        ),
-    )(ed, es, adj, wx, g, m, l, d)
-    ded = jnp.sum(dedp, axis=0)  # (H, n_pad, 1)
-    return ded, des, None, dwx.astype(wx.dtype)
+def _flash3_core_for(ti):
+    """Tile-parametrized flash3 core (custom_vjp), cached per forward i-tile
+    height. TILE3_I=512 is the measured production default; ti=1024 (halving
+    the wx full-sweep count, the measured binding stream) is the queued
+    experiment for 1024-aligned shapes (SPADOT_FLASH3_TI=1024 +
+    scripts/tpu_session.sh A/B) — the backward tiles are independent of ti
+    (its binding stream is per-j, not per-i)."""
+    if ti in _FLASH3_CORE_CACHE:
+        return _FLASH3_CORE_CACHE[ti]
+
+    @jax.custom_vjp
+    def core(ed, es, adj, wx):
+        out, _ = fwd(ed, es, adj, wx)
+        return out
+
+    def fwd(ed, es, adj, wx):
+        H, n_pad, F = wx.shape
+        s = _flash3_specs(H, F, ti=ti)
+        grid = (n_pad // ti, n_pad // TILE3_J)
+        out, m, l = pl.pallas_call(
+            _flash3_fwd_kernel,
+            grid=grid,
+            in_specs=[s["ed"], s["es"], s["adj"], s["wx"]],
+            out_specs=[s["gi"], s["ri"], s["ri"]],
+            out_shape=[
+                jax.ShapeDtypeStruct((H, n_pad, F), jnp.float32),
+                jax.ShapeDtypeStruct((H, n_pad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((H, n_pad, 1), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((H, ti, 1), jnp.float32),
+                pltpu.VMEM((H, ti, 1), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            ),
+            interpret=INTERPRET,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * H * n_pad * n_pad * F,
+                transcendentals=H * n_pad * n_pad,
+                bytes_accessed=n_pad * n_pad + 8 * H * n_pad * F,
+            ),
+        )(ed, es, adj, wx)
+        return out, (ed, es, adj, wx, m, l, out)
+
+    def bwd(res, g):
+        ed, es, adj, wx, m, l, out = res
+        H, n_pad, F = wx.shape
+        # D_i = rowsum(dO . O) — the FlashAttention-2 trick that removes the
+        # full-row softmax-backward reduction from the kernel
+        d = jnp.sum(g * out, axis=2, keepdims=True)  # (H, n_pad, 1)
+        g = g.astype(wx.dtype)  # stream the cotangents at the wx width
+        nj = n_pad // TILE3_J_BWD
+        skv = _flash3_specs(H, F, kv_grid=True, ti=TILE3_I_BWD,
+                            tj=TILE3_J_BWD)
+        in_specs_kv = [skv["ed"], skv["es"], skv["adj"], skv["wx"],
+                       skv["gi"], skv["ri"], skv["ri"], skv["ri"]]
+        # (nj, H, n_pad, 1) so the block's trailing dims satisfy Mosaic's
+        # (8, 128)-or-full tiling rule (the array's last dim IS 1)
+        dedp_spec = pl.BlockSpec(
+            (1, H, TILE3_I_BWD, 1), lambda j, i: (j, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        des, dwx, dedp = pl.pallas_call(
+            _flash3_bwd_kernel,
+            grid=(nj, n_pad // TILE3_I_BWD),
+            in_specs=in_specs_kv,
+            out_specs=[skv["rj"], skv["wj"], dedp_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((H, 1, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((H, n_pad, F), jnp.float32),
+                jax.ShapeDtypeStruct((nj, H, n_pad, 1), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            ),
+            interpret=INTERPRET,
+            cost_estimate=pl.CostEstimate(
+                flops=4 * H * n_pad * n_pad * F,
+                transcendentals=H * n_pad * n_pad,
+                bytes_accessed=n_pad * n_pad + 8 * H * n_pad * F,
+            ),
+        )(ed, es, adj, wx, g, m, l, d)
+        ded = jnp.sum(dedp, axis=0)  # (H, n_pad, 1)
+        return ded, des, None, dwx.astype(wx.dtype)
+
+    core.defvjp(fwd, bwd)
+    _FLASH3_CORE_CACHE[ti] = core
+    return core
 
 
-_flash3_core.defvjp(_flash3_fwd, _flash3_bwd)
+# the production-default core keeps its historical name (probes use it)
+_flash3_core = _flash3_core_for(TILE3_I)
+
+
+def flash3_ti():
+    """Forward i-tile height for flash3: the measured 512 default, or the
+    experimental 1024 (env SPADOT_FLASH3_TI=1024; pending TPU measurement —
+    scripts/tpu_session.sh). 1024-misaligned shapes always use 512."""
+    import os
+
+    if os.environ.get("SPADOT_FLASH3_TI") == "1024":
+        return 1024
+    return TILE3_I
 
 _BF16_PRECISIONS = (None, "default", "bfloat16", "fastest")
 
@@ -804,7 +836,12 @@ def gat_attention_dense_flash3(
     wx_h = Wx.transpose(1, 0, 2).astype(wx_dt)
     ed = e_dst.T[:, :, None].astype(jnp.float32)
     es = e_src.T[:, None, :].astype(jnp.float32)
-    out = _flash3_core(ed, es, adj_pad, wx_h)
+    ti = flash3_ti()
+    if ti != TILE3_I and (
+        n_pad % ti != 0 or not (INTERPRET or flash3_ti_supported(ti))
+    ):
+        ti = TILE3_I  # misaligned/unprobed tall tile degrades, never crashes
+    out = _flash3_core_for(ti)(ed, es, adj_pad, wx_h)
     out = out.transpose(1, 0, 2)[:n]
     if concat:
         out = out.reshape(n, H * F)
@@ -1221,38 +1258,47 @@ FLASH3_MAX_N = 16384
 _FLASH3_CACHE = {}
 
 
-def flash3_gat_supported():
-    """Probe whether the head-fused tiled kernels (`_flash3_core`) compile
-    AND run fwd+bwd on this backend, at a multi-tile shape. Mirrors
-    `flash2_gat_supported`; probe executables land in the persistent compile
-    cache, so warm restarts pay nothing."""
+def flash3_ti_supported(ti):
+    """Probe whether the flash3 core at THIS forward tile height compiles
+    AND runs fwd+bwd on this backend, at a multi-tile shape and both stream
+    widths. Probe executables land in the persistent compile cache, so warm
+    restarts pay nothing."""
     backend = jax.default_backend()
-    if backend in _FLASH3_CACHE:
-        return _FLASH3_CACHE[backend]
+    key = (backend, ti)
+    if key in _FLASH3_CACHE:
+        return _FLASH3_CACHE[key]
     if backend != "tpu":
-        _FLASH3_CACHE[backend] = False
+        _FLASH3_CACHE[key] = False
         return False
     try:
-        n_pad, H, F = 2 * TILE3_I, 4, 512
+        n_pad, H, F = 2 * ti, 4, 512
         ed = jnp.zeros((H, n_pad, 1), jnp.float32)
         es = jnp.zeros((H, 1, n_pad), jnp.float32)
         adj = jnp.eye(n_pad, dtype=jnp.int8)
+        core = _flash3_core_for(ti)
         # probe BOTH stream widths (bf16 is the production default;
         # f32 is the parity mode and has the larger VMEM footprint)
         for dt in (jnp.bfloat16, jnp.float32):
             wx = jnp.zeros((H, n_pad, F), dt)
 
             def loss(ed, es, wx):
-                return jnp.sum(_flash3_core(ed, es, adj, wx))
+                return jnp.sum(core(ed, es, adj, wx))
 
             grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(ed, es, wx)
             jax.block_until_ready(grads)
-        _FLASH3_CACHE[backend] = True
+        _FLASH3_CACHE[key] = True
     except Exception as e:  # pragma: no cover - backend dependent
-        print(f"head-fused tiled flash GAT kernel unavailable on {backend}: "
-              f"{type(e).__name__}; using the tiled/XLA dense paths")
-        _FLASH3_CACHE[backend] = False
-    return _FLASH3_CACHE[backend]
+        print(f"head-fused tiled flash GAT kernel (ti={ti}) unavailable on "
+              f"{backend}: {type(e).__name__}; falling back")
+        _FLASH3_CACHE[key] = False
+    return _FLASH3_CACHE[key]
+
+
+def flash3_gat_supported():
+    """Path-admission probe (mirrors `flash2_gat_supported`): the default
+    TILE3_I core must work; taller experimental tiles degrade per-shape
+    inside `gat_attention_dense_flash3` via their own probes."""
+    return flash3_ti_supported(TILE3_I)
 
 
 def flash2_gat_supported():

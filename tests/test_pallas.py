@@ -381,3 +381,56 @@ def test_multihead_aggregation_and_gradients(rng):
     np.testing.assert_allclose(
         np.asarray(gp[1]), np.asarray(gr[1] * mask[:, :, None]), atol=2e-4
     )
+
+
+def test_flash3_ti1024_matches_xla(rng, monkeypatch):
+    """The experimental tall-tile flash3 core (SPADOT_FLASH3_TI=1024,
+    interpret mode) must match the XLA dense path like the default core —
+    same wrapper, taller forward i tiles (fewer wx sweeps)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spadot_tpu.data.graph import build_knn_graph
+    from spadot_tpu.ops import gat_flash
+    from spadot_tpu.ops.gat import dense_adjacency, gat_attention_dense
+
+    monkeypatch.setenv("SPADOT_FLASH3_TI", "1024")
+    n, F_in, H, F = 700, 10, 4, 128  # n_pad = 1024 = ONE tall i tile
+    xy = rng.uniform(0, 10, size=(n, 2))
+    nbr, msk = build_knn_graph(xy, 6)
+    adj_pad = jnp.asarray(
+        gat_flash.pad_adjacency(dense_adjacency(nbr, msk), multiple=1024)
+    )
+    assert adj_pad.shape[0] == 1024 and gat_flash.flash3_ti() == 1024
+    h = jnp.asarray(rng.normal(size=(n, F_in)), jnp.float32)
+    W = jnp.asarray(rng.normal(size=(F_in, H * F)) * 0.2, jnp.float32)
+    a_s = jnp.asarray(rng.normal(size=(H, F)) * 0.2, jnp.float32)
+    a_d = jnp.asarray(rng.normal(size=(H, F)) * 0.2, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(H * F,)), jnp.float32)
+
+    gat_flash.INTERPRET = True
+    try:
+        def loss_x(h, W, a_s, a_d):
+            out = gat_attention_dense(h, adj_pad, W, a_s, a_d, bias)
+            return jnp.sum(out**2), out
+
+        def loss_f(h, W, a_s, a_d):
+            out = gat_flash.gat_attention_dense_flash3(
+                h, adj_pad, W, a_s, a_d, bias
+            )
+            return jnp.sum(out**2), out
+
+        with jax.default_matmul_precision("highest"):
+            (_, o_ref), g_ref = jax.value_and_grad(
+                loss_x, argnums=(0, 1, 2, 3), has_aux=True)(h, W, a_s, a_d)
+            (_, o_fl), g_fl = jax.value_and_grad(
+                loss_f, argnums=(0, 1, 2, 3), has_aux=True)(h, W, a_s, a_d)
+        np.testing.assert_allclose(
+            np.asarray(o_fl), np.asarray(o_ref), rtol=2e-4, atol=2e-4
+        )
+        for a, b in zip(g_fl, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
+            )
+    finally:
+        gat_flash.INTERPRET = False
