@@ -2,26 +2,30 @@
 # Queued TPU measurements for the next tunnel window (run from repo root).
 # Each step is independently time-bounded; logs land in /tmp/tpu_logs.
 # Probe first: timeout 120 python -c "import jax; jax.devices()"
+# ORDER: headline benches first — if the window closes early, the numbers
+# that matter most (BENCH_r03-shaped) are already on disk.
 set -x
 mkdir -p /tmp/tpu_logs
 cd "$(dirname "$0")/.."
 
-# 1. banded closure attention: flash3b vs XLA banded vs flash3 dense
-timeout 1800 python scripts/bench_banded.py 2>&1 | tee /tmp/tpu_logs/banded.log
-
-# 2. atlas step decomposition (SVGP gemm restructure, precision candidates)
-timeout 1800 python scripts/bench_atlas_step.py 2>&1 | tee /tmp/tpu_logs/atlas_step.log
-
-# 3. batch-row staging strategies (Y_ext gather)
-timeout 900 python scripts/bench_gather.py 2>&1 | tee /tmp/tpu_logs/gather.log
-
-# 4. atlas epoch bench (banded default + static adjacencies + svgp restructure)
-timeout 3600 env BENCH_MODE=atlas python bench.py 2>&1 | tee /tmp/tpu_logs/bench_atlas.log
-
-# 5. ChickenHeart headline bench (r03 default config, incl. bf16 gather auto)
+# 1. ChickenHeart headline bench (r03 default config, incl. bf16 gather auto)
 timeout 3600 python bench.py 2>&1 | tee /tmp/tpu_logs/bench_ch.log
 
-# 6. atlas A/B: bf16 gather staging off (vs step 4's auto-on)
+# 2. atlas epoch bench (banded default + static adjacencies + svgp restructure)
+timeout 3600 env BENCH_MODE=atlas python bench.py 2>&1 | tee /tmp/tpu_logs/bench_atlas.log
+
+# 3. banded closure attention: flash3b vs XLA banded vs flash3 dense
+# (3 sizes x 2 precisions x 3 paths ~ 18 cold fwd+bwd compiles over the
+# tunnel at ~2-3 min each; the tee'd log keeps partials if time runs out)
+timeout 5400 python scripts/bench_banded.py 2>&1 | tee /tmp/tpu_logs/banded.log
+
+# 4. atlas step decomposition (SVGP gemm restructure, precision candidates)
+timeout 3600 python scripts/bench_atlas_step.py 2>&1 | tee /tmp/tpu_logs/atlas_step.log
+
+# 5. batch-row staging strategies (Y_ext gather)
+timeout 900 python scripts/bench_gather.py 2>&1 | tee /tmp/tpu_logs/gather.log
+
+# 6. atlas A/B: bf16 gather staging off (vs step 2's auto-on)
 timeout 3600 env BENCH_MODE=atlas BENCH_CFG='{"gat_bf16_gather": "false"}' \
   python bench.py 2>&1 | tee /tmp/tpu_logs/bench_atlas_nobf16.log
 
@@ -38,8 +42,7 @@ timeout 3600 env BENCH_CFG='{"svgp_matmul_precision": "high"}' \
   python bench.py 2>&1 | tee /tmp/tpu_logs/bench_ch_svgp_high.log
 
 # 10. flash3 tall-tile A/B: TI=1024 vs 512 at the 1024-aligned dense size
-# (8192 auto-switches under the env; 4608/7680 stay 512 — same log shows
-# both, so one run gives the comparison against step 1's defaults)
+# (8192 auto-switches under the env; step 3's 8192 row is the 512 baseline)
 timeout 1800 env SPADOT_FLASH3_TI=1024 python scripts/bench_banded.py 8192 \
   2>&1 | tee /tmp/tpu_logs/flash3_ti1024.log
 
