@@ -53,6 +53,13 @@ def main():
         n_per_tp = int(os.environ.get("BENCH_SPOTS", 102400))
         n_genes = int(os.environ.get("BENCH_GENES", 2954))
         measure_epochs = int(os.environ.get("BENCH_EPOCHS", 2))
+    elif mode == "mouse":
+        # the reference's second dataset scale (SURVEY §6: MouseOrganogenesis,
+        # 9,281 SVGs kept, 3 timepoints — examples/golden_run_mouse.py)
+        n_tp = int(os.environ.get("BENCH_TPS", 3))
+        n_per_tp = int(os.environ.get("BENCH_SPOTS", 3400))
+        n_genes = int(os.environ.get("BENCH_GENES", 9281))
+        measure_epochs = int(os.environ.get("BENCH_EPOCHS", 3))
     else:
         n_tp = int(os.environ.get("BENCH_TPS", 4))
         n_per_tp = int(os.environ.get("BENCH_SPOTS", 2500))
@@ -220,10 +227,10 @@ def main():
     # conservative in our favor at atlas scale)
     baseline_equiv = BASELINE_SEC_PER_EPOCH * (n_tp * n_per_tp) / 10_000.0
     print(json.dumps({
-        "metric": (
-            "chickenheart_scale_epoch_time" if mode != "atlas"
-            else "atlas_100k_epoch_time"
-        ),
+        "metric": {
+            "atlas": "atlas_100k_epoch_time",
+            "mouse": "mouse_scale_epoch_time",
+        }.get(mode, "chickenheart_scale_epoch_time"),
         "value": round(sec_per_epoch, 4),
         "unit": "s/epoch",
         "vs_baseline": round(baseline_equiv / sec_per_epoch, 2),

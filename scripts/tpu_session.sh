@@ -14,6 +14,9 @@ timeout 3600 python bench.py 2>&1 | tee /tmp/tpu_logs/bench_ch.log
 # 2. atlas epoch bench (banded default + static adjacencies + svgp restructure)
 timeout 3600 env BENCH_MODE=atlas python bench.py 2>&1 | tee /tmp/tpu_logs/bench_atlas.log
 
+# 2b. MouseOrganogenesis-scale bench (9,281 genes, 3 tps — SURVEY §6)
+timeout 3600 env BENCH_MODE=mouse python bench.py 2>&1 | tee /tmp/tpu_logs/bench_mouse.log
+
 # 3. banded closure attention: flash3b vs XLA banded vs flash3 dense
 # (3 sizes x 2 precisions x 3 paths ~ 18 cold fwd+bwd compiles over the
 # tunnel at ~2-3 min each; the tee'd log keeps partials if time runs out)
