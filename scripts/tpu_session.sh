@@ -32,6 +32,11 @@ timeout 900 python scripts/bench_gather.py 2>&1 | tee /tmp/tpu_logs/gather.log
 timeout 3600 env BENCH_MODE=atlas BENCH_CFG='{"gat_bf16_gather": "false"}' \
   python bench.py 2>&1 | tee /tmp/tpu_logs/bench_atlas_nobf16.log
 
+# 6b. atlas A/B: host-pre-gathered closure rows streamed as scan xs
+# (replaces the 6.6 ms/step latency-bound device gather; bit-identical)
+timeout 3600 env BENCH_MODE=atlas BENCH_CFG='{"gat_ext_pregather": "true"}' \
+  python bench.py 2>&1 | tee /tmp/tpu_logs/bench_atlas_pregather.log
+
 # 7. atlas A/B: banded closures off (square static masks + flash3)
 timeout 3600 env BENCH_MODE=atlas BENCH_CFG='{"gat_ext_banded": "false"}' \
   python bench.py 2>&1 | tee /tmp/tpu_logs/bench_atlas_nobanded.log

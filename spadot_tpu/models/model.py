@@ -179,7 +179,8 @@ def ext_xs(tables, index=None):
     return tuple(index(tables[k]) for k in keys)
 
 
-def _gat_ext_forward(net, vars_nostats, Y, ext, gat_window_dense_max):
+def _gat_ext_forward(net, vars_nostats, Y, ext, gat_window_dense_max,
+                     y_ext=None):
     """GAT over one batch's receptive closure, batch-row outputs extracted.
 
     ext is a receptive-table slice in EXT_KEYS order (ext_idx (P,),
@@ -196,8 +197,11 @@ def _gat_ext_forward(net, vars_nostats, Y, ext, gat_window_dense_max):
     # source; bf16 halves it). Upcast right after the gather: under the
     # production 1-pass bf16 matmul precision the first GAT matmul rounds
     # its operands to bf16 anyway, so results are bit-identical, and the
-    # rest of the branch keeps float32 dtype flow.
-    Y_ext = Y[ext_idx]
+    # rest of the branch keeps float32 dtype flow. y_ext, when given, is
+    # this step's HOST-pre-gathered (P, G) row block (train/loop.py
+    # gat_ext_pregather — same values, streamed as scan xs instead of a
+    # latency-bound device gather).
+    Y_ext = Y[ext_idx] if y_ext is None else y_ext
     if Y_ext.dtype == jnp.bfloat16:
         Y_ext = Y_ext.astype(jnp.float32)
     if adj_ext is None and P <= int(gat_window_dense_max):
@@ -226,6 +230,7 @@ def forward_batch(
     gat_window: int = 0,
     gat_window_dense_max: int = 10000,
     ext=None,
+    y_ext=None,
 ):
     """One batch forward pass -> losses + latent (SpaDOT.py:52-94).
 
@@ -303,7 +308,7 @@ def forward_batch(
             # --- exact receptive-field minibatch GAT ---
             gat_mu, gat_var = _gat_ext_forward(
                 net, vars_nostats, tp_data.get("Y_gat", Y), ext,
-                gat_window_dense_max,
+                gat_window_dense_max, y_ext=y_ext,
             )
         elif gat_window:
             # --- windowed minibatch GAT: message passing restricted to the
@@ -478,14 +483,22 @@ def full_latent_ext(
         vars_nostats = {"params": variables["params"]}
 
         Y_gat = tp_data.get("Y_gat", Y)
+        # optional host-pre-gathered (nb, P, G) closure rows (train/loop.py
+        # gat_ext_pregather) appended LAST — same values as the per-closure
+        # gather they replace
+        ye = ext_tables.get("Y_ext")
 
         def body(carry, xs):
+            ext_s, y_b = (xs[:-1], xs[-1]) if ye is not None else (xs, None)
             mu_b, _ = _gat_ext_forward(
-                net, vars_nostats, Y_gat, xs, gat_window_dense_max
+                net, vars_nostats, Y_gat, ext_s, gat_window_dense_max,
+                y_ext=y_b,
             )
             return carry, mu_b
 
         xs = ext_xs(ext_tables)
+        if ye is not None:
+            xs = xs + (ye,)
         _, mus = jax.lax.scan(body, None, xs)   # (nb, b, L)
         gat_mu = mus.reshape(-1, mus.shape[-1])  # contiguous batches
         if gat_mu.shape[0] < n:   # row-padded stacks (mesh mode)

@@ -321,10 +321,12 @@ class Trainer:
             idx, msk = batch["idx"], batch["msk"]
             valid = batch["valid"] if gated else None
             ext = None
+            y_ext = None
             if "ext_idx" in batch:
                 from spadot_tpu.models.model import ext_xs
 
                 ext = ext_xs(batch)
+                y_ext = batch.get("Y_ext")
             rng, sub = jax.random.split(rng)
 
             def loss_fn(params):
@@ -334,7 +336,7 @@ class Trainer:
                     kernel_scale=self.kernel_scale, kernel_type=self.kernel_type,
                     train=True, gat_window=self.gat_window,
                     gat_window_dense_max=self.gat_window_dense_max,
-                    ext=ext,
+                    ext=ext, y_ext=y_ext,
                 )
                 km = use_kmeans * kmeans_loss(
                     latent, idx, msk, km_assign, km_centers, self.latent_dim
@@ -695,6 +697,31 @@ class Trainer:
                     "mix or unequal strip heights); the fused epoch uses the "
                     "per-step adjacency build instead of a static stack"
                 )
+            # pre-gathered closure rows (gat_ext_pregather): the per-step
+            # Y[ext_idx] gather measured LATENCY-bound, not bandwidth-bound
+            # (6.6 ms for 91 MB at atlas = 14 GB/s on an ~800 GB/s part —
+            # per-row descriptor latency). Gathering once on the HOST and
+            # streaming the (nb, P, G) stack as scan xs turns it into a
+            # contiguous block read XLA prefetches during the previous step.
+            # Cost: T*nb*P*G bytes of HBM (~2.3 GB bf16 at atlas) + a one-
+            # time upload — default OFF until the queued A/B measures it
+            # (scripts/tpu_session.sh). Sentinel batches gather row 0, same
+            # as the device gather they replace — bit-identical results.
+            pg_cfg = str(
+                self.config.get("gat_ext_pregather", "false")
+            ).lower()
+            pg_itemsize = 2 if self.gat_bf16_gather else Y.itemsize
+            pg_bytes = T * nb_max * P_max * G * pg_itemsize
+            if pg_cfg in ("true", "1") or (
+                pg_cfg == "auto"
+                and self.jax.default_backend() == "tpu"
+                and self.mesh is None
+                and pg_bytes <= 4 * 2**30
+            ):
+                YE = Y[np.arange(T)[:, None, None], EI]  # (T, nb, P, G)
+                stacked["Y_ext"] = jnp.asarray(
+                    YE, jnp.bfloat16 if self.gat_bf16_gather else None
+                )
         if self.mesh is not None:
             # place the stack: spot-major arrays sharded on axis 1 over the
             # 'data' mesh axis, everything else (inducing state, batch
@@ -784,6 +811,8 @@ class Trainer:
 
                 for k in ext_keys_of(stacked):
                     xs[k] = dyn(stacked[k])
+                if "Y_ext" in stacked:
+                    xs["Y_ext"] = dyn(stacked["Y_ext"])
             (variables, opt_state, rng), vecs = lax.scan(
                 step, (variables, opt_state, rng), xs
             )
@@ -816,6 +845,8 @@ class Trainer:
                 from spadot_tpu.models.model import ext_keys_of
 
                 ext_tables = {k: dyn(stacked[k]) for k in ext_keys_of(stacked)}
+                if "Y_ext" in stacked:
+                    ext_tables["Y_ext"] = dyn(stacked["Y_ext"])
                 lat = full_latent_ext(
                     self.net, variables, tp_data, svgp_state, ext_tables,
                     kernel_scale=self.kernel_scale,

@@ -345,3 +345,24 @@ def test_mixed_ext_acceptance_falls_back_full_graph():
         km, 0, 0.5,
     )
     assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_pregathered_closure_rows_match_device_gather():
+    """gat_ext_pregather streams host-pre-gathered (P, G) closure rows as
+    fused-scan inputs in place of the per-step device gather Y[ext_idx] —
+    same values, so the fused-epoch losses must be BIT-identical (CPU f32;
+    sentinel batches gather row 0 in both paths)."""
+    losses = {}
+    for flag in ("false", "true"):
+        t, _ = _setup(gat_ext_pregather=flag)
+        assert ("Y_ext" in t._stacked) == (flag == "true")
+        v, o = t.init_state(jax.random.PRNGKey(0))
+        km = {"centers": {}, "assign": {}, "_stacked": t._km_stacked,
+              "_have": False}
+        _, _, _, ls = t.run_epoch_fused(
+            v, o, jax.random.PRNGKey(1), jax.random.PRNGKey(7), [0, 1],
+            km, 0, 0.5,
+        )
+        losses[flag] = np.asarray(ls)
+    assert np.isfinite(losses["true"]).all()
+    np.testing.assert_array_equal(losses["true"], losses["false"])
