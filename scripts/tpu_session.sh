@@ -37,6 +37,11 @@ timeout 3600 env BENCH_MODE=atlas BENCH_CFG='{"gat_bf16_gather": "false"}' \
 timeout 3600 env BENCH_MODE=atlas BENCH_CFG='{"gat_ext_pregather": "true"}' \
   python bench.py 2>&1 | tee /tmp/tpu_logs/bench_atlas_pregather.log
 
+# 6c. atlas A/B: pregather + streamed batch rows (the full staging package)
+timeout 3600 env BENCH_MODE=atlas \
+  BENCH_CFG='{"gat_ext_pregather": "true", "batch_rows_stream": "true"}' \
+  python bench.py 2>&1 | tee /tmp/tpu_logs/bench_atlas_stream.log
+
 # 7. atlas A/B: banded closures off (square static masks + flash3)
 timeout 3600 env BENCH_MODE=atlas BENCH_CFG='{"gat_ext_banded": "false"}' \
   python bench.py 2>&1 | tee /tmp/tpu_logs/bench_atlas_nobanded.log

@@ -231,6 +231,7 @@ def forward_batch(
     gat_window_dense_max: int = 10000,
     ext=None,
     y_ext=None,
+    y_b=None,
 ):
     """One batch forward pass -> losses + latent (SpaDOT.py:52-94).
 
@@ -268,7 +269,11 @@ def forward_batch(
     svgp_L = net.z_dim // 2
     gat_L = net.z_dim // 2
 
-    y_b = Y[batch_idx] * batch_mask[:, None]
+    # y_b may be streamed in as a contiguous scan-xs block (train/loop.py
+    # batch_rows_stream: batches are contiguous row blocks, so the (B, G)
+    # slice holds the same rows the gather would fetch; tail/sentinel slots
+    # differ in value but are zeroed by the mask in BOTH paths)
+    y_b = (Y[batch_idx] if y_b is None else y_b) * batch_mask[:, None]
     x_b = coords[batch_idx]
     b_eff = jnp.maximum(jnp.sum(batch_mask), 1.0)
 

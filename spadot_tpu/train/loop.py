@@ -336,7 +336,7 @@ class Trainer:
                     kernel_scale=self.kernel_scale, kernel_type=self.kernel_type,
                     train=True, gat_window=self.gat_window,
                     gat_window_dense_max=self.gat_window_dense_max,
-                    ext=ext, y_ext=y_ext,
+                    ext=ext, y_ext=y_ext, y_b=batch.get("y_b"),
                 )
                 km = use_kmeans * kmeans_loss(
                     latent, idx, msk, km_assign, km_centers, self.latent_dim
@@ -548,6 +548,24 @@ class Trainer:
             # rows are ordinary padding (self-loop sentinel, row_mask 0)
             n_dev = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
             n_max = -(-n_max // n_dev) * n_dev
+        # batch-row streaming (batch_rows_stream): batches are contiguous row
+        # blocks, so padding the spot axis to exactly nb_max*B lets the fused
+        # scan stream each step's y_b as a (B, G) slice of a free reshape
+        # view of the stacked Y — replacing the per-step (B, G) row gather
+        # (same latency-bound class as the Y_ext gather). Values at
+        # tail/sentinel slots differ from the clamped gather's but both
+        # paths mask them to exactly zero (models/model.py) — bit-identical
+        # losses (tests/test_exact_batches.py). Off under a mesh (the spot
+        # axis must divide n_dev instead).
+        st_cfg = str(self.config.get("batch_rows_stream", "false")).lower()
+        B0 = td[tps[0]]["batch_idx"].shape[1]
+        nb_max0 = max(td[tp]["batch_idx"].shape[0] for tp in tps)
+        self._stream_y = self.mesh is None and (
+            st_cfg in ("true", "1")
+            or (st_cfg == "auto" and self.jax.default_backend() == "tpu")
+        )
+        if self._stream_y:
+            n_max = nb_max0 * B0  # >= max rows by construction
         G = td[tps[0]]["Y"].shape[1]
         Cc = td[tps[0]]["coords"].shape[1]
         K_max = max(td[tp]["nbr"].shape[1] for tp in tps)
@@ -813,6 +831,10 @@ class Trainer:
                     xs[k] = dyn(stacked[k])
                 if "Y_ext" in stacked:
                     xs["Y_ext"] = dyn(stacked["Y_ext"])
+            if getattr(self, "_stream_y", False):
+                nb, B = xs["idx"].shape
+                y_tp = dyn(stacked["Y"])        # (nb*B, G) by construction
+                xs["y_b"] = y_tp.reshape(nb, B, y_tp.shape[1])
             (variables, opt_state, rng), vecs = lax.scan(
                 step, (variables, opt_state, rng), xs
             )

@@ -366,3 +366,28 @@ def test_pregathered_closure_rows_match_device_gather():
         losses[flag] = np.asarray(ls)
     assert np.isfinite(losses["true"]).all()
     np.testing.assert_array_equal(losses["true"], losses["false"])
+
+
+def test_streamed_batch_rows_match_gather():
+    """batch_rows_stream pads the stacked spot axis to nb*B and streams each
+    step's y_b as a contiguous scan-xs block instead of Y[batch_idx] —
+    tail/sentinel slots are exactly masked in both paths, so fused-epoch
+    losses must be BIT-identical (n_per_tp=150, B=32 -> a masked tail batch
+    AND row padding are both exercised)."""
+    losses = {}
+    for flag in ("false", "true"):
+        t, _ = _setup(batch_rows_stream=flag)
+        assert t._stream_y == (flag == "true")
+        if flag == "true":
+            nb, B = t.tp_batches[0][0].shape
+            assert t._stacked["Y"].shape[1] % B == 0
+        v, o = t.init_state(jax.random.PRNGKey(0))
+        km = {"centers": {}, "assign": {}, "_stacked": t._km_stacked,
+              "_have": False}
+        _, _, _, ls = t.run_epoch_fused(
+            v, o, jax.random.PRNGKey(1), jax.random.PRNGKey(7), [0, 1],
+            km, 0, 0.5,
+        )
+        losses[flag] = np.asarray(ls)
+    assert np.isfinite(losses["true"]).all()
+    np.testing.assert_array_equal(losses["true"], losses["false"])
