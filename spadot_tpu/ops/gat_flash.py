@@ -795,10 +795,6 @@ def _flash3_core_for(ti):
     return core
 
 
-# the production-default core keeps its historical name (probes use it)
-_flash3_core = _flash3_core_for(TILE3_I)
-
-
 def flash3_ti():
     """Forward i-tile height for flash3: the measured 512 default, or the
     experimental 1024 (env SPADOT_FLASH3_TI=1024; pending TPU measurement —

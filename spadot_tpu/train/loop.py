@@ -560,12 +560,51 @@ class Trainer:
         st_cfg = str(self.config.get("batch_rows_stream", "false")).lower()
         B0 = td[tps[0]]["batch_idx"].shape[1]
         nb_max0 = max(td[tp]["batch_idx"].shape[0] for tp in tps)
-        self._stream_y = self.mesh is None and (
-            st_cfg in ("true", "1")
-            or (st_cfg == "auto" and self.jax.default_backend() == "tpu")
+        st_want = st_cfg in ("true", "1") or (
+            st_cfg == "auto" and self.jax.default_backend() == "tpu"
         )
+        self._stream_y = st_want and self.mesh is None
+        if st_want and self.mesh is not None:
+            logger.info(
+                "batch_rows_stream is OFF under a mesh (the spot axis must "
+                "divide the device count, not nb*B) — the per-step y_b "
+                "gather runs instead"
+            )
         if self._stream_y:
             n_max = nb_max0 * B0  # >= max rows by construction
+        # pregathered closure rows (gat_ext_pregather) — decided EARLY so the
+        # bf16 Y_gat staging below can be skipped when nothing will read it
+        # (with Y_ext present, training steps and the fused refresh never
+        # gather from Y_gat; only the final latent extraction would, and it
+        # simply falls back to the f32 rows). 'true' forces it wherever
+        # feasible; under a mesh it is off either way (the (T, nb, P, G)
+        # stack is not spot-sharded and would be replicated per device).
+        pg_cfg = str(self.config.get("gat_ext_pregather", "false")).lower()
+        pg_want = self.gat_ext and (
+            pg_cfg in ("true", "1")
+            or (pg_cfg == "auto" and self.jax.default_backend() == "tpu")
+        )
+        self._pregather_y = pg_want and self.mesh is None
+        if pg_want and self.mesh is not None:
+            logger.info(
+                "gat_ext_pregather is OFF under a mesh (the (T, nb, P, G) "
+                "stack would be replicated on every device) — the per-step "
+                "closure gather runs instead"
+            )
+        if self._pregather_y:
+            G0 = td[tps[0]]["Y"].shape[1]
+            P_max0 = max(td[tp]["ext_idx"].shape[1] for tp in tps)
+            pg_bytes = (
+                T * nb_max0 * P_max0 * G0
+                * (2 if self.gat_bf16_gather else 4)
+            )
+            if pg_cfg == "auto" and pg_bytes > 4 * 2**30:
+                self._pregather_y = False
+            elif pg_bytes > 2**30:
+                logger.info(
+                    "gat_ext_pregather stages %.1f GiB of closure rows in "
+                    "HBM", pg_bytes / 2**30,
+                )
         G = td[tps[0]]["Y"].shape[1]
         Cc = td[tps[0]]["coords"].shape[1]
         K_max = max(td[tp]["nbr"].shape[1] for tp in tps)
@@ -636,7 +675,10 @@ class Trainer:
         }
         if have_adj:
             stacked["adj"] = jnp.asarray(A)
-        if self.gat_bf16_gather:
+        if self.gat_bf16_gather and not self._pregather_y:
+            # with pregathered closure rows no step reads Y_gat — staging it
+            # would hold a dead (T, n_max, G) bf16 copy in HBM (the final
+            # latent extraction falls back to the f32 rows, strictly better)
             stacked["Y_gat"] = jnp.asarray(Y, jnp.bfloat16)
         if self.gat_ext:
             # stack the receptive-closure tables: pad nb -> nb_max with
@@ -715,31 +757,27 @@ class Trainer:
                     "mix or unequal strip heights); the fused epoch uses the "
                     "per-step adjacency build instead of a static stack"
                 )
-            # pre-gathered closure rows (gat_ext_pregather): the per-step
-            # Y[ext_idx] gather measured LATENCY-bound, not bandwidth-bound
-            # (6.6 ms for 91 MB at atlas = 14 GB/s on an ~800 GB/s part —
-            # per-row descriptor latency). Gathering once on the HOST and
-            # streaming the (nb, P, G) stack as scan xs turns it into a
-            # contiguous block read XLA prefetches during the previous step.
-            # Cost: T*nb*P*G bytes of HBM (~2.3 GB bf16 at atlas) + a one-
-            # time upload — default OFF until the queued A/B measures it
-            # (scripts/tpu_session.sh). Sentinel batches gather row 0, same
-            # as the device gather they replace — bit-identical results.
-            pg_cfg = str(
-                self.config.get("gat_ext_pregather", "false")
-            ).lower()
-            pg_itemsize = 2 if self.gat_bf16_gather else Y.itemsize
-            pg_bytes = T * nb_max * P_max * G * pg_itemsize
-            if pg_cfg in ("true", "1") or (
-                pg_cfg == "auto"
-                and self.jax.default_backend() == "tpu"
-                and self.mesh is None
-                and pg_bytes <= 4 * 2**30
-            ):
-                YE = Y[np.arange(T)[:, None, None], EI]  # (T, nb, P, G)
-                stacked["Y_ext"] = jnp.asarray(
-                    YE, jnp.bfloat16 if self.gat_bf16_gather else None
-                )
+            # pre-gathered closure rows (gat_ext_pregather, decided above):
+            # the per-step Y[ext_idx] gather measured LATENCY-bound, not
+            # bandwidth-bound (6.6 ms for 91 MB at atlas = 14 GB/s on an
+            # ~800 GB/s part — per-row descriptor latency). Gathering once
+            # on the HOST and streaming the (nb, P, G) stack as scan xs
+            # turns it into a contiguous block read XLA prefetches during
+            # the previous step. Sentinel batches gather row 0, same as the
+            # device gather they replace — bit-identical results. Built and
+            # cast per timepoint so the float32 transient is bounded to
+            # nb*P*G, not T times that.
+            if self._pregather_y:
+                if self.gat_bf16_gather:
+                    import ml_dtypes
+
+                    ye_dt = ml_dtypes.bfloat16
+                else:
+                    ye_dt = Y.dtype
+                YE = np.empty((T, nb_max, P_max, G), ye_dt)
+                for t in range(T):
+                    YE[t] = Y[t][EI[t]]
+                stacked["Y_ext"] = jnp.asarray(YE)
         if self.mesh is not None:
             # place the stack: spot-major arrays sharded on axis 1 over the
             # 'data' mesh axis, everything else (inducing state, batch

@@ -391,3 +391,29 @@ def test_streamed_batch_rows_match_gather():
         losses[flag] = np.asarray(ls)
     assert np.isfinite(losses["true"]).all()
     np.testing.assert_array_equal(losses["true"], losses["false"])
+
+
+def test_pregather_skips_dead_bf16_staging():
+    """With pregathered closure rows nothing reads the bf16 Y_gat copy, so
+    staging it would only burn HBM — the stack must carry Y_ext (bf16) and
+    no Y_gat, and the fused epoch stays finite and close to the f32 run."""
+    t, _ = _setup(gat_ext_pregather="true", gat_bf16_gather="true")
+    assert "Y_ext" in t._stacked and "Y_gat" not in t._stacked
+    assert t._stacked["Y_ext"].dtype == jax.numpy.bfloat16
+    t0, _ = _setup()
+    assert "Y_ext" not in t0._stacked
+    losses = {}
+    for name, tr in (("pg_bf16", t), ("base", t0)):
+        v, o = tr.init_state(jax.random.PRNGKey(0))
+        km = {"centers": {}, "assign": {}, "_stacked": tr._km_stacked,
+              "_have": False}
+        _, _, _, ls = tr.run_epoch_fused(
+            v, o, jax.random.PRNGKey(1), jax.random.PRNGKey(7), [0, 1],
+            km, 0, 0.5,
+        )
+        losses[name] = np.asarray(ls)
+    assert np.isfinite(losses["pg_bf16"]).all()
+    # bf16 pre-rounding of the closure rows only — stays close to f32
+    np.testing.assert_allclose(
+        losses["pg_bf16"], losses["base"], rtol=2e-2, atol=2e-2
+    )
