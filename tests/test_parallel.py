@@ -235,3 +235,56 @@ def test_windowed_gat_on_mesh():
         v, o, jax.random.PRNGKey(1), 0, {"centers": {}, "assign": {}}, {}, 0, 0, 0.5
     )
     assert np.isfinite(np.asarray(losses)).all()
+
+
+@pytest.mark.slow
+def test_resume_on_mesh_replays_uninterrupted_run(tmp_path):
+    """Checkpoint/resume under a mesh: a run interrupted at epoch 2 and
+    resumed from its checkpoint must replay the uninterrupted 4-epoch
+    trajectory — params, optimizer, KMeans stack, gammas, jax RNG chain and
+    the host python RNG (timepoint shuffle) all have to round-trip through
+    the npz checkpoint with spot-sharded arrays."""
+    from spadot_tpu.train.checkpoint import load_checkpoint
+    from spadot_tpu.train.loop import _save_state, train_spadot
+
+    adata = make_synthetic_adata(n_per_tp=128, n_genes=24, n_tp=2)
+
+    def cfg_for(maxiter):
+        cfg = default_config()
+        cfg.update(
+            input_dim=24, timepoints=[0, 1], maxiter=maxiter, ot_epoch=1,
+            batch_size=64, inducing_point_nums=30, gat_encoder_hidden=8,
+            gat_attention_heads=2, svgp_encoder_layers=[16, 8],
+            decoder_layers=[8, 16], n_clusters=3,
+        )
+        cfg["ot_config"]["ot_epochs"] = 1
+        return cfg
+
+    mesh = make_mesh({"data": 8})
+
+    # uninterrupted 4-epoch run
+    cfg = cfg_for(4)
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+    _, _, _, _, df_full = train_spadot(data, cfg, mesh=mesh)
+    assert len(df_full) == 4
+
+    # interrupted run: 2 epochs, checkpoint, then resume to 4 on the mesh
+    set_seed(1993)
+    data2 = prepare_data(adata, cfg_for(2))
+    tr, v, o, host, df_half = train_spadot(data2, cfg_for(2), mesh=mesh)
+    ckpt = str(tmp_path / "mesh_autosave.ckpt")
+    tr.sync_km_views(host["km"])
+    _save_state(ckpt, tr, v, o, host["km"], host["gammas"], host["rng"],
+                host["last_epoch"], host["loss_rows"])
+    resume_state = load_checkpoint(ckpt)
+    _, _, _, _, df_res = train_spadot(
+        data2, cfg_for(4), resume_state=resume_state, mesh=mesh
+    )
+    assert len(df_res) == 4
+    # restored epochs are the saved rows verbatim; continued epochs replay
+    # the uninterrupted run (state round-trips through host numpy exactly;
+    # tolerance only covers accumulation-order noise on the virtual mesh)
+    np.testing.assert_allclose(
+        df_res.to_numpy(), df_full.to_numpy(), rtol=2e-3, atol=2e-3
+    )
