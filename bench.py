@@ -248,6 +248,11 @@ def main():
             "includes_kmeans_refresh": bool(fused),
         },
         "device": jax.devices()[0].device_kind,
+        # the sandbox's JAX_PLATFORMS=axon,cpu silently falls back to CPU
+        # when the TPU tunnel is down — flag that so a CPU number is never
+        # mistaken for the TPU headline (docs/performance.md has those)
+        **({"note": "CPU fallback (TPU tunnel down?) — not a TPU measurement"}
+           if jax.devices()[0].platform == "cpu" else {}),
     }))
 
 
