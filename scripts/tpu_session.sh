@@ -100,3 +100,9 @@ run_step flash3_ti1024 timeout 1800 \
 # approximation — this quantifies what opting in costs at 51k)
 run_step windowed_quality_51k timeout 5400 \
   python examples/windowed_quality.py 51200 100
+
+# 12. golden-run quality refresh under the round-3 defaults (bf16 GAT +
+# exact closures): full preprocess->train(100ep)->analyze into a SCRATCH
+# dir (committed golden_out/ fixtures stay untouched), domain ARI logged
+run_step golden_refresh timeout 3600 \
+  python examples/golden_run.py /tmp/golden_refresh
