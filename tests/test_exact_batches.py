@@ -417,3 +417,28 @@ def test_pregather_skips_dead_bf16_staging():
     np.testing.assert_allclose(
         losses["pg_bf16"], losses["base"], rtol=2e-2, atol=2e-2
     )
+
+
+@pytest.mark.slow
+def test_full_staging_package_matches_baseline():
+    """The 'full staging package' (queue step 6c: gat_ext_pregather +
+    batch_rows_stream together, f32) must be BIT-identical to the default
+    gather paths — the two streams are independent scan-xs substitutions
+    and must compose: Y_ext replaces the closure gather, the reshaped y_b
+    block replaces the batch-row gather, with the spot axis padded to nb*B
+    while ext_idx still points at the original (unmoved) rows."""
+    losses = {}
+    for flags in ({}, {"gat_ext_pregather": "true", "batch_rows_stream": "true"}):
+        t, _ = _setup(**flags)
+        if flags:
+            assert t._stream_y and "Y_ext" in t._stacked
+        v, o = t.init_state(jax.random.PRNGKey(0))
+        km = {"centers": {}, "assign": {}, "_stacked": t._km_stacked,
+              "_have": False}
+        _, _, _, ls = t.run_epoch_fused(
+            v, o, jax.random.PRNGKey(1), jax.random.PRNGKey(7), [0, 1],
+            km, 0, 0.5,
+        )
+        losses[bool(flags)] = np.asarray(ls)
+    assert np.isfinite(losses[True]).all()
+    np.testing.assert_array_equal(losses[True], losses[False])
