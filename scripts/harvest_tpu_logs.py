@@ -54,7 +54,13 @@ def main(logdir="docs/tpu_logs"):
                 if k not in ("metric", "value", "unit", "vs_baseline",
                              "mfu_basis", "flops_per_epoch")
             }
-            print(f"{name:<{w}}  {j.get('value'):>9}  {j.get('vs_baseline'):>8}"
+            # a crashed bench can leave a parseable-but-partial line;
+            # render missing fields instead of aborting the whole harvest
+            val = j.get("value")
+            vsb = j.get("vs_baseline")
+            print(f"{name:<{w}}  "
+                  f"{('?' if val is None else val):>9}  "
+                  f"{('?' if vsb is None else vsb):>8}"
                   f"  {j.get('metric')} {extras}")
     for name, tail in freeform:
         print(f"\n--- {name} (tail) ---")

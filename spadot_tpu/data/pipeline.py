@@ -94,6 +94,11 @@ def prepare_data(adata, model_config):
     X = np.asarray(adata.toarray(), dtype=np.float32)
     tp_data = OrderedDict()
     batch_size = int(model_config["batch_size"])
+    # square static closure masks under 'auto' are decided AFTER the loop,
+    # from the true summed size across timepoints — a per-tp extrapolation
+    # would let unequal timepoints decide inconsistently, and one missing
+    # mask makes the fused epoch drop the whole static stack
+    pending_static = []
     for tp in timepoints:
         i = tp_to_idx[tp]
         rows = np.where(tp_assign == i)[0]
@@ -200,26 +205,24 @@ def prepare_data(adata, model_config):
                     static_cfg = str(
                         model_config.get("gat_ext_static_adj", "auto")
                     ).lower()
-                    nb_t = ext["loc_nbr"].shape[0]
-                    total_bytes = (
-                        len(timepoints) * nb_t * P * P
-                        if static_cfg == "auto" else 0
-                    )
                     if banded is not None:
                         tp_data[tp]["ext_adj"] = banded
-                    elif P <= dense_max and (
+                    elif P <= dense_max:
                         # square static masks: remove the per-step (P, P)
-                        # scatter at nb * P^2 int8 bytes per timepoint
-                        # ('auto' = while the whole run stays under ~4 GiB)
-                        static_cfg in ("true", "1")
-                        or (static_cfg == "auto"
-                            and total_bytes <= 4 * 2**30)
-                    ):
-                        from spadot_tpu.data.graph import closure_adjacency
+                        # scatter at nb * P^2 int8 bytes per timepoint.
+                        # 'true' builds unconditionally; 'auto' defers to
+                        # the post-loop budget check (the whole-run total,
+                        # not a per-tp extrapolation)
+                        if static_cfg in ("true", "1"):
+                            from spadot_tpu.data.graph import (
+                                closure_adjacency,
+                            )
 
-                        tp_data[tp]["ext_adj"] = closure_adjacency(
-                            ext["loc_nbr"], ext["loc_mask"]
-                        )
+                            tp_data[tp]["ext_adj"] = closure_adjacency(
+                                ext["loc_nbr"], ext["loc_mask"]
+                            )
+                        elif static_cfg == "auto":
+                            pending_static.append(tp)
                 else:
                     import logging
 
@@ -240,6 +243,25 @@ def prepare_data(adata, model_config):
     # timepoints (train/loop.py: gat_ext), so one rejected closure means
     # every tp runs full-graph and needs its mask back.
     ext_all = all("ext_idx" in tp_data[tp] for tp in timepoints)
+    if ext_all and pending_static:
+        # 'auto' square static masks: one consistent decision for every
+        # deferred timepoint, from the TRUE summed whole-run size (banded
+        # timepoints already carry their much smaller strip masks)
+        total_bytes = sum(
+            tp_data[tp]["loc_nbr"].shape[0]
+            * tp_data[tp]["ext_idx"].shape[1] ** 2
+            for tp in pending_static
+        )
+        budget = float(
+            model_config.get("gat_ext_static_budget_gb", 4.0)
+        ) * 2**30
+        if total_bytes <= budget:
+            from spadot_tpu.data.graph import closure_adjacency
+
+            for tp in pending_static:
+                tp_data[tp]["ext_adj"] = closure_adjacency(
+                    tp_data[tp]["loc_nbr"], tp_data[tp]["loc_mask"]
+                )
     dense_max_n = int(model_config.get("gat_dense_max_n", 10000))
     for tp in timepoints:
         d = tp_data[tp]

@@ -137,7 +137,7 @@ class GATLayer(nn.Module):
                 if (
                     adj.shape[0] % TILE3_I == 0
                     and adj.shape[0] <= FLASH3_MAX_N
-                    and flash3_gat_supported()
+                    and flash3_gat_supported(F, H)
                 ):
                     return gat_attention_dense_flash3(
                         h, adj, W, att_src, att_dst, bias, concat=self.concat
@@ -145,7 +145,7 @@ class GATLayer(nn.Module):
                 if (
                     adj.shape[0] % flash2_tile()[1] == 0
                     and adj.shape[0] <= FLASH2_MAX_N
-                    and flash2_gat_supported()
+                    and flash2_gat_supported(F, H)
                 ):
                     return gat_attention_dense_flash2(
                         h, adj, W, att_src, att_dst, bias, concat=self.concat

@@ -834,7 +834,7 @@ def gat_attention_dense_flash3(
     es = e_src.T[:, None, :].astype(jnp.float32)
     ti = flash3_ti()
     if ti != TILE3_I and (
-        n_pad % ti != 0 or not (INTERPRET or flash3_ti_supported(ti))
+        n_pad % ti != 0 or not (INTERPRET or flash3_ti_supported(ti, F, H))
     ):
         ti = TILE3_I  # misaligned/unprobed tall tile degrades, never crashes
     out = _flash3_core_for(ti)(ed, es, adj_pad, wx_h)
@@ -1117,7 +1117,7 @@ def flash3b_gat_supported(TI=TILE3_I, Wb=3 * TILE3_I, F=512, H=4):
     `flash3_gat_supported`; probe executables land in the persistent
     compile cache. Per-step VMEM is ni-independent, so ni is fixed small."""
     backend = jax.default_backend()
-    key = (backend, TI, Wb, F)
+    key = (backend, TI, Wb, F, H)
     if key in _FLASH3B_CACHE:
         return _FLASH3B_CACHE[key]
     if backend != "tpu":
@@ -1254,20 +1254,24 @@ FLASH3_MAX_N = 16384
 _FLASH3_CACHE = {}
 
 
-def flash3_ti_supported(ti):
+def flash3_ti_supported(ti, F=512, H=4):
     """Probe whether the flash3 core at THIS forward tile height compiles
     AND runs fwd+bwd on this backend, at a multi-tile shape and both stream
-    widths. Probe executables land in the persistent compile cache, so warm
+    widths. (F, H) are part of the probe shape AND the cache key: the
+    unrolled head loop's scoped-VMEM working set scales with H and F, so a
+    non-default config must get its own verdict — a shape that fails at
+    lowering degrades to flash2/XLA dense instead of crashing mid-training.
+    Probe executables land in the persistent compile cache, so warm
     restarts pay nothing."""
     backend = jax.default_backend()
-    key = (backend, ti)
+    key = (backend, ti, F, H)
     if key in _FLASH3_CACHE:
         return _FLASH3_CACHE[key]
     if backend != "tpu":
         _FLASH3_CACHE[key] = False
         return False
     try:
-        n_pad, H, F = 2 * ti, 4, 512
+        n_pad = 2 * ti
         ed = jnp.zeros((H, n_pad, 1), jnp.float32)
         es = jnp.zeros((H, 1, n_pad), jnp.float32)
         adj = jnp.eye(n_pad, dtype=jnp.int8)
@@ -1290,28 +1294,30 @@ def flash3_ti_supported(ti):
     return _FLASH3_CACHE[key]
 
 
-def flash3_gat_supported():
+def flash3_gat_supported(F=512, H=4):
     """Path-admission probe (mirrors `flash2_gat_supported`): the default
-    TILE3_I core must work; taller experimental tiles degrade per-shape
-    inside `gat_attention_dense_flash3` via their own probes."""
-    return flash3_ti_supported(TILE3_I)
+    TILE3_I core must work at the model's configured (F, H); taller
+    experimental tiles degrade per-shape inside
+    `gat_attention_dense_flash3` via their own probes."""
+    return flash3_ti_supported(TILE3_I, F, H)
 
 
-def flash2_gat_supported():
+def flash2_gat_supported(F=512, H=4):
     """Probe whether the tiled kernels compile AND run on this backend —
     forward and both backward kernels, at the production shape (the gate's
     upper bound): a forward-only or tiny-shape probe would pass while the
-    dq/dkv lowering or a per-step VMEM limit fails mid-training. The probe
-    executables land in the persistent compile cache, so warm restarts pay
-    nothing."""
+    dq/dkv lowering or a per-step VMEM limit fails mid-training. (F, H)
+    are probed and keyed like `flash3_ti_supported`. The probe executables
+    land in the persistent compile cache, so warm restarts pay nothing."""
     backend = jax.default_backend()
-    if backend in _FLASH2_CACHE:
-        return _FLASH2_CACHE[backend]
+    key = (backend, F, H)
+    if key in _FLASH2_CACHE:
+        return _FLASH2_CACHE[key]
     if backend != "tpu":
-        _FLASH2_CACHE[backend] = False
+        _FLASH2_CACHE[key] = False
         return False
     try:
-        n_pad, H, F = FLASH2_MAX_N, 4, 512
+        n_pad = FLASH2_MAX_N
         ed = jnp.zeros((H, n_pad, 1), jnp.float32)
         es = jnp.zeros((H, 1, n_pad), jnp.float32)
         adj = jnp.eye(n_pad, dtype=jnp.int8)
@@ -1322,9 +1328,9 @@ def flash2_gat_supported():
 
         grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(ed, es, wx)
         jax.block_until_ready(grads)
-        _FLASH2_CACHE[backend] = True
+        _FLASH2_CACHE[key] = True
     except Exception as e:  # pragma: no cover - backend dependent
         print(f"tiled flash GAT kernel unavailable on {backend}: "
               f"{type(e).__name__}; using the XLA dense path")
-        _FLASH2_CACHE[backend] = False
-    return _FLASH2_CACHE[backend]
+        _FLASH2_CACHE[key] = False
+    return _FLASH2_CACHE[key]

@@ -446,11 +446,16 @@ class Trainer:
             gkey = f"{prev_tp}_{tp}"
             if gkey in gammas and (
                 gkey not in self._gamma_dev
-                or self._gamma_src.get(gkey) is not gammas[gkey]
+                or not np.array_equal(
+                    self._gamma_src.get(gkey), np.asarray(gammas[gkey])
+                )
             ):
-                # caller provided a plan that was never staged, or replaced
-                # the staged one in place (e.g. a direct run_epoch driver) —
-                # stage it so training never uses a stale plan silently
+                # caller provided a plan that was never staged, or changed
+                # the staged one — by replacement OR in-place mutation (a
+                # direct run_epoch driver reusing one buffer per gkey) —
+                # stage it so training never uses a stale plan silently.
+                # Plans are centroid-level (k, k), so the content compare
+                # is a few hundred elements per timepoint per epoch.
                 self.stage_gammas({gkey: gammas[gkey]})
             if gkey in self._gamma_dev and km["centers"].get(prev_tp) is not None:
                 gamma_rn = self._gamma_dev[gkey]
@@ -503,9 +508,10 @@ class Trainer:
     def stage_gammas(self, gammas):
         """Stage row-normalized transport plans on device (resume path)."""
         for gkey, gamma in gammas.items():
-            # remember the source object: run_epoch re-stages when a caller
-            # swaps gammas[gkey] for a new array after this staging
-            self._gamma_src[gkey] = gamma
+            # snapshot the staged content: run_epoch re-stages when a
+            # caller's gammas[gkey] no longer matches it (replacement or
+            # in-place mutation alike)
+            self._gamma_src[gkey] = np.array(gamma, copy=True)
             g = np.asarray(gamma, np.float64)
             rs = g.sum(axis=1, keepdims=True)
             with np.errstate(divide="ignore", invalid="ignore"):

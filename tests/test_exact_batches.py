@@ -442,3 +442,18 @@ def test_full_staging_package_matches_baseline():
         losses[bool(flags)] = np.asarray(ls)
     assert np.isfinite(losses[True]).all()
     np.testing.assert_array_equal(losses[True], losses[False])
+
+
+def test_static_adj_budget_all_or_nothing():
+    """'auto' square static closure masks are ONE whole-run decision, made
+    from the TRUE summed size across timepoints (data/pipeline.py) — never a
+    per-timepoint extrapolation: one missing mask would make the fused epoch
+    drop the whole static stack while the built ones waste host time."""
+    _, data = _setup(
+        gat_ext_banded="false", gat_ext_static_budget_gb=1e-9
+    )
+    has = ["ext_adj" in data["tp_data"][tp] for tp in data["timepoints"]]
+    assert not any(has)  # over budget: nobody builds
+    _, data = _setup(gat_ext_banded="false")
+    has = ["ext_adj" in data["tp_data"][tp] for tp in data["timepoints"]]
+    assert all(has)  # within the default budget: everybody builds

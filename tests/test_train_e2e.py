@@ -426,3 +426,38 @@ def test_odd_z_dim():
     assert np.isfinite(loss_df.to_numpy()).all()
     lat = get_latent(trainer, variables, data, adata)
     assert lat.shape == (60, 20)
+
+
+def test_run_epoch_restages_mutated_gammas():
+    """run_epoch must re-stage a transport plan whose content changed even
+    when the caller mutated the SAME array object in place (a direct driver
+    reusing one buffer per gkey) — the guard compares content, not object
+    identity (train/loop.py)."""
+    import jax
+
+    from spadot_tpu.train.loop import Trainer
+
+    adata = make_synthetic_adata(n_per_tp=60, n_genes=16, n_tp=2, seed=6)
+    cfg = _tiny_config(adata)
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+    trainer = Trainer(cfg, data)
+    variables, opt_state = trainer.init_state(jax.random.PRNGKey(0))
+    km = {"centers": {}, "assign": {}}
+    k = int(cfg["n_clusters"])
+    g = np.full((k, k), 1.0 / k, dtype=np.float64)  # rows already normalized
+    gammas = {"0_1": g}
+    rng = jax.random.PRNGKey(1)
+    ep = int(cfg["ot_epoch"])
+    tp = trainer.timepoints[1]
+    variables, opt_state, rng, _ = trainer.run_epoch(
+        variables, opt_state, rng, tp, km, gammas, 1, ep, 0.5
+    )
+    first = np.asarray(trainer._gamma_dev["0_1"])
+    np.testing.assert_allclose(first, g)
+    g[:] = 0.0
+    g[:, 0] = 1.0  # in-place mutation of the SAME object
+    trainer.run_epoch(variables, opt_state, rng, tp, km, gammas, 1, ep, 0.5)
+    second = np.asarray(trainer._gamma_dev["0_1"])
+    np.testing.assert_allclose(second, g)
+    assert not np.allclose(first, second)
