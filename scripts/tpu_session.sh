@@ -106,3 +106,13 @@ run_step windowed_quality_51k timeout 5400 \
 # dir (committed golden_out/ fixtures stay untouched), domain ARI logged
 run_step golden_refresh timeout 3600 \
   python examples/golden_run.py /tmp/golden_refresh
+
+# 13. ChickenHeart re-measure after the GLOBAL band-vs-square decision fix
+# (bench_ch above ran pre-fix: a 3-banded/1-square mix dropped the fused
+# static mask stack; the fix stacks consistent square masks — this step
+# measures what the per-step scatter removal is worth at P=1280)
+run_step bench_ch_static timeout 3600 python bench.py
+
+# 14. atlas re-measure with pregather+stream if 6b/6c won (harvest decides);
+# unconditional here: it also covers the global-decision codepath at atlas
+run_step bench_atlas2 timeout 3600 env BENCH_MODE=atlas python bench.py

@@ -94,10 +94,13 @@ def prepare_data(adata, model_config):
     X = np.asarray(adata.toarray(), dtype=np.float32)
     tp_data = OrderedDict()
     batch_size = int(model_config["batch_size"])
-    # square static closure masks under 'auto' are decided AFTER the loop,
-    # from the true summed size across timepoints — a per-tp extrapolation
-    # would let unequal timepoints decide inconsistently, and one missing
-    # mask makes the fused epoch drop the whole static stack
+    # static closure masks (banded or square) are decided AFTER the loop,
+    # from every timepoint together — a per-tp choice at unequal closure
+    # sizes decides inconsistently (a banded/square mix, or mixed strip
+    # heights), and one deviating mask makes the fused epoch drop the whole
+    # static stack. ext_info collects the per-tp facts the global decision
+    # needs; pending_static is the square-mask 'auto' budget list.
+    ext_info = {}
     pending_static = []
     for tp in timepoints:
         i = tp_to_idx[tp]
@@ -150,79 +153,38 @@ def prepare_data(adata, model_config):
                 # as (nb, ni, TI, Wb) strips — exact, ~P/Wb x less
                 # attention work than any dense-square path. Banding also
                 # LIFTS the dense-size gate: a banded P > dense_max closure
-                # costs P*Wb, not P^2.
+                # costs P*Wb, not P^2. The band-vs-square CHOICE is made
+                # after the loop, once, for every timepoint together: the
+                # fused epoch can only stack static masks of one kind and
+                # one strip height, so a per-tp choice at unequal closure
+                # sizes silently costs all timepoints the static stack
+                # (the 5.9 ms/step scatter returns).
                 banded_cfg = str(
                     model_config.get("gat_ext_banded", "auto")
                 ).lower()
                 ti_cfg = str(
                     model_config.get("gat_ext_band_ti", "auto")
                 ).lower()
-                # strip-height candidates: 'auto' picks, among the
-                # lane-aligned heights that divide P, the one minimizing the
-                # strip width Wb = TI + 2*bpad — a small band (RCM bandwidth
-                # scales ~sqrt(P*K): ~140 at ChickenHeart closures, ~500 at
-                # atlas) prefers short strips, whose tighter TI-rounded
-                # padding cuts the P*Wb attention work further
+                # strip-height candidates: lane-aligned heights dividing P
+                # (the post-loop pick intersects these across timepoints)
                 cand = (
                     [512, 256, 128] if ti_cfg == "auto" else [int(ti_cfg)]
                 )
                 cand = [t for t in cand if P % t == 0 and P >= 3 * t]
-                banded = None
+                band = None
                 if banded_cfg in ("auto", "true", "1") and cand:
-                    from spadot_tpu.data.graph import (
-                        banded_closure_adjacency, rcm_reorder_tables,
-                    )
+                    from spadot_tpu.data.graph import rcm_reorder_tables
 
+                    # reorder unconditionally: a pure relabeling (identical
+                    # outputs), valid for the square masks too if the
+                    # post-loop choice lands there
                     ext, band = rcm_reorder_tables(ext)
-                    # band padding rounds UP to a multiple of the strip
-                    # height: the fused banded kernel (ops/gat_flash.py:
-                    # gat_attention_banded_flash) needs TI-aligned windows
-                    # estimated strip cost: attention work scales with Wb,
-                    # wx streaming with Wb/TI (taller strips amortize the
-                    # band reads — flash3's measured binding constraint);
-                    # the 512 weight calibrates stream ~ compute at TI=512,
-                    # consistent with the flash3 roofline measurements
-                    best = None
-                    for t in cand:  # descending: ties keep the tallest TI
-                        bp = max(t, -(-band // t) * t)
-                        est = (t + 2 * bp) * (1.0 + 512.0 / t)
-                        if best is None or est < best[3]:
-                            best = (t, bp, t + 2 * bp, est)
-                    band_ti, bpad, wb, _ = best
-                    # 'auto' bands only on a clear work win (the square-mask
-                    # flash kernels are faster per element at small P; force
-                    # with gat_ext_banded: true to A/B)
-                    if banded_cfg in ("true", "1") or 3 * wb <= P:
-                        banded = banded_closure_adjacency(
-                            ext["loc_nbr"], ext["loc_mask"],
-                            band_ti, bpad,
-                        )
                 if (
                     exact_cfg in ("true", "1") or P <= dense_max
-                    or banded is not None
+                    or band is not None
                 ):
                     tp_data[tp].update(ext)
-                    static_cfg = str(
-                        model_config.get("gat_ext_static_adj", "auto")
-                    ).lower()
-                    if banded is not None:
-                        tp_data[tp]["ext_adj"] = banded
-                    elif P <= dense_max:
-                        # square static masks: remove the per-step (P, P)
-                        # scatter at nb * P^2 int8 bytes per timepoint.
-                        # 'true' builds unconditionally; 'auto' defers to
-                        # the post-loop budget check (the whole-run total,
-                        # not a per-tp extrapolation)
-                        if static_cfg in ("true", "1"):
-                            from spadot_tpu.data.graph import (
-                                closure_adjacency,
-                            )
-
-                            tp_data[tp]["ext_adj"] = closure_adjacency(
-                                ext["loc_nbr"], ext["loc_mask"]
-                            )
-                        elif static_cfg == "auto":
-                            pending_static.append(tp)
+                    ext_info[tp] = {"P": P, "band": band, "cand": cand}
                 else:
                     import logging
 
@@ -243,10 +205,108 @@ def prepare_data(adata, model_config):
     # timepoints (train/loop.py: gat_ext), so one rejected closure means
     # every tp runs full-graph and needs its mask back.
     ext_all = all("ext_idx" in tp_data[tp] for tp in timepoints)
+    if ext_all and ext_info:
+        # global band-vs-square choice (see the in-loop comment): ONE strip
+        # height for every timepoint, or square masks for every timepoint —
+        # never a mix, which would cost the fused epoch its static stack.
+        banded_cfg = str(model_config.get("gat_ext_banded", "auto")).lower()
+        static_cfg = str(
+            model_config.get("gat_ext_static_adj", "auto")
+        ).lower()
+        dense_max = int(model_config.get("gat_window_dense_max", 10000))
+        infos = [ext_info[tp] for tp in timepoints]
+        # a tp above the dense gate was accepted BECAUSE it can band; the
+        # square alternative does not exist for it
+        must_band = any(i["P"] > dense_max for i in infos)
+        bandable = all(i["band"] is not None for i in infos)
+        common = (
+            set.intersection(*(set(i["cand"]) for i in infos))
+            if bandable else set()
+        )
+        plan = None  # (ti, {tp: bpad}) when banding every timepoint
+        if common:
+            # shared strip height: minimize the P-weighted strip cost.
+            # Attention work scales with Wb = TI + 2*bpad (bpad rounds the
+            # RCM band UP to a strip-height multiple — the fused banded
+            # kernel needs TI-aligned windows); wx streaming with Wb/TI
+            # (taller strips amortize band reads — flash3's measured
+            # binding constraint); the 512 weight calibrates stream ~
+            # compute at TI=512, per the flash3 roofline measurements.
+            best = None
+            for t in sorted(common, reverse=True):  # ties keep tallest TI
+                bps = {
+                    tp: max(t, -(-ext_info[tp]["band"] // t) * t)
+                    for tp in timepoints
+                }
+                est = sum(
+                    ext_info[tp]["P"] * (t + 2 * bps[tp]) * (1.0 + 512.0 / t)
+                    for tp in timepoints
+                )
+                if best is None or est < best[0]:
+                    best = (est, t, bps)
+            _, ti_b, bps = best
+            # 'auto' bands only on a clear aggregate work win (3x — the
+            # square-mask flash kernels are faster per element), unless a
+            # timepoint above the dense gate forces banding; force with
+            # gat_ext_banded: true to A/B
+            win = 3 * sum(
+                ext_info[tp]["P"] * (ti_b + 2 * bps[tp]) for tp in timepoints
+            ) <= sum(i["P"] ** 2 for i in infos)
+            if banded_cfg in ("true", "1") or must_band or win:
+                plan = (ti_b, bps)
+        if plan is not None:
+            from spadot_tpu.data.graph import banded_closure_adjacency
+
+            ti_b, bps = plan
+            for tp in timepoints:
+                d = tp_data[tp]
+                d["ext_adj"] = banded_closure_adjacency(
+                    d["loc_nbr"], d["loc_mask"], ti_b, bps[tp]
+                )
+        elif must_band:
+            # no shared strip height exists but some timepoint can only
+            # stay exact by banding: band each bandable tp at its own best
+            # height, square the rest — the fused epoch then falls back to
+            # the per-step mask build (correct, slower), which it logs
+            import logging
+
+            logging.getLogger("spadot").info(
+                "closure strip heights cannot be unified across timepoints "
+                "(P=%s); building mixed static masks — the fused epoch "
+                "will use the per-step adjacency build",
+                [i["P"] for i in infos],
+            )
+            from spadot_tpu.data.graph import (
+                banded_closure_adjacency, closure_adjacency,
+            )
+
+            for tp in timepoints:
+                info, d = ext_info[tp], tp_data[tp]
+                if info["band"] is not None and info["cand"]:
+                    t = max(info["cand"])
+                    bp = max(t, -(-info["band"] // t) * t)
+                    d["ext_adj"] = banded_closure_adjacency(
+                        d["loc_nbr"], d["loc_mask"], t, bp
+                    )
+                elif (
+                    info["P"] <= dense_max
+                    and static_cfg in ("true", "1", "auto")
+                ):
+                    d["ext_adj"] = closure_adjacency(
+                        d["loc_nbr"], d["loc_mask"]
+                    )
+        elif static_cfg in ("true", "1"):
+            from spadot_tpu.data.graph import closure_adjacency
+
+            for tp in timepoints:
+                tp_data[tp]["ext_adj"] = closure_adjacency(
+                    tp_data[tp]["loc_nbr"], tp_data[tp]["loc_mask"]
+                )
+        elif static_cfg == "auto":
+            pending_static = list(timepoints)
     if ext_all and pending_static:
         # 'auto' square static masks: one consistent decision for every
-        # deferred timepoint, from the TRUE summed whole-run size (banded
-        # timepoints already carry their much smaller strip masks)
+        # deferred timepoint, from the TRUE summed whole-run size
         total_bytes = sum(
             tp_data[tp]["loc_nbr"].shape[0]
             * tp_data[tp]["ext_idx"].shape[1] ** 2

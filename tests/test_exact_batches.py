@@ -457,3 +457,32 @@ def test_static_adj_budget_all_or_nothing():
     _, data = _setup(gat_ext_banded="false")
     has = ["ext_adj" in data["tp_data"][tp] for tp in data["timepoints"]]
     assert all(has)  # within the default budget: everybody builds
+
+
+@pytest.mark.parametrize("banded_cfg", ["auto", "true"])
+def test_closure_masks_never_mix_across_timepoints(banded_cfg):
+    """The band-vs-square choice is GLOBAL (data/pipeline.py): unequal
+    timepoints must all end with the same mask kind — and, when banded, the
+    same strip height — because the fused epoch can only stack one kind/TI
+    and silently falls back to the per-step scatter build on any mix (the
+    exact regression seen at bench scale: 3 tps banded, 1 square)."""
+    from spadot_tpu.train.loop import Trainer
+
+    adata = make_synthetic_adata(
+        n_per_tp=[150, 400, 250], n_genes=24, n_tp=3, seed=7
+    )
+    cfg = _cfg(
+        timepoints=[0, 1, 2], gat_ext_banded=banded_cfg, gat_ext_band_ti=64,
+    )
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+    masks = [data["tp_data"][tp].get("ext_adj") for tp in data["timepoints"]]
+    kinds = {None if m is None else m.ndim for m in masks}
+    assert len(kinds) == 1, [None if m is None else m.shape for m in masks]
+    if kinds == {4}:  # banded: one shared strip height
+        assert len({m.shape[2] for m in masks}) == 1
+    # and the fused epoch accepts the stack (no per-step fallback)
+    if masks[0] is not None:
+        t = Trainer(cfg, data)
+        assert t.fused
+        assert "ext_adj" in t._stacked, "fused epoch dropped the static stack"
