@@ -116,3 +116,7 @@ run_step bench_ch_static timeout 3600 python bench.py
 # 14. atlas re-measure with pregather+stream if 6b/6c won (harvest decides);
 # unconditional here: it also covers the global-decision codepath at atlas
 run_step bench_atlas2 timeout 3600 env BENCH_MODE=atlas python bench.py
+
+# 15. SVGP 'high' precision quality gate (the microbench won on speed;
+# this decides whether the default can flip without the non-PSD relapse)
+run_step svgp_quality timeout 5400 python examples/svgp_precision_quality.py
