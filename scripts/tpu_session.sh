@@ -120,3 +120,16 @@ run_step bench_atlas2 timeout 3600 env BENCH_MODE=atlas python bench.py
 # 15. SVGP 'high' precision quality gate (the microbench won on speed;
 # this decides whether the default can flip without the non-PSD relapse)
 run_step svgp_quality timeout 5400 python examples/svgp_precision_quality.py
+
+# 16. atlas A/B: SVGP 'high' matmul precision (CH already measured 0.1267
+# vs 0.1388; the atlas step decomposition says 12.0 vs 15.4 ms/step -> an
+# expected ~0.17 s off the 1.833 epoch). Default flip is gated on step 15.
+run_step bench_atlas_svgp_high timeout 3600 \
+  env BENCH_MODE=atlas BENCH_CFG='{"svgp_matmul_precision": "high"}' \
+  python bench.py
+
+# 17. mouse-scale A/B: SVGP 'high' (9,281 genes shifts the epoch toward the
+# encoder/decoder GEMMs; this tells us whether the flip matters there too)
+run_step bench_mouse_svgp_high timeout 3600 \
+  env BENCH_MODE=mouse BENCH_CFG='{"svgp_matmul_precision": "high"}' \
+  python bench.py

@@ -1113,27 +1113,35 @@ def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, me
                     variables, opt_state, ep_key, km_key, order, km, epoch,
                     beta1s[epoch],
                 )
-                epoch_losses = np.asarray(losses_sum)  # one sync/epoch
+                epoch_losses = losses_sum  # device array; sync deferred
             else:
-                tp_losses = []
                 rng = ep_key
+                epoch_losses = None
                 for tp_i, tp in tp_indexed:
                     variables, opt_state, rng, losses = trainer.run_epoch(
                         variables, opt_state, rng, tp, km, gammas, tp_i, epoch,
                         beta1s[epoch]
                     )
-                    tp_losses.append(losses)  # device arrays; no host sync here
+                    # device-side accumulation; no host sync here
+                    epoch_losses = (
+                        losses if epoch_losses is None else epoch_losses + losses
+                    )
                 km = trainer.update_kmeans(variables, km_key, km)
-                epoch_losses = np.sum(np.asarray(tp_losses), axis=0)  # one sync/epoch
             if (epoch + 1) % ot_every == 0:
                 trainer.sync_km_views(km)
                 gammas = trainer.update_ot(km, gammas)
+            # epoch_losses stays a device array: over the remote tunnel a
+            # per-epoch materialization would serialize every epoch on a
+            # host round trip; deferring it lets async dispatch pipeline
+            # epochs back-to-back. Host syncs happen only at the log cadence
+            # below, OT refreshes, checkpoints, and the end of training.
             loss_rows.append(epoch_losses)
             if epoch % 10 == 0:
                 logger.info(
                     "Epoch %d: %.1fs, ELBO: %.6f, Recon: %.6f, SVGP_KL: %.6f, "
                     "GAT_KL: %.6f, align: %.6f, KMeans: %.6f, OT: %.6f",
-                    epoch + 1, _time.time() - t0, *epoch_losses,
+                    epoch + 1, _time.time() - t0,
+                    *np.asarray(epoch_losses, np.float64),
                 )
             if checkpoint_path and (epoch + 1) % 25 == 0:
                 trainer.sync_km_views(km)
