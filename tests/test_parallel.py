@@ -288,3 +288,55 @@ def test_resume_on_mesh_replays_uninterrupted_run(tmp_path):
     np.testing.assert_allclose(
         df_res.to_numpy(), df_full.to_numpy(), rtol=2e-3, atol=2e-3
     )
+
+
+@pytest.mark.slow
+def test_fused_epoch_collective_hygiene():
+    """Sharding-regression guard (docs/scaling.md accounting): the fused
+    whole-epoch program over the mesh must contain only the expected
+    collective families — a handful of all-gathers/all-reduces (gradient
+    psum + refresh bookkeeping), and never an all-to-all or a
+    reduce-scatter, whose appearance would mean a sharding annotation
+    regressed into a resharding cascade."""
+    import re
+
+    from spadot_tpu.train.loop import Trainer
+
+    adata = make_synthetic_adata(n_per_tp=[90, 77], n_genes=24, n_tp=2)
+    cfg = default_config()
+    cfg.update(
+        input_dim=24, timepoints=[0, 1], maxiter=1, ot_epoch=1,
+        batch_size=32, inducing_point_nums=30, gat_encoder_hidden=8,
+        gat_attention_heads=2, svgp_encoder_layers=[16, 8],
+        decoder_layers=[8, 16], n_clusters=3,
+    )
+    set_seed(1993)
+    data = prepare_data(adata, cfg)
+    t = Trainer(cfg, data, mesh=make_mesh({"data": 8}))
+    assert t.fused
+    v, o = t.init_state(jax.random.PRNGKey(0))
+    km = {"centers": {}, "assign": {}, "_stacked": t._km_stacked,
+          "_have": False}
+
+    captured = {}
+    real = t._fused_jit
+
+    def capture(*a):
+        captured["args"] = a
+        return real(*a)
+
+    t._fused_jit = capture
+    t.run_epoch_fused(v, o, jax.random.PRNGKey(1), jax.random.PRNGKey(2),
+                      [1, 0], km, 1, 0.5)
+    t._fused_jit = real
+    hlo = real.lower(*captured["args"]).compile().as_text()
+    counts = {
+        kind: len(re.findall(rf"\s{kind}\(", hlo))
+        for kind in ("all-reduce", "all-gather", "reduce-scatter",
+                     "all-to-all", "collective-permute")
+    }
+    assert counts["all-to-all"] == 0, counts
+    assert counts["reduce-scatter"] == 0, counts
+    # gradient psum + KMeans refresh bookkeeping; generous headroom over
+    # the measured 9 so benign partitioner changes don't flake the suite
+    assert counts["all-reduce"] + counts["all-gather"] <= 32, counts
