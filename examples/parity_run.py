@@ -93,6 +93,7 @@ def main():
         # "highest"; the bf16 production default is quality-gated separately
         # by examples/precision_quality.py)
         gat_matmul_precision="highest",
+        svgp_matmul_precision="highest",
     )
     if os.environ.get("SPADOT_PARITY_CFG"):
         # ad-hoc overrides, e.g. '{"gat_dense_max_n": 0}' to skip the dense

@@ -49,23 +49,24 @@ def main():
         input_dim=genes, timepoints=[0, 1, 2, 3], maxiter=epochs,
         n_clusters=7,
     )
+    cand = os.environ.get("SPADOT_SVGP_CAND", "high")  # "default" = 1-pass
     loss_h, ari_h, wall_h, _ = run(
         {"svgp_matmul_precision": "highest"}, adata, base
     )
     loss_3, ari_3, wall_3, _ = run(
-        {"svgp_matmul_precision": "high"}, adata, base
+        {"svgp_matmul_precision": cand}, adata, base
     )
 
     print(f"\n=== SVGP precision quality at n = {n} spots, {epochs} epochs ===")
     print("mode             mean ARI   wall")
     print(f"highest (6-pass): {ari_h:.4f}   ({wall_h:.0f}s)")
-    print(f"high    (3-pass): {ari_3:.4f}   ({wall_3:.0f}s)  "
+    print(f"{cand:7s} (cand.) : {ari_3:.4f}   ({wall_3:.0f}s)  "
           f"(ARI delta {ari_3 - ari_h:+.4f})")
     cols = [c for c in loss_h.columns if c != "epoch"]
     print("per-run finiteness:",
           bool(np.isfinite(loss_h[cols].to_numpy()).all()),
           bool(np.isfinite(loss_3[cols].to_numpy()).all()))
-    print("mean per-epoch |rel delta| per loss component (high vs highest):")
+    print(f"mean per-epoch |rel delta| per loss component ({cand} vs highest):")
     for c in cols:
         h = loss_h[c].to_numpy()
         d = loss_3[c].to_numpy()

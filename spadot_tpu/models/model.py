@@ -53,11 +53,13 @@ class SpaDOTNet(nn.Module):
     gat_matmul_precision: str = "default"
     # matmul precision for the TRAINING SVGP batch terms (ops/svgp.py). The
     # whitened B = I + ratio·UΛUᵀ Cholesky is unconditionally stable
-    # (B ⪰ I), so "high" (3-pass bf16, ~2x MXU rate) is a candidate speed
-    # lever for the three (m, b) gemms per latent dim; default stays
-    # "highest" (true f32) pending a quality gate. Latent-extraction /
-    # KMeans-refresh SVGP calls always run "highest" — they feed artifacts.
-    svgp_matmul_precision: str = "highest"
+    # (B ⪰ I), so "high" (3-pass bf16, ~2x MXU rate) is the quality-gated
+    # default (100-epoch ARI 0.9534 vs 0.9581 at highest, finite throughout;
+    # examples/svgp_precision_quality.py + docs/tpu_logs/svgp_quality.log).
+    # Measured -7..-10% epoch time at CH/atlas/mouse scales. Parity runs pin
+    # "highest"; latent-extraction / KMeans-refresh SVGP calls always run
+    # "highest" — they feed artifacts.
+    svgp_matmul_precision: str = "high"
 
     def setup(self):
         self.svgp_z_dim = self.z_dim // 2
@@ -141,7 +143,7 @@ def build_net(model_config: Dict[str, Any]) -> SpaDOTNet:
             model_config.get("gat_matmul_precision", "default")
         ),
         svgp_matmul_precision=str(
-            model_config.get("svgp_matmul_precision", "highest")
+            model_config.get("svgp_matmul_precision", "high")
         ),
     )
 

@@ -202,3 +202,58 @@ def test_knn_graph_duplicate_coordinates():
         assert i not in nbr[i, 1:]  # and nowhere else
     # the duplicate pair must list each other as nearest neighbor
     assert 1 in nbr[0, 1:] and 0 in nbr[1, 1:]
+
+
+def test_gat_stranded_rows_finite_gradients(rng):
+    """Windowed-mode softmax safety (the 51k stress run's failure regime):
+    when a boundary node's every NON-SELF neighbor falls outside the window
+    (models/model.py zeroes those mask slots), its attention row must reduce
+    to the self-loop — finite output AND finite gradients — on both the
+    padded-list path and the dense-adjacency path. Slot 0 = self-loop
+    (data/graph.py:281) is the structural invariant that makes an all-masked
+    row impossible; this pins it against regressions in the mask plumbing.
+    """
+    import jax
+    from spadot_tpu.ops.gat import gat_attention_dense
+
+    n, F_in, H, F, K = 12, 5, 2, 4, 4
+    h = jnp.asarray(rng.normal(size=(n, F_in)), jnp.float32)
+    # duplicate-free rows (real lists are: self in slot 0, distinct others)
+    nbr = np.stack([
+        np.concatenate(([i], rng.permutation(np.delete(np.arange(n), i))[: K - 1]))
+        for i in range(n)
+    ])
+    nbr_mask = np.ones((n, K), np.float32)
+    # strand half the nodes: only the self slot survives the window clip
+    nbr_mask[::2, 1:] = 0.0
+    W = jnp.asarray(rng.normal(size=(F_in, H * F)), jnp.float32)
+    a_src = jnp.asarray(rng.normal(size=(H, F)), jnp.float32)
+    a_dst = jnp.asarray(rng.normal(size=(H, F)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(H * F,)), jnp.float32)
+
+    adj = np.zeros((n, n), np.int8)
+    adj[np.repeat(np.arange(n), K), nbr.ravel()] = (nbr_mask.ravel() > 0)
+
+    def loss_list(hh):
+        return gat_attention(
+            hh, jnp.asarray(nbr), jnp.asarray(nbr_mask), W, a_src, a_dst,
+            bias,
+        ).sum()
+
+    def loss_dense(hh):
+        return gat_attention_dense(
+            hh, jnp.asarray(adj), W, a_src, a_dst, bias
+        ).sum()
+
+    for fn in (loss_list, loss_dense):
+        val, grad = jax.value_and_grad(fn)(h)
+        assert np.isfinite(float(val))
+        assert np.isfinite(np.asarray(grad)).all()
+    # the two edge encodings agree on the stranded graph
+    np.testing.assert_allclose(
+        np.asarray(gat_attention(h, jnp.asarray(nbr), jnp.asarray(nbr_mask),
+                                 W, a_src, a_dst, bias)),
+        np.asarray(gat_attention_dense(h, jnp.asarray(adj), W, a_src, a_dst,
+                                       bias)),
+        rtol=2e-4, atol=2e-5,
+    )
