@@ -49,15 +49,15 @@ def main():
         input_dim=genes, timepoints=[0, 1, 2, 3], maxiter=epochs,
         n_clusters=7,
     )
-    cand = os.environ.get("SPADOT_SVGP_CAND", "high")  # "default" = 1-pass
-    loss_h, ari_h, wall_h, _ = run(
-        {"svgp_matmul_precision": "highest"}, adata, base
-    )
-    loss_3, ari_3, wall_3, _ = run(
-        {"svgp_matmul_precision": cand}, adata, base
-    )
+    # generalized gate: SPADOT_PREC_KEY picks the scoped-precision config
+    # key under test (svgp_matmul_precision, mlp_matmul_precision, ...),
+    # SPADOT_SVGP_CAND the candidate mode ("high" 3-pass / "default" 1-pass)
+    key = os.environ.get("SPADOT_PREC_KEY", "svgp_matmul_precision")
+    cand = os.environ.get("SPADOT_SVGP_CAND", "high")
+    loss_h, ari_h, wall_h, _ = run({key: "highest"}, adata, base)
+    loss_3, ari_3, wall_3, _ = run({key: cand}, adata, base)
 
-    print(f"\n=== SVGP precision quality at n = {n} spots, {epochs} epochs ===")
+    print(f"\n=== {key} quality at n = {n} spots, {epochs} epochs ===")
     print("mode             mean ARI   wall")
     print(f"highest (6-pass): {ari_h:.4f}   ({wall_h:.0f}s)")
     print(f"{cand:7s} (cand.) : {ari_3:.4f}   ({wall_3:.0f}s)  "

@@ -60,6 +60,14 @@ class SpaDOTNet(nn.Module):
     # "highest"; latent-extraction / KMeans-refresh SVGP calls always run
     # "highest" — they feed artifacts.
     svgp_matmul_precision: str = "high"
+    # matmul precision for the dense MLP GEMMs (SVGP-branch encoder +
+    # decoder). At MouseOrganogenesis gene counts (9,281) the decoder
+    # z->genes GEMM dominates the non-GAT FLOPs and still runs 6-pass f32
+    # under the global "highest"; "default" (1-pass bf16) is the candidate
+    # speed lever — UNGATED as of 2026-08-18 (quality A/B queued), so the
+    # default stays "highest". Latent extraction always runs "highest"
+    # (train/loop.py scopes it) — artifacts are unaffected by this knob.
+    mlp_matmul_precision: str = "highest"
 
     def setup(self):
         self.svgp_z_dim = self.z_dim // 2
@@ -144,6 +152,9 @@ def build_net(model_config: Dict[str, Any]) -> SpaDOTNet:
         ),
         svgp_matmul_precision=str(
             model_config.get("svgp_matmul_precision", "high")
+        ),
+        mlp_matmul_precision=str(
+            model_config.get("mlp_matmul_precision", "highest")
         ),
     )
 
@@ -290,10 +301,11 @@ def forward_batch(
     if mode in ("dual", "svgp"):
         # --- SVGP branch (encoder on batch rows only, SpaDOT.py:54) ---
         mutable = ["batch_stats"] if train else []
-        (qnet_mu, qnet_var), new_state = net.apply(
-            variables, y_b, train=train, mask=batch_mask,
-            method=SpaDOTNet.encode_svgp, mutable=mutable,
-        )
+        with jax.default_matmul_precision(net.mlp_matmul_precision):
+            (qnet_mu, qnet_var), new_state = net.apply(
+                variables, y_b, train=train, mask=batch_mask,
+                method=SpaDOTNet.encode_svgp, mutable=mutable,
+            )
         terms = svgp_batch_terms(
             x_b, qnet_mu, qnet_var, batch_mask, N_train,
             svgp_state["Z"], svgp_state["K_mm"], svgp_state["L_mm"],
@@ -396,7 +408,8 @@ def forward_batch(
     # --- decode + reconstruction (SpaDOT.py:87-89) ---
     parts = [s for s in (svgp_sample, gat_sample) if s is not None]
     latent = jnp.concatenate(parts, axis=1)
-    y_hat = net.apply(vars_nostats, latent, method=SpaDOTNet.decode)
+    with jax.default_matmul_precision(net.mlp_matmul_precision):
+        y_hat = net.apply(vars_nostats, latent, method=SpaDOTNet.decode)
     recon = jnp.sum(((y_b - y_hat) ** 2) * batch_mask[:, None]) / net.input_dim
 
     if mode == "dual":
