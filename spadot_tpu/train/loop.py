@@ -88,6 +88,20 @@ class Trainer:
         self.gat_window_dense_max = int(
             model_config.get("gat_window_dense_max", 10000)
         )
+        if self.gat_window > 0:
+            n_big = max(
+                int(data["tp_data"][tp]["Y"].shape[0])
+                for tp in self.timepoints
+            )
+            if n_big > 25_000:
+                logger.warning(
+                    "windowed GAT (gat_exact_batches: false) at %d spots: "
+                    "the approximation measurably diverged at 51k spots "
+                    "(NaN ~epoch 81, docs/performance.md) — the default "
+                    "exact receptive-closure mode is both edge-exact and "
+                    "faster at this scale; remove gat_exact_batches to "
+                    "use it", n_big,
+                )
         # stage a bfloat16 copy of the expression matrix for the GAT-branch
         # row gathers (pure HBM traffic — 6.6 ms/step at atlas from f32;
         # bf16 halves it). The gather result is upcast immediately
