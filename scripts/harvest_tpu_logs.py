@@ -6,14 +6,23 @@ the tail of non-JSON logs, so a tunnel window can be harvested at a glance:
 
     python scripts/harvest_tpu_logs.py [logdir]
 
-Decision guide (what each A/B decides; see scripts/tpu_session.sh):
-  bench_atlas_nobf16     -> if faster than bench_atlas, flip gat_bf16_gather default off
-  bench_atlas_pregather  -> if faster, flip gat_ext_pregather default on (atlas band)
-  bench_atlas_stream     -> if faster still, also flip batch_rows_stream on
-  bench_atlas_nobanded   -> if faster, banded closures lose at atlas scale
-  bench_ch_banded        -> if faster than bench_ch, banding wins even at P~1280
-  bench_ch_svgp_high     -> if faster at equal quality, svgp 'high' precision default
-  flash3_ti1024          -> if faster than banded.log's 8192 row, TI=1024 default
+Decision guide — 2026-08-18b queue (see scripts/tpu_session.sh):
+  bench_{ch,atlas,mouse}_r3final -> headline confirms at shipped defaults
+                            (expect ~0.127 / ~1.64 / ~0.216 s/epoch)
+  bench_*_mlp_default    -> speed side of the mlp_matmul_precision flip;
+                            biggest expected effect at mouse (9,281 genes)
+  mlp_quality            -> gate: flip mlp default to 'default' iff ARI
+                            delta within ~0.005 of highest AND finite
+                            (the bar the svgp 'high' flip cleared)
+  bench_atlas_svgp_default -> svgp 1-pass speed probe; only pursue the
+                            quality question if it beats 1.644 by >2%
+  svgp_default_quality   -> gate for svgp 1-pass (watch finiteness FIRST —
+                            'high' is the validated floor today)
+  bench_mouse_compound   -> both candidates together at mouse scale
+
+Harvested 2026-08-18a queue (decisions taken, docs/performance.md):
+  svgp 'high' default flipped; staging flags stayed off; banding global
+  criterion confirmed at both scales; TI=1024 left env-gated.
 """
 import json
 import os
