@@ -94,6 +94,7 @@ def main():
         # by examples/precision_quality.py)
         gat_matmul_precision="highest",
         svgp_matmul_precision="highest",
+        mlp_matmul_precision="highest",
     )
     if os.environ.get("SPADOT_PARITY_CFG"):
         # ad-hoc overrides, e.g. '{"gat_dense_max_n": 0}' to skip the dense

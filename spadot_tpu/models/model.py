@@ -61,13 +61,12 @@ class SpaDOTNet(nn.Module):
     # "highest" — they feed artifacts.
     svgp_matmul_precision: str = "high"
     # matmul precision for the dense MLP GEMMs (SVGP-branch encoder +
-    # decoder). At MouseOrganogenesis gene counts (9,281) the decoder
-    # z->genes GEMM dominates the non-GAT FLOPs and still runs 6-pass f32
-    # under the global "highest"; "default" (1-pass bf16) is the candidate
-    # speed lever — UNGATED as of 2026-08-18 (quality A/B queued), so the
-    # default stays "highest". Latent extraction always runs "highest"
-    # (train/loop.py scopes it) — artifacts are unaffected by this knob.
-    mlp_matmul_precision: str = "highest"
+    # decoder). "default" (1-pass bf16) is the quality-gated default
+    # (2026-08-18: 100-epoch ARI 0.9534 vs 0.9531 at highest, finite —
+    # docs/tpu_logs/mlp_quality.log; −1.8..−2.2% epoch time at all three
+    # bench scales). Parity runs pin "highest". Latent extraction always
+    # runs "highest" (train/loop.py scopes it) — artifacts unaffected.
+    mlp_matmul_precision: str = "default"
 
     def setup(self):
         self.svgp_z_dim = self.z_dim // 2
@@ -154,7 +153,7 @@ def build_net(model_config: Dict[str, Any]) -> SpaDOTNet:
             model_config.get("svgp_matmul_precision", "high")
         ),
         mlp_matmul_precision=str(
-            model_config.get("mlp_matmul_precision", "highest")
+            model_config.get("mlp_matmul_precision", "default")
         ),
     )
 
