@@ -33,15 +33,58 @@ def _deep_merge(base: dict, override: dict) -> dict:
     return out
 
 
+# One-switch bundles for the scoped matmul-precision knobs. "parity" pins
+# every branch to true f32 (the setting every reference-parity study in
+# docs/parity uses); "fast" is the shipped quality-gated speed default
+# (spelled out so a config that says `precision_preset: fast` is explicit
+# about what it runs). A knob the user sets directly always wins.
+_PRECISION_PRESETS = {
+    "parity": {
+        "gat_matmul_precision": "highest",
+        "svgp_matmul_precision": "highest",
+        "mlp_matmul_precision": "highest",
+    },
+    "fast": {
+        "gat_matmul_precision": "default",
+        "svgp_matmul_precision": "high",
+        "mlp_matmul_precision": "default",
+    },
+}
+
+
+def apply_precision_preset(config: dict, user_keys=()) -> dict:
+    """Resolve ``precision_preset`` into the scoped precision knobs.
+
+    Keys in ``user_keys`` (the ones the user's own config set explicitly)
+    are left untouched, so a preset can be combined with a targeted
+    override like ``svgp_matmul_precision: highest``.
+    """
+    preset = config.get("precision_preset")
+    if preset in (None, "", "none", "null"):
+        return config
+    try:
+        values = _PRECISION_PRESETS[str(preset).lower()]
+    except KeyError:
+        raise ValueError(
+            f"Unknown precision_preset {preset!r}; expected one of "
+            f"{sorted(_PRECISION_PRESETS)} or null"
+        )
+    for key, value in values.items():
+        if key not in user_keys:
+            config[key] = value
+    return config
+
+
 def load_model_config(args) -> dict:
     """Load config: the packaged default, overlaid with ``args.config`` if given."""
     config = default_config()
+    user = {}
     user_path = getattr(args, "config", None)
     if user_path:
         with open(user_path, "r") as f:
             user = yaml.safe_load(f) or {}
         config = _deep_merge(config, user)
-    return config
+    return apply_precision_preset(config, user_keys=set(user))
 
 
 def resolve_dtype(config: dict):

@@ -1,0 +1,71 @@
+"""Config-system tests: deep merge + the precision_preset bundle.
+
+The preset is sugar over the scoped matmul-precision knobs
+(config.yaml "TPU-native additions"); the contract under test is that a
+user-set knob always beats the preset and unknown presets fail loudly.
+"""
+import argparse
+
+import pytest
+import yaml
+
+from spadot_tpu.config import apply_precision_preset, default_config, load_model_config
+
+
+def _args(tmp_path, user: dict):
+    path = tmp_path / "cfg.yaml"
+    path.write_text(yaml.safe_dump(user))
+    return argparse.Namespace(config=str(path))
+
+
+def test_default_has_no_preset():
+    cfg = default_config()
+    assert cfg["precision_preset"] is None
+    # shipped speed defaults (quality-gated; see config.yaml comments)
+    assert cfg["gat_matmul_precision"] == "default"
+    assert cfg["svgp_matmul_precision"] == "high"
+    assert cfg["mlp_matmul_precision"] == "default"
+
+
+def test_parity_preset_pins_all_three(tmp_path):
+    cfg = load_model_config(_args(tmp_path, {"precision_preset": "parity"}))
+    assert cfg["gat_matmul_precision"] == "highest"
+    assert cfg["svgp_matmul_precision"] == "highest"
+    assert cfg["mlp_matmul_precision"] == "highest"
+
+
+def test_fast_preset_is_the_shipped_default(tmp_path):
+    fast = load_model_config(_args(tmp_path, {"precision_preset": "fast"}))
+    plain = load_model_config(_args(tmp_path, {}))
+    for key in ("gat_matmul_precision", "svgp_matmul_precision",
+                "mlp_matmul_precision"):
+        assert fast[key] == plain[key]
+
+
+def test_user_knob_beats_preset(tmp_path):
+    cfg = load_model_config(_args(tmp_path, {
+        "precision_preset": "parity",
+        "svgp_matmul_precision": "high",
+    }))
+    assert cfg["svgp_matmul_precision"] == "high"  # explicit user choice kept
+    assert cfg["gat_matmul_precision"] == "highest"
+    assert cfg["mlp_matmul_precision"] == "highest"
+
+
+def test_unknown_preset_raises(tmp_path):
+    with pytest.raises(ValueError, match="precision_preset"):
+        load_model_config(_args(tmp_path, {"precision_preset": "turbo"}))
+
+
+def test_apply_preset_direct_dict():
+    cfg = default_config()
+    cfg["precision_preset"] = "parity"
+    out = apply_precision_preset(cfg)
+    assert out["gat_matmul_precision"] == "highest"
+
+
+def test_deep_merge_nested_ot_config(tmp_path):
+    cfg = load_model_config(_args(tmp_path, {"ot_config": {"epsilon": 0.2}}))
+    assert cfg["ot_config"]["epsilon"] == 0.2
+    # untouched sibling keys survive the merge
+    assert cfg["ot_config"]["growth_iters"] == 3
