@@ -41,46 +41,29 @@ run_step() {
   fi
 }
 
-# --- 2026-08-18b queue (written after the svgp 'high' default flip; the
-# previous 17-step queue completed and was harvested into docs/performance.md)
+# --- 2026-08-18c queue (written after the 18b harvest: mlp 1-pass flipped,
+# svgp 1-pass ruled out — NaN latents -> OT overflow at every scale).
 
-# 1-3. headline confirms at the shipped round-3 defaults (svgp high is now
-# the default — these are the numbers BENCH_r03.json should reproduce)
-run_step bench_ch_r3final timeout 3600 python bench.py
-run_step bench_atlas_r3final timeout 3600 env BENCH_MODE=atlas python bench.py
-run_step bench_mouse_r3final timeout 3600 env BENCH_MODE=mouse python bench.py
+# 1. Multi-seed composite-precision quality study: fast preset (shipped
+# defaults) vs parity preset (all highest), 5 training seeds on identical
+# ChickenHeart-shaped data. Answers whether the golden-refresh ARI gap
+# (0.961 vs 0.982, single seed) is run-to-run noise or a real compounding
+# cost of the three quality-gated precision flips. ~2 compiles + 10 cached
+# trains.
+run_step quality_multiseed timeout 10800 python examples/quality_multiseed.py
 
-# 4-6. mlp_matmul_precision=default (1-pass bf16 for the SVGP-encoder +
-# decoder GEMMs — the z->genes decoder dominates non-GAT FLOPs at 9k genes,
-# so mouse scale is where this should matter most)
-run_step bench_mouse_mlp_default timeout 3600 \
-  env BENCH_MODE=mouse BENCH_CFG='{"mlp_matmul_precision": "default"}' \
-  python bench.py
-run_step bench_ch_mlp_default timeout 3600 \
-  env BENCH_CFG='{"mlp_matmul_precision": "default"}' python bench.py
-run_step bench_atlas_mlp_default timeout 3600 \
-  env BENCH_MODE=atlas BENCH_CFG='{"mlp_matmul_precision": "default"}' \
-  python bench.py
+# 2-3. Branch-ablation decomposition at the CURRENT round-3 defaults
+# (the documented where-the-time-goes split predates exact closures,
+# flash3b and the precision flips): encoder_mode svgp|gat isolates each
+# branch's epoch share at CH scale.
+run_step bench_ch_svgp_only timeout 3600 \
+  env BENCH_CFG='{"encoder_mode": "svgp"}' python bench.py
+run_step bench_ch_gat_only timeout 3600 \
+  env BENCH_CFG='{"encoder_mode": "gat"}' python bench.py
 
-# 7. mlp 1-pass quality gate (flip criterion: ARI delta within ~0.005 of
-# highest AND finite throughout, same bar the svgp 'high' flip cleared)
-run_step mlp_quality timeout 5400 \
-  env SPADOT_PREC_KEY=mlp_matmul_precision SPADOT_SVGP_CAND=default \
-  python examples/svgp_precision_quality.py
-
-# 8. svgp 1-pass speed probe (atlas; only worth a quality gate if this
-# shows a real win over the shipped 3-pass 1.644)
-run_step bench_atlas_svgp_default timeout 3600 \
-  env BENCH_MODE=atlas BENCH_CFG='{"svgp_matmul_precision": "default"}' \
-  python bench.py
-
-# 9. svgp 1-pass quality gate (the risky one: 'high' kept the whitened
-# Cholesky PSD; 1-pass is unvalidated — watch finiteness first)
-run_step svgp_default_quality timeout 5400 \
-  env SPADOT_SVGP_CAND=default python examples/svgp_precision_quality.py
-
-# 10. compound: both unflipped candidates together at mouse scale
-run_step bench_mouse_compound timeout 3600 \
-  env BENCH_MODE=mouse \
-  BENCH_CFG='{"mlp_matmul_precision": "default", "svgp_matmul_precision": "default"}' \
-  python bench.py
+# 4-5. Same decomposition at atlas scale — picks the next atlas lever
+# (flash3b GAT vs SVGP terms vs everything-else residue at 1.64 s/epoch).
+run_step bench_atlas_svgp_only timeout 3600 \
+  env BENCH_MODE=atlas BENCH_CFG='{"encoder_mode": "svgp"}' python bench.py
+run_step bench_atlas_gat_only timeout 3600 \
+  env BENCH_MODE=atlas BENCH_CFG='{"encoder_mode": "gat"}' python bench.py
