@@ -1020,6 +1020,23 @@ class Trainer:
             cur, nxt = self.timepoints[i], self.timepoints[i + 1]
             if km["centers"].get(cur) is None or km["centers"].get(nxt) is None:
                 continue
+            # diagnose divergence at the source: non-finite centroids mean
+            # the TRAINING latents went NaN (not an OT-solver problem) —
+            # the classic trigger is under-precision linear algebra
+            # (svgp_matmul_precision below 'high' is measured to do this
+            # at every bench scale; see config.yaml). Without this check
+            # the failure surfaces as an opaque duality-gap overflow deep
+            # in the Sinkhorn engine.
+            for tp, c in ((cur, km["centers"][cur]), (nxt, km["centers"][nxt])):
+                if not np.all(np.isfinite(np.asarray(c))):
+                    raise FloatingPointError(
+                        f"KMeans centroids for timepoint {tp} are non-finite "
+                        "at the OT refresh — training latents have diverged "
+                        "(NaN/Inf). Check precision settings: "
+                        "svgp_matmul_precision must be 'high' or 'highest' "
+                        "(1-pass bf16 is known to destabilize the SVGP "
+                        "solves), and consider precision_preset: parity."
+                    )
             gamma = compute_transport_map(
                 np.asarray(km["centers"][cur], np.float64),
                 np.asarray(km["centers"][nxt], np.float64),

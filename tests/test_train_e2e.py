@@ -461,3 +461,22 @@ def test_run_epoch_restages_mutated_gammas():
     second = np.asarray(trainer._gamma_dev["0_1"])
     np.testing.assert_allclose(second, g)
     assert not np.allclose(first, second)
+
+
+def test_update_ot_diagnoses_nonfinite_centroids():
+    """Diverged training latents (NaN centroids) must fail at the OT refresh
+    with a message naming the precision knobs, not as an opaque duality-gap
+    overflow deep in the Sinkhorn engine (the failure mode the 2026-08-18b
+    svgp-1-pass probes hit at every bench scale)."""
+    from spadot_tpu.train.loop import Trainer
+
+    adata = make_synthetic_adata(n_per_tp=80, n_genes=20, n_tp=2)
+    cfg = _tiny_config(adata)
+    data = prepare_data(adata, cfg)
+    trainer = Trainer(cfg, data)
+    km = {
+        "centers": {0: np.full((3, 20), np.nan), 1: np.zeros((3, 20))},
+        "assign": {},
+    }
+    with pytest.raises(FloatingPointError, match="svgp_matmul_precision"):
+        trainer.update_ot(km, {})
