@@ -41,29 +41,19 @@ run_step() {
   fi
 }
 
-# --- 2026-08-18c queue (written after the 18b harvest: mlp 1-pass flipped,
-# svgp 1-pass ruled out — NaN latents -> OT overflow at every scale).
+# --- 2026-08-18d queue (after the SVGP trsm->gemm restructure: L_mm-derived
+# constants precomputed once, per-step triangular solves replaced by MXU
+# gemms — ops/svgp.py:svgp_shared).
 
-# 1. Multi-seed composite-precision quality study: fast preset (shipped
-# defaults) vs parity preset (all highest), 5 training seeds on identical
-# ChickenHeart-shaped data. Answers whether the golden-refresh ARI gap
-# (0.961 vs 0.982, single seed) is run-to-run noise or a real compounding
-# cost of the three quality-gated precision flips. ~2 compiles + 10 cached
-# trains.
-run_step quality_multiseed timeout 10800 python examples/quality_multiseed.py
+# 1-3. headline A/Bs at the shipped defaults (HLO changed -> fresh compiles)
+run_step bench_ch_svgpgemm timeout 3600 python bench.py
+run_step bench_atlas_svgpgemm timeout 3600 env BENCH_MODE=atlas python bench.py
+run_step bench_mouse_svgpgemm timeout 3600 env BENCH_MODE=mouse python bench.py
 
-# 2-3. Branch-ablation decomposition at the CURRENT round-3 defaults
-# (the documented where-the-time-goes split predates exact closures,
-# flash3b and the precision flips): encoder_mode svgp|gat isolates each
-# branch's epoch share at CH scale.
-run_step bench_ch_svgp_only timeout 3600 \
-  env BENCH_CFG='{"encoder_mode": "svgp"}' python bench.py
-run_step bench_ch_gat_only timeout 3600 \
-  env BENCH_CFG='{"encoder_mode": "gat"}' python bench.py
+# 4. quality re-gate on the new path: multi-seed fast-vs-parity composite
+# (the 2026-08-18c study measured +0.0051 ± 0.0096 on the PREVIOUS code)
+run_step quality_multiseed_svgpgemm timeout 10800 \
+  python examples/quality_multiseed.py
 
-# 4-5. Same decomposition at atlas scale — picks the next atlas lever
-# (flash3b GAT vs SVGP terms vs everything-else residue at 1.64 s/epoch).
-run_step bench_atlas_svgp_only timeout 3600 \
-  env BENCH_MODE=atlas BENCH_CFG='{"encoder_mode": "svgp"}' python bench.py
-run_step bench_atlas_gat_only timeout 3600 \
-  env BENCH_MODE=atlas BENCH_CFG='{"encoder_mode": "gat"}' python bench.py
+# 5. fresh per-op profile at CH scale (what replaced the 35% trsm/chol block)
+run_step profile_ch_svgpgemm timeout 3600 python scripts/profile_epoch.py 3

@@ -311,6 +311,8 @@ def forward_batch(
             kernel_scale=kernel_scale, jitter=jitter, kernel_type=kernel_type,
             m_mask=svgp_state.get("m_mask"),
             kl_const=svgp_state.get("kl_const", 0.0),
+            L_inv=svgp_state.get("L_inv"), C=svgp_state.get("C"),
+            M=svgp_state.get("M"), Kt_inv=svgp_state.get("Kt_inv"),
             matmul_precision=net.svgp_matmul_precision,
         )
         inside_elbo = jnp.sum(terms["recon"]) - (b_eff / N_train) * jnp.sum(terms["kl"])
@@ -496,6 +498,8 @@ def full_latent_ext(
             kernel_scale=kernel_scale, jitter=jitter, kernel_type=kernel_type,
             m_mask=svgp_state.get("m_mask"),
             kl_const=svgp_state.get("kl_const", 0.0),
+            L_inv=svgp_state.get("L_inv"), C=svgp_state.get("C"),
+            M=svgp_state.get("M"), Kt_inv=svgp_state.get("Kt_inv"),
         )
         parts.append(terms["p_m"])
     if mode in ("dual", "gat"):
@@ -553,6 +557,8 @@ def full_latent(net, variables, tp_data, svgp_state, *, kernel_scale, kernel_typ
             kernel_scale=kernel_scale, jitter=jitter, kernel_type=kernel_type,
             m_mask=svgp_state.get("m_mask"),
             kl_const=svgp_state.get("kl_const", 0.0),
+            L_inv=svgp_state.get("L_inv"), C=svgp_state.get("C"),
+            M=svgp_state.get("M"), Kt_inv=svgp_state.get("Kt_inv"),
         )
         parts.append(terms["p_m"])
     if mode in ("dual", "gat"):

@@ -37,12 +37,31 @@ def svgp_shared(Z, kernel_type="Gaussian", kernel_scale=0.1, jitter=1e-2):
     """Precompute quantities shared across batches and latent dims for a
     fixed inducing set Z (the reference keeps Z non-trainable: svgp.py:24-25).
 
-    Returns dict with K_mm and its jittered Cholesky L_mm (K_mm + jI = L Lᵀ).
+    Returns dict with K_mm, its jittered Cholesky L_mm (K̃ = K_mm + jI =
+    L Lᵀ), and the K̃-derived CONSTANTS of the whitened batch terms:
+
+      L_inv = L⁻¹,  C = L⁻¹ K_mm,  M = L⁻¹ K_mm L⁻ᵀ,  Kt_inv = K̃⁻¹.
+
+    Materializing L⁻¹/K̃⁻¹ once turns the per-training-step triangular
+    solves of `svgp_batch_terms` (U = L⁻¹K_mnᵀ with b right-hand sides, and
+    the per-dim cho_solve for K̃⁻¹μ̂) into plain MXU gemms — measured ~35%
+    of the ChickenHeart epoch was XLA's TriangularSolve/Cholesky
+    custom-call chain (scripts/profile_epoch.py, 2026-08-18). The explicit
+    inverse is at least as accurate as the reference, which materializes
+    `torch.linalg.inv(K_mm + jitter·I)` directly (svgp.py:65-66); here the
+    inverse still goes through the Cholesky and is computed once at
+    "highest" precision.
     """
     with jax.default_matmul_precision("highest"):
         K_mm = kernel_matrix(Z, Z, kernel_type, kernel_scale)
         L_mm = _jittered_chol(K_mm, jitter)
-    return {"Z": Z, "K_mm": K_mm, "L_mm": L_mm}
+        eye = jnp.eye(K_mm.shape[0], dtype=K_mm.dtype)
+        L_inv = solve_triangular(L_mm, eye, lower=True)
+        C = L_inv @ K_mm
+        M = C @ L_inv.T
+        Kt_inv = L_inv.T @ L_inv
+    return {"Z": Z, "K_mm": K_mm, "L_mm": L_mm, "L_inv": L_inv,
+            "C": C, "M": M, "Kt_inv": Kt_inv}
 
 
 def svgp_shared_padded(Z, m_max, kernel_type="Gaussian", kernel_scale=0.1,
@@ -86,11 +105,25 @@ def svgp_shared_padded(Z, m_max, kernel_type="Gaussian", kernel_scale=0.1,
     kl_const = 0.5 * pad * (
         np.log1p(jitter) - np.log(a + jitter) - 1.0 + a * a
     )
-    return (
-        {"Z": jnp.asarray(Zp), "K_mm": jnp.asarray(K), "L_mm": jnp.asarray(L)},
-        jnp.asarray(m_mask),
-        float(kl_const),
-    )
+
+    def _blockdiag(real, pad_scale):
+        out = np.zeros((m_max, m_max), dtype=dt)
+        out[:m, :m] = np.asarray(real)
+        if pad:
+            out[m:, m:] = pad_scale * np.eye(pad, dtype=dt)
+        return jnp.asarray(out)
+
+    # padded blocks of the K̃-derived constants, consistent with the
+    # blockdiag L above: L⁻¹ and C get 1/√(1+j)·I, M and K̃⁻¹ get 1/(1+j)·I
+    inv_sqrt = 1.0 / np.sqrt(1.0 + jitter)
+    state_p = {
+        "Z": jnp.asarray(Zp), "K_mm": jnp.asarray(K), "L_mm": jnp.asarray(L),
+        "L_inv": _blockdiag(state["L_inv"], inv_sqrt),
+        "C": _blockdiag(state["C"], inv_sqrt),
+        "M": _blockdiag(state["M"], a),
+        "Kt_inv": _blockdiag(state["Kt_inv"], a),
+    }
+    return state_p, jnp.asarray(m_mask), float(kl_const)
 
 
 @partial(jax.jit, static_argnames=("kernel_type", "matmul_precision"))
@@ -98,6 +131,7 @@ def svgp_batch_terms(
     x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
     kernel_scale=0.1, jitter=1e-2, kernel_type="Gaussian",
     m_mask=None, kl_const=0.0, matmul_precision="highest",
+    L_inv=None, C=None, M=None, Kt_inv=None,
 ):
     """Posterior means/vars and ELBO terms for one batch, all latent dims.
 
@@ -130,12 +164,14 @@ def svgp_batch_terms(
         return _svgp_batch_terms_impl(
             x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
             kernel_scale, jitter, kernel_type, m_mask, kl_const,
+            L_inv, C, M, Kt_inv,
         )
 
 
 def _svgp_batch_terms_impl(
     x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
     kernel_scale, jitter, kernel_type, m_mask=None, kl_const=0.0,
+    L_inv=None, C=None, M=None, Kt_inv=None,
 ):
     m = Z.shape[0]
     b_eff = jnp.maximum(jnp.sum(mask), 1.0)
@@ -145,10 +181,18 @@ def _svgp_batch_terms_impl(
     if m_mask is not None:
         K_nm = K_nm * m_mask[None, :]
     K_nn = kernel_diag(x, kernel_type, kernel_scale) * mask  # (b,)
-    # whitened quantities (K̃ = K_mm + jitter·I = L Lᵀ):
-    U = solve_triangular(L_mm, K_nm.T, lower=True)  # L⁻¹ K_mn (m, b)
-    C = solve_triangular(L_mm, K_mm, lower=True)  # L⁻¹ K_mm (m, m)
-    M = solve_triangular(L_mm, C.T, lower=True)  # L⁻¹ K_mm L⁻ᵀ (symmetric)
+    # whitened quantities (K̃ = K_mm + jitter·I = L Lᵀ). When the caller
+    # passes the precomputed K̃ constants (svgp_shared), the wide
+    # per-step triangular solves become MXU gemms — ~35% of the
+    # ChickenHeart epoch was this TriangularSolve/Cholesky custom-call
+    # chain (scripts/profile_epoch.py); the fallback solves keep direct
+    # callers (tests, ad-hoc use) working unchanged.
+    if L_inv is None:
+        U = solve_triangular(L_mm, K_nm.T, lower=True)  # L⁻¹ K_mn (m, b)
+        C = solve_triangular(L_mm, K_mm, lower=True)  # L⁻¹ K_mm (m, m)
+        M = solve_triangular(L_mm, C.T, lower=True)  # L⁻¹ K_mm L⁻ᵀ (sym.)
+    else:
+        U = L_inv @ K_nm.T  # L⁻¹ K_mn (m, b)
     diag_Qnn = jnp.sum(U * U, axis=0)  # diag(K_nm K̃⁻¹ K_mn)
 
     logdet_Kmm = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_mm)))
@@ -188,7 +232,10 @@ def _svgp_batch_terms_impl(
         # KL term (svgp.py:86-94); tr(K̃⁻¹ A_hat) = tr(M B⁻¹ M) = ‖R‖²_F
         L_A = _jittered_chol(A_hat, jitter)
         logdet_A = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_A)))
-        Kmm_inv_mu = cho_solve((L_mm, True), mu_hat)
+        if Kt_inv is None:
+            Kmm_inv_mu = cho_solve((L_mm, True), mu_hat)
+        else:
+            Kmm_inv_mu = Kt_inv @ mu_hat
         kl = 0.5 * (
             logdet_Kmm - logdet_A - m
             + jnp.sum(R * R)

@@ -660,6 +660,7 @@ class Trainer:
         # padded SVGP states (exact — ops/svgp.py:svgp_shared_padded)
         m_max = max(len(data["inducing_points"][tp]) for tp in tps)
         Zs, Ks, Ls, MMs, KCs = [], [], [], [], []
+        Lis, Cs, Ms, KTs = [], [], [], []
         for tp in tps:
             state, m_mask, kl_const = svgp_shared_padded(
                 jnp.asarray(data["inducing_points"][tp], self.dtype), m_max,
@@ -668,6 +669,10 @@ class Trainer:
             Zs.append(state["Z"])
             Ks.append(state["K_mm"])
             Ls.append(state["L_mm"])
+            Lis.append(state["L_inv"])
+            Cs.append(state["C"])
+            Ms.append(state["M"])
+            KTs.append(state["Kt_inv"])
             MMs.append(m_mask)
             KCs.append(kl_const)
         # batch tables: pad to nb_max with sentinel batches (valid = 0)
@@ -688,6 +693,8 @@ class Trainer:
             "nbr": jnp.asarray(NB), "nbr_mask": jnp.asarray(NM),
             "row_mask": jnp.asarray(RM), "N_train": jnp.asarray(Ntr),
             "Z": jnp.stack(Zs), "K_mm": jnp.stack(Ks), "L_mm": jnp.stack(Ls),
+            "L_inv": jnp.stack(Lis), "C": jnp.stack(Cs), "M": jnp.stack(Ms),
+            "Kt_inv": jnp.stack(KTs),
             "m_mask": jnp.stack(MMs),
             "kl_const": jnp.asarray(np.asarray(KCs, np_dt)),
             "batch_idx": jnp.asarray(BI), "batch_mask": jnp.asarray(BM),
@@ -844,7 +851,10 @@ class Trainer:
             tp_data["Y_gat"] = dyn(stacked["Y_gat"])
         svgp_state = {
             "Z": dyn(stacked["Z"]), "K_mm": dyn(stacked["K_mm"]),
-            "L_mm": dyn(stacked["L_mm"]), "m_mask": dyn(stacked["m_mask"]),
+            "L_mm": dyn(stacked["L_mm"]), "L_inv": dyn(stacked["L_inv"]),
+            "C": dyn(stacked["C"]), "M": dyn(stacked["M"]),
+            "Kt_inv": dyn(stacked["Kt_inv"]),
+            "m_mask": dyn(stacked["m_mask"]),
             "kl_const": stacked["kl_const"][t],
         }
         return tp_data, svgp_state
