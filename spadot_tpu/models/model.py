@@ -313,6 +313,7 @@ def forward_batch(
             kl_const=svgp_state.get("kl_const", 0.0),
             L_inv=svgp_state.get("L_inv"), C=svgp_state.get("C"),
             M=svgp_state.get("M"), Kt_inv=svgp_state.get("Kt_inv"),
+            F=svgp_state.get("F"), logdet_CCj=svgp_state.get("logdet_CCj"),
             matmul_precision=net.svgp_matmul_precision,
         )
         inside_elbo = jnp.sum(terms["recon"]) - (b_eff / N_train) * jnp.sum(terms["kl"])
@@ -500,6 +501,7 @@ def full_latent_ext(
             kl_const=svgp_state.get("kl_const", 0.0),
             L_inv=svgp_state.get("L_inv"), C=svgp_state.get("C"),
             M=svgp_state.get("M"), Kt_inv=svgp_state.get("Kt_inv"),
+            F=svgp_state.get("F"), logdet_CCj=svgp_state.get("logdet_CCj"),
         )
         parts.append(terms["p_m"])
     if mode in ("dual", "gat"):
@@ -559,6 +561,7 @@ def full_latent(net, variables, tp_data, svgp_state, *, kernel_scale, kernel_typ
             kl_const=svgp_state.get("kl_const", 0.0),
             L_inv=svgp_state.get("L_inv"), C=svgp_state.get("C"),
             M=svgp_state.get("M"), Kt_inv=svgp_state.get("Kt_inv"),
+            F=svgp_state.get("F"), logdet_CCj=svgp_state.get("logdet_CCj"),
         )
         parts.append(terms["p_m"])
     if mode in ("dual", "gat"):

@@ -40,7 +40,8 @@ def svgp_shared(Z, kernel_type="Gaussian", kernel_scale=0.1, jitter=1e-2):
     Returns dict with K_mm, its jittered Cholesky L_mm (K̃ = K_mm + jI =
     L Lᵀ), and the K̃-derived CONSTANTS of the whitened batch terms:
 
-      L_inv = L⁻¹,  C = L⁻¹ K_mm,  M = L⁻¹ K_mm L⁻ᵀ,  Kt_inv = K̃⁻¹.
+      L_inv = L⁻¹,  C = L⁻¹ K_mm,  M = L⁻¹ K_mm L⁻ᵀ,  Kt_inv = K̃⁻¹,
+      F = E⁻¹ L⁻¹ and logdet_CCj = logdet(CCᵀ + jI), where E Eᵀ = CCᵀ + jI.
 
     Materializing L⁻¹/K̃⁻¹ once turns the per-training-step triangular
     solves of `svgp_batch_terms` (U = L⁻¹K_mnᵀ with b right-hand sides, and
@@ -51,6 +52,16 @@ def svgp_shared(Z, kernel_type="Gaussian", kernel_scale=0.1, jitter=1e-2):
     `torch.linalg.inv(K_mm + jitter·I)` directly (svgp.py:65-66); here the
     inverse still goes through the Cholesky and is computed once at
     "highest" precision.
+
+    F/logdet_CCj drive the determinant-lemma form of the KL's jittered
+    logdet (see `_svgp_batch_terms_impl`): per latent dim,
+      logdet(A_hat + jI) = logdet_CCj + logdet(B̃) − logdet(B),
+    which replaces the per-dim G = Lb⁻¹C / A_hat = GᵀG gemms and the
+    SECOND, sequentially-dependent Cholesky (of A_hat + jI) with one more
+    independent, unconditionally-stable B̃ ⪰ I factorization — exact same
+    value (and exact same jitter semantics) by Sylvester's determinant
+    identity: det(jI + CᵀB⁻¹C) = det(jB + CCᵀ)/det(B) and
+    jB + CCᵀ = E(I + j·ratio·(E⁻¹U)Λ(E⁻¹U)ᵀ)Eᵀ.
     """
     with jax.default_matmul_precision("highest"):
         K_mm = kernel_matrix(Z, Z, kernel_type, kernel_scale)
@@ -60,8 +71,12 @@ def svgp_shared(Z, kernel_type="Gaussian", kernel_scale=0.1, jitter=1e-2):
         C = L_inv @ K_mm
         M = C @ L_inv.T
         Kt_inv = L_inv.T @ L_inv
+        E = _jittered_chol(C @ C.T, jitter)
+        logdet_CCj = 2.0 * jnp.sum(jnp.log(jnp.diagonal(E)))
+        F = solve_triangular(E, L_inv, lower=True)
     return {"Z": Z, "K_mm": K_mm, "L_mm": L_mm, "L_inv": L_inv,
-            "C": C, "M": M, "Kt_inv": Kt_inv}
+            "C": C, "M": M, "Kt_inv": Kt_inv, "F": F,
+            "logdet_CCj": logdet_CCj}
 
 
 def svgp_shared_padded(Z, m_max, kernel_type="Gaussian", kernel_scale=0.1,
@@ -114,7 +129,11 @@ def svgp_shared_padded(Z, m_max, kernel_type="Gaussian", kernel_scale=0.1,
         return jnp.asarray(out)
 
     # padded blocks of the K̃-derived constants, consistent with the
-    # blockdiag L above: L⁻¹ and C get 1/√(1+j)·I, M and K̃⁻¹ get 1/(1+j)·I
+    # blockdiag L above: L⁻¹ and C get 1/√(1+j)·I, M and K̃⁻¹ get 1/(1+j)·I;
+    # E's padded block is √(a+j)·I (from CCᵀ+jI -> (a+j)·I), so
+    # F = E⁻¹L⁻¹ gets 1/√((a+j)(1+j))·I and logdet_CCj grows by
+    # pad·log(a+j) — exactly the per-slot logdet_A constant kl_const
+    # subtracts, keeping the padded ELBO equal to the unpadded one.
     inv_sqrt = 1.0 / np.sqrt(1.0 + jitter)
     state_p = {
         "Z": jnp.asarray(Zp), "K_mm": jnp.asarray(K), "L_mm": jnp.asarray(L),
@@ -122,6 +141,10 @@ def svgp_shared_padded(Z, m_max, kernel_type="Gaussian", kernel_scale=0.1,
         "C": _blockdiag(state["C"], inv_sqrt),
         "M": _blockdiag(state["M"], a),
         "Kt_inv": _blockdiag(state["Kt_inv"], a),
+        "F": _blockdiag(state["F"], 1.0 / np.sqrt((a + jitter) * (1.0 + jitter))),
+        "logdet_CCj": jnp.asarray(
+            np.asarray(state["logdet_CCj"], dt) + pad * np.log(a + jitter)
+        ),
     }
     return state_p, jnp.asarray(m_mask), float(kl_const)
 
@@ -131,7 +154,7 @@ def svgp_batch_terms(
     x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
     kernel_scale=0.1, jitter=1e-2, kernel_type="Gaussian",
     m_mask=None, kl_const=0.0, matmul_precision="highest",
-    L_inv=None, C=None, M=None, Kt_inv=None,
+    L_inv=None, C=None, M=None, Kt_inv=None, F=None, logdet_CCj=None,
 ):
     """Posterior means/vars and ELBO terms for one batch, all latent dims.
 
@@ -164,14 +187,14 @@ def svgp_batch_terms(
         return _svgp_batch_terms_impl(
             x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
             kernel_scale, jitter, kernel_type, m_mask, kl_const,
-            L_inv, C, M, Kt_inv,
+            L_inv, C, M, Kt_inv, F, logdet_CCj,
         )
 
 
 def _svgp_batch_terms_impl(
     x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
     kernel_scale, jitter, kernel_type, m_mask=None, kl_const=0.0,
-    L_inv=None, C=None, M=None, Kt_inv=None,
+    L_inv=None, C=None, M=None, Kt_inv=None, F=None, logdet_CCj=None,
 ):
     m = Z.shape[0]
     b_eff = jnp.maximum(jnp.sum(mask), 1.0)
@@ -191,8 +214,12 @@ def _svgp_batch_terms_impl(
         U = solve_triangular(L_mm, K_nm.T, lower=True)  # L⁻¹ K_mn (m, b)
         C = solve_triangular(L_mm, K_mm, lower=True)  # L⁻¹ K_mm (m, m)
         M = solve_triangular(L_mm, C.T, lower=True)  # L⁻¹ K_mm L⁻ᵀ (sym.)
+        V = None
     else:
         U = L_inv @ K_nm.T  # L⁻¹ K_mn (m, b)
+        # V drives the determinant-lemma logdet_A (see svgp_shared):
+        # E⁻¹L⁻¹K_mn — shared across latent dims, one gemm per batch
+        V = F @ K_nm.T if F is not None else None
     diag_Qnn = jnp.sum(U * U, axis=0)  # diag(K_nm K̃⁻¹ K_mn)
 
     logdet_Kmm = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_mm)))
@@ -224,14 +251,30 @@ def _svgp_batch_terms_impl(
         diag_Snn = jnp.sum(S * S, axis=0)
         p_v = K_nn - diag_Qnn + diag_Snn
         p_v = jnp.maximum(p_v, 1e-10)  # guard for the sqrt in sampling
-        # mu_hat / A_hat (svgp.py:81-82); A_hat = Cᵀ B⁻¹ C = GᵀG is PSD by
-        # construction (G = Lb⁻¹ C)
+        # mu_hat (svgp.py:81-82); A_hat = Cᵀ B⁻¹ C
         mu_hat = ratio * (C.T @ (Lb_inv.T @ t))  # ratio·K_mm Σ̃⁻¹ rhs (m,)
-        G = Lb_inv @ C
-        A_hat = G.T @ G
         # KL term (svgp.py:86-94); tr(K̃⁻¹ A_hat) = tr(M B⁻¹ M) = ‖R‖²_F
-        L_A = _jittered_chol(A_hat, jitter)
-        logdet_A = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_A)))
+        if V is not None:
+            # determinant-lemma form of the reference's jittered logdet
+            # (exact same value — Sylvester: det(jI + CᵀB⁻¹C) =
+            # det(jB + CCᵀ)/det(B), and jB + CCᵀ = E B̃ Eᵀ with
+            # B̃ = I + j·ratio·VΛVᵀ ⪰ I): replaces the G = Lb⁻¹C and
+            # A_hat = GᵀG gemms plus the SECOND, Lb-dependent Cholesky
+            # with one more independent, unconditionally-stable
+            # factorization — the serial chol→trsm→gemm→chol chain
+            # becomes chol ∥ chol → trsm.
+            Bt = eye_m + (jitter * ratio) * (V * prec[None, :]) @ V.T
+            Lbt = cholesky(Bt, lower=True)
+            logdet_A = (
+                logdet_CCj
+                + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lbt)))
+                - 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lb)))
+            )
+        else:
+            G = Lb_inv @ C
+            A_hat = G.T @ G  # PSD by construction
+            L_A = _jittered_chol(A_hat, jitter)
+            logdet_A = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_A)))
         if Kt_inv is None:
             Kmm_inv_mu = cho_solve((L_mm, True), mu_hat)
         else:

@@ -660,7 +660,7 @@ class Trainer:
         # padded SVGP states (exact — ops/svgp.py:svgp_shared_padded)
         m_max = max(len(data["inducing_points"][tp]) for tp in tps)
         Zs, Ks, Ls, MMs, KCs = [], [], [], [], []
-        Lis, Cs, Ms, KTs = [], [], [], []
+        Lis, Cs, Ms, KTs, Fs, LCs = [], [], [], [], [], []
         for tp in tps:
             state, m_mask, kl_const = svgp_shared_padded(
                 jnp.asarray(data["inducing_points"][tp], self.dtype), m_max,
@@ -673,6 +673,8 @@ class Trainer:
             Cs.append(state["C"])
             Ms.append(state["M"])
             KTs.append(state["Kt_inv"])
+            Fs.append(state["F"])
+            LCs.append(state["logdet_CCj"])
             MMs.append(m_mask)
             KCs.append(kl_const)
         # batch tables: pad to nb_max with sentinel batches (valid = 0)
@@ -694,7 +696,8 @@ class Trainer:
             "row_mask": jnp.asarray(RM), "N_train": jnp.asarray(Ntr),
             "Z": jnp.stack(Zs), "K_mm": jnp.stack(Ks), "L_mm": jnp.stack(Ls),
             "L_inv": jnp.stack(Lis), "C": jnp.stack(Cs), "M": jnp.stack(Ms),
-            "Kt_inv": jnp.stack(KTs),
+            "Kt_inv": jnp.stack(KTs), "F": jnp.stack(Fs),
+            "logdet_CCj": jnp.stack(LCs),
             "m_mask": jnp.stack(MMs),
             "kl_const": jnp.asarray(np.asarray(KCs, np_dt)),
             "batch_idx": jnp.asarray(BI), "batch_mask": jnp.asarray(BM),
@@ -853,7 +856,8 @@ class Trainer:
             "Z": dyn(stacked["Z"]), "K_mm": dyn(stacked["K_mm"]),
             "L_mm": dyn(stacked["L_mm"]), "L_inv": dyn(stacked["L_inv"]),
             "C": dyn(stacked["C"]), "M": dyn(stacked["M"]),
-            "Kt_inv": dyn(stacked["Kt_inv"]),
+            "Kt_inv": dyn(stacked["Kt_inv"]), "F": dyn(stacked["F"]),
+            "logdet_CCj": stacked["logdet_CCj"][t],
             "m_mask": dyn(stacked["m_mask"]),
             "kl_const": stacked["kl_const"][t],
         }

@@ -199,3 +199,52 @@ def test_svgp_extreme_scale_stays_finite(rng):
     )
     for k in ("p_m", "p_v", "recon", "kl"):
         assert np.isfinite(np.asarray(out[k])).all(), k
+
+
+def test_constant_fed_path_matches_fallback(rng):
+    """The precomputed-constant fast path (L_inv/C/M/Kt_inv gemms + the
+    determinant-lemma logdet via F/logdet_CCj) must equal the triangular-
+    solve fallback to machine precision — values AND gradients. The lemma:
+    det(jI + CᵀB⁻¹C) = det(jB + CCᵀ)/det(B) with jB + CCᵀ = E B̃ Eᵀ,
+    B̃ = I + j·ratio·(E⁻¹U)Λ(E⁻¹U)ᵀ — same jitter semantics as the
+    reference's chol(A_hat + jI) (svgp.py:88)."""
+    from spadot_tpu.ops.svgp import svgp_shared_padded
+
+    m, b, L = 37, 53, 4
+    Z = jnp.asarray(rng.uniform(0, 10, (m, 2)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 10, (b, 2)), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=(b, L)), jnp.float32)
+    var = jnp.asarray(rng.uniform(0.5, 2.0, (b, L)), jnp.float32)
+    mask = jnp.asarray((rng.uniform(size=b) > 0.2).astype(np.float32))
+    st = svgp_shared(Z)
+    consts = dict(
+        L_inv=st["L_inv"], C=st["C"], M=st["M"], Kt_inv=st["Kt_inv"],
+        F=st["F"], logdet_CCj=st["logdet_CCj"],
+    )
+    old = svgp_batch_terms(x, mu, var, mask, 400.0,
+                           st["Z"], st["K_mm"], st["L_mm"])
+    new = svgp_batch_terms(x, mu, var, mask, 400.0,
+                           st["Z"], st["K_mm"], st["L_mm"], **consts)
+    for k in ("p_m", "p_v", "recon", "kl"):
+        np.testing.assert_allclose(old[k], new[k], rtol=2e-5, atol=1e-5)
+
+    # padded constants stay exactly inert
+    stp, mm, kc = svgp_shared_padded(Z, m + 11)
+    pad = svgp_batch_terms(
+        x, mu, var, mask, 400.0, stp["Z"], stp["K_mm"], stp["L_mm"],
+        m_mask=mm, kl_const=kc,
+        L_inv=stp["L_inv"], C=stp["C"], M=stp["M"], Kt_inv=stp["Kt_inv"],
+        F=stp["F"], logdet_CCj=stp["logdet_CCj"],
+    )
+    for k in ("recon", "kl"):
+        np.testing.assert_allclose(old[k], pad[k], rtol=2e-5, atol=1e-4)
+
+    def kl_sum(path_consts):
+        def f(v):
+            return jnp.sum(svgp_batch_terms(
+                x, mu, v, mask, 400.0, st["Z"], st["K_mm"], st["L_mm"],
+                **path_consts)["kl"])
+        return jax.grad(f)(var)
+
+    g_old, g_new = kl_sum({}), kl_sum(consts)
+    np.testing.assert_allclose(g_old, g_new, rtol=5e-4, atol=5e-4)
