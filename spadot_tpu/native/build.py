@@ -9,25 +9,40 @@ import os
 import subprocess
 import threading
 
-_SRC = os.path.join(os.path.dirname(__file__), "ot_cpu.cpp")
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "ot_cpu.cpp")
 _lock = threading.Lock()
 
 
+def _lib_path(libname):
+    cache_dir = os.environ.get("SPADOT_NATIVE_CACHE", _DIR)
+    return os.path.join(cache_dir, libname)
+
+
 def lib_path():
-    cache_dir = os.environ.get("SPADOT_NATIVE_CACHE", os.path.dirname(__file__))
-    return os.path.join(cache_dir, "libspadot_ot.so")
+    return _lib_path("libspadot_ot.so")
 
 
-def ensure_built(force=False):
-    path = lib_path()
+def _ensure(src, libname, force=False):
+    path = _lib_path(libname)
     with _lock:
         if force or not os.path.exists(path) or (
-            os.path.getmtime(path) < os.path.getmtime(_SRC)
+            os.path.getmtime(path) < os.path.getmtime(src)
         ):
             cmd = [
                 "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
                 "-march=native", "-funroll-loops",
-                _SRC, "-o", path,
+                src, "-o", path,
             ]
             subprocess.run(cmd, check=True, capture_output=True)
     return path
+
+
+def ensure_built(force=False):
+    return _ensure(_SRC, "libspadot_ot.so", force)
+
+
+def ensure_built_louvain(force=False):
+    return _ensure(
+        os.path.join(_DIR, "louvain_cpu.cpp"), "libspadot_louvain.so", force
+    )

@@ -14,6 +14,16 @@ from spadot_tpu.utils.logging import logger
 
 
 def pca(X, n_comps=50):
+    """Top-`n_comps` PCA scores via the smaller-side Gram eigendecomposition.
+
+    Exact (not randomized): the leading eigenvectors of XcᵀXc (or XcXcᵀ,
+    whichever side is smaller) span the same principal subspace as the SVD's,
+    so the returned scores match `U S` up to per-component sign — and every
+    consumer (gauss-kNN distances in `gauss_knn_graph`) is sign-invariant.
+    A full `gesdd` SVD of a (3k, 2.5k) float64 residual matrix costs ~28 s
+    on one host core for 50 wanted components; the d² gemm + 50-vector
+    `syevr` subset costs ~2 s. Falls back to the full eigh when the subset
+    driver is unavailable."""
     X = np.asarray(X, dtype=np.float64)
     if not np.isfinite(X).all():
         # a non-finite residual row would abort the whole preprocess run in
@@ -23,22 +33,33 @@ def pca(X, n_comps=50):
             int((~np.isfinite(X)).sum()),
         )
         X = np.nan_to_num(X, nan=0.0, posinf=0.0, neginf=0.0)
+    from scipy.linalg import eigh
+
     Xc = X - X.mean(axis=0, keepdims=True)
-    n_comps = min(n_comps, min(Xc.shape) - 1)
+    n, d = Xc.shape
+    n_comps = min(n_comps, n - 1, d)
+    if d <= n:
+        G = Xc.T @ Xc  # (d, d)
+        try:
+            evals, V = eigh(G, subset_by_index=[d - n_comps, d - 1])
+        except Exception:
+            evals, V = np.linalg.eigh(G)
+            evals, V = evals[-n_comps:], V[:, -n_comps:]
+        return (Xc @ V[:, ::-1]).astype(np.float64)
+    G = Xc @ Xc.T  # (n, n)
     try:
-        U, S, Vt = np.linalg.svd(Xc, full_matrices=False)
-    except np.linalg.LinAlgError:
-        # rare LAPACK non-convergence: the (smaller-side) Gram eigendecomp
-        # is more robust; recover row scores as Xc V = U S directly
-        evals, V = np.linalg.eigh(Xc.T @ Xc)
-        order = np.argsort(evals)[::-1][:n_comps]
-        return (Xc @ V[:, order]).astype(np.float64)
-    return (U[:, :n_comps] * S[:n_comps]).astype(np.float64)
+        evals, U = eigh(G, subset_by_index=[n - n_comps, n - 1])
+    except Exception:
+        evals, U = np.linalg.eigh(G)
+        evals, U = evals[-n_comps:], U[:, -n_comps:]
+    scores = U * np.sqrt(np.maximum(evals, 0.0))[None, :]
+    return scores[:, ::-1].astype(np.float64)
 
 
-def gauss_knn_graph(X, n_neighbors=100, n_pcs=30):
+def gauss_knn_affinity(X, n_neighbors=100, n_pcs=30):
     """Adaptive gaussian affinities on the kNN graph (scanpy 'gauss'-style:
-    per-point bandwidth from the local neighbor-distance scale).
+    per-point bandwidth from the local neighbor-distance scale), as a
+    symmetric scipy CSR matrix.
 
     Built vectorized: weights computed as numpy arrays, symmetrized by
     elementwise max through one scipy sparse pass (a python edge loop here
@@ -56,27 +77,65 @@ def gauss_knn_graph(X, n_neighbors=100, n_pcs=30):
     cols = idx.ravel()
     w = np.exp(-(dist.ravel() ** 2) / (2.0 * sigma[rows] * sigma[cols]))
     A = sp.coo_matrix((w, (rows, cols)), shape=(n, n)).tocsr()
-    A = A.maximum(A.T)  # undirected, keep the larger directed weight
-    return nx.from_scipy_sparse_array(A)
+    return A.maximum(A.T)  # undirected, keep the larger directed weight
 
 
-def cluster_svgs(svg_mat, k=10, seed=1993):
+def gauss_knn_graph(X, n_neighbors=100, n_pcs=30):
+    """networkx view of `gauss_knn_affinity` (the slow-backend input)."""
+    return nx.from_scipy_sparse_array(gauss_knn_affinity(X, n_neighbors, n_pcs))
+
+
+def _louvain_backend(backend):
+    """Resolve 'auto' to the native C++ library when it builds/loads, else
+    networkx. env SPADOT_LOUVAIN={native,networkx} overrides for A/Bs."""
+    import os
+
+    backend = os.environ.get("SPADOT_LOUVAIN", backend or "auto")
+    if backend == "auto":
+        from spadot_tpu.native.louvain_cpu import louvain_available
+
+        return "native" if louvain_available() else "networkx"
+    return backend
+
+
+def cluster_svgs(svg_mat, k=10, seed=1993, backend="auto"):
     """Louvain-cluster genes (rows of svg_mat), raising resolution by 0.1
-    until >= k clusters (parity: _cluster_SVGs, _utils.py:195-221)."""
+    until >= k clusters (parity: _cluster_SVGs, _utils.py:195-221).
+
+    backend 'native' runs the C++ Louvain (native/louvain_cpu.cpp, ~100x
+    the networkx rung speed, identical partitions on structured graphs —
+    tests/test_preprocess.py differential test); 'networkx' keeps the
+    pure-Python reference implementation; 'auto' (default) prefers native."""
     comps = pca(svg_mat)
-    G = gauss_knn_graph(comps, n_neighbors=100, n_pcs=30)
+    A = gauss_knn_affinity(comps, n_neighbors=100, n_pcs=30)
+    backend = _louvain_backend(backend)
+    G = nx.from_scipy_sparse_array(A) if backend == "networkx" else None
     resolution = 1.0
     labels = None
     for _ in range(200):
-        communities = nx.community.louvain_communities(
-            G, weight="weight", resolution=resolution, seed=seed
-        )
-        labels = np.empty(svg_mat.shape[0], dtype=np.int64)
-        for c_i, members in enumerate(
-            sorted(communities, key=lambda c: -len(c))
-        ):
-            labels[list(members)] = c_i
-        if len(communities) >= k:
+        if backend == "native":
+            from spadot_tpu.native.louvain_cpu import louvain_csr
+
+            raw = louvain_csr(A, resolution=resolution, seed=seed)
+            # relabel communities by decreasing size (the networkx path
+            # sorts the same way below; keeps CSV cluster ids comparable)
+            ids, counts = np.unique(raw, return_counts=True)
+            order = ids[np.argsort(-counts, kind="stable")]
+            remap = np.empty(order.max() + 1, dtype=np.int64)
+            remap[order] = np.arange(len(order))
+            labels = remap[raw]
+            n_comm = len(ids)
+        else:
+            communities = nx.community.louvain_communities(
+                G, weight="weight", resolution=resolution, seed=seed
+            )
+            labels = np.empty(svg_mat.shape[0], dtype=np.int64)
+            for c_i, members in enumerate(
+                sorted(communities, key=lambda c: -len(c))
+            ):
+                labels[list(members)] = c_i
+            n_comm = len(communities)
+        if n_comm >= k:
             break
         resolution += 0.1
     logger.info(

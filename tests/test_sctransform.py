@@ -132,6 +132,23 @@ def test_svg_pca_sanitizes_nonfinite():
     assert np.isfinite(comps).all() and comps.shape == (50, 5)
 
 
+def test_svg_pca_matches_svd_both_orientations():
+    """The Gram-side eigendecomposition must reproduce the SVD scores U·S
+    exactly (up to per-component sign — consumers are distance-based) on
+    both tall and wide inputs."""
+    from spadot_tpu.preprocess.louvain import pca
+
+    rng = np.random.default_rng(7)
+    for shape in [(90, 60), (60, 90)]:
+        X = rng.normal(size=shape)
+        Xc = X - X.mean(0, keepdims=True)
+        U, S, _ = np.linalg.svd(Xc, full_matrices=False)
+        ref = U[:, :20] * S[:20]
+        got = pca(X, n_comps=20)
+        sgn = np.sign(np.sum(got * ref, axis=0))
+        np.testing.assert_allclose(got * sgn, ref, atol=1e-9)
+
+
 def test_bw_sj_reasonable(rng):
     x = rng.normal(0, 1, 500)
     bw = bw_sj(x)
