@@ -216,10 +216,19 @@ def _svgp_batch_terms_impl(
         M = solve_triangular(L_mm, C.T, lower=True)  # L⁻¹ K_mm L⁻ᵀ (sym.)
         V = None
     else:
-        U = L_inv @ K_nm.T  # L⁻¹ K_mn (m, b)
-        # V drives the determinant-lemma logdet_A (see svgp_shared):
-        # E⁻¹L⁻¹K_mn — shared across latent dims, one gemm per batch
-        V = F @ K_nm.T if F is not None else None
+        # These gemms REPLACE f32 triangular-solve custom calls (which
+        # ignored the ambient matmul precision), so they must not inherit
+        # the training scope's 'high' 3-pass bf16: at atlas scale
+        # (m=600, b=4096, ratio≈25) the extra error in U compounds through
+        # B = I + ratio·UΛUᵀ and NaN'd the latents by the first OT refresh
+        # (docs/tpu_logs/bench_atlas_svgpgemm.log, 2026-08-19). Scoping
+        # them 'highest' restores custom-call-equivalent numerics; both
+        # run once per step (not per latent dim), so the cost is noise.
+        with jax.default_matmul_precision("highest"):
+            U = L_inv @ K_nm.T  # L⁻¹ K_mn (m, b)
+            # V drives the determinant-lemma logdet_A (see svgp_shared):
+            # E⁻¹L⁻¹K_mn — shared across latent dims, one gemm per batch
+            V = F @ K_nm.T if F is not None else None
     diag_Qnn = jnp.sum(U * U, axis=0)  # diag(K_nm K̃⁻¹ K_mn)
 
     logdet_Kmm = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_mm)))
@@ -278,7 +287,10 @@ def _svgp_batch_terms_impl(
         if Kt_inv is None:
             Kmm_inv_mu = cho_solve((L_mm, True), mu_hat)
         else:
-            Kmm_inv_mu = Kt_inv @ mu_hat
+            # replaces a cho_solve custom call — keep custom-call-grade
+            # precision (see the U/V scope above); (m, m)·(m,) per dim
+            with jax.default_matmul_precision("highest"):
+                Kmm_inv_mu = Kt_inv @ mu_hat
         kl = 0.5 * (
             logdet_Kmm - logdet_A - m
             + jnp.sum(R * R)
