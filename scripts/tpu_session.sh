@@ -57,3 +57,18 @@ run_step quality_multiseed_svgpgemm timeout 10800 \
 
 # 5. fresh per-op profile at CH scale (what replaced the 35% trsm/chol block)
 run_step profile_ch_svgpgemm timeout 3600 python scripts/profile_epoch.py 3
+
+# 6. attribution A/B: atlas with static closure adjacencies forced OFF
+# (the 'auto' default builds them when the 4 GiB budget allows — this pins
+# the contribution of dropping the 5.9 ms/step mask scatter; CLAUDE.md
+# lists the measurement as pending from the 2026-08-18 outage)
+run_step bench_atlas_staticoff timeout 3600 \
+  env BENCH_MODE=atlas BENCH_CFG='{"gat_ext_static_adj": false}' python bench.py
+
+# --- 2026-08-19 follow-ups (svgp precision pin, db43632) ---
+# 7. CH re-measure with the pinned solve-replacement gemms (the step-1 CH
+# number above ran the UNPINNED code; atlas NaN'd on it — the pinned-path
+# number is what BENCH_r03 will reflect). The failed unpinned atlas log is
+# preserved as bench_atlas_svgpgemm_nan.log; the step-2 retry on re-fire
+# overwrites bench_atlas_svgpgemm.log with the pinned run.
+run_step bench_ch_svgpfix timeout 3600 python bench.py
