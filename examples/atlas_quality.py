@@ -1,0 +1,91 @@
+"""Atlas-scale training quality: domain-recovery ARI at 100k+ spots/tp.
+
+The atlas bench (BENCH_MODE=atlas) measures per-epoch wall-clock at
+2 x 102,400 spots but no quality number existed at that scale — the
+largest quality study was the 1-timepoint 51k stress run
+(docs/tpu_logs/windowed_quality_51k.log), which cannot exercise the OT
+coupling loss between timepoints. This script trains the shipped atlas
+configuration (exact receptive-closure minibatch GAT, batch 4096, speed
+precision defaults) on synthetic multi-timepoint data with ground-truth
+domains, then reports per-timepoint and mean KMeans-vs-truth ARI of the
+final latents plus loss-trajectory finiteness.
+
+Usage: python examples/atlas_quality.py [n_per_tp] [epochs] [genes] [n_tp]
+Defaults mirror the atlas bench: 102400 x 2 tps x 2954 genes, 100 epochs.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 102400
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    genes = int(sys.argv[3]) if len(sys.argv) > 3 else 2954
+    n_tp = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+
+    import jax
+
+    if os.environ.get("BENCH_DEVICE", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/spadot_jax_cache")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from _synthetic import make_synthetic_adata
+    from sklearn.metrics import adjusted_rand_score
+
+    from spadot_tpu.config import default_config
+    from spadot_tpu.data.pipeline import prepare_data
+    from spadot_tpu.ops.kmeans import kmeans_fit
+    from spadot_tpu.train.loop import get_latent, train_spadot
+    from spadot_tpu.utils.rng import set_seed
+
+    adata = make_synthetic_adata(
+        n_per_tp=n, n_genes=genes, n_tp=n_tp, n_domains=7, seed=3
+    )
+    cfg = default_config()
+    # the shipped atlas configuration (bench.py atlas mode)
+    cfg.update(
+        input_dim=genes, timepoints=list(range(n_tp)), maxiter=epochs,
+        n_clusters=7, batch_size=4096, full_graph_gat=False, gat_window=2048,
+    )
+    set_seed(int(cfg["seed"]))
+    data = prepare_data(adata, cfg)
+    t0 = time.time()
+    trainer, variables, _, _, loss_df = train_spadot(data, cfg)
+    wall = time.time() - t0
+    lat = get_latent(trainer, variables, data, adata)
+
+    aris = []
+    for tp in trainer.timepoints:
+        rows = lat.obs["timepoint"].to_numpy() == tp
+        X = np.asarray(lat.X[rows])
+        _, labels, _ = kmeans_fit(
+            jax.random.PRNGKey(7), X, int(cfg["n_clusters"]), n_init=10, n_iter=100
+        )
+        aris.append(
+            adjusted_rand_score(
+                np.asarray(labels), lat.obs["true_domain"].to_numpy()[rows]
+            )
+        )
+
+    finite = bool(np.isfinite(loss_df.to_numpy(dtype=np.float64)).all())
+    print(f"\n=== atlas-scale quality: {n_tp} tps x {n} spots, {genes} genes, "
+          f"{epochs} epochs ===")
+    print(f"train wall: {wall:.0f}s   loss trajectory finite: {finite}")
+    for tp, a in zip(trainer.timepoints, aris):
+        print(f"  tp {tp}: ARI {a:.4f}")
+    print(f"mean domain ARI: {np.mean(aris):.4f}")
+    print("final-epoch losses:")
+    print(loss_df.tail(1).to_string(index=False))
+
+
+if __name__ == "__main__":
+    main()
