@@ -20,8 +20,10 @@ run (n_tp timepoints x n_per_tp cells, 20-dim latents, 7 domains):
   5. transition dotplot (_analyze_utils.py:166-209)
 
 Usage: python scripts/bench_analyze.py [n_per_tp] [n_tp] [backend] [elbow]
-Prints one wall-clock line per phase + a total; results are recorded in
-docs/performance.md.
+SPADOT_BENCH_PHASES (comma list of plots,ot — default both; clustering
+always runs since its labels feed OT) skips phases, e.g. a host-sklearn
+clustering comparison need not re-pay the OT phase. Prints one wall-clock
+line per phase + a total; results are recorded in docs/performance.md.
 """
 import argparse
 import os
@@ -113,26 +115,32 @@ def main():
         walls["elbow_sweep"] = time.time() - t0
         print(f"adaptive elbow (17 k x 10 init/tp): {walls['elbow_sweep']:6.1f} s")
 
+    phases = set(
+        os.environ.get("SPADOT_BENCH_PHASES", "cluster,plots,ot").split(",")
+    )
     spatial = np.asarray(clustered.obsm["spatial"])
     clustered.obs["pixel_x"] = spatial[:, 0]
     clustered.obs["pixel_y"] = spatial[:, 1]
 
-    t0 = time.time()
-    plot_domains(args, clustered)
-    walls["plot_domains"] = time.time() - t0
-    print(f"domain plots:                 {walls['plot_domains']:8.1f} s")
+    if "plots" in phases:
+        t0 = time.time()
+        plot_domains(args, clustered)
+        walls["plot_domains"] = time.time() - t0
+        print(f"domain plots:                 {walls['plot_domains']:8.1f} s")
 
-    t0 = time.time()
-    ot_analysis(args, clustered)
-    walls["ot_analysis"] = time.time() - t0
-    print(f"full-cell OT + tables:        {walls['ot_analysis']:8.1f} s   "
-          f"({n_tp - 1} pair(s), 3 growth iters, "
-          f"{'factored' if n_per_tp * n_per_tp > 32_000_000 else 'dense'})")
+    if "ot" in phases:
+        t0 = time.time()
+        ot_analysis(args, clustered)
+        walls["ot_analysis"] = time.time() - t0
+        print(f"full-cell OT + tables:        {walls['ot_analysis']:8.1f} s   "
+              f"({n_tp - 1} pair(s), 3 growth iters, "
+              f"{'factored' if n_per_tp * n_per_tp > 32_000_000 else 'dense'})")
 
-    t0 = time.time()
-    plot_ot(args, clustered)
-    walls["plot_ot"] = time.time() - t0
-    print(f"transition dotplots:          {walls['plot_ot']:8.1f} s")
+        if "plots" in phases:
+            t0 = time.time()
+            plot_ot(args, clustered)
+            walls["plot_ot"] = time.time() - t0
+            print(f"transition dotplots:          {walls['plot_ot']:8.1f} s")
 
     print(f"TOTAL analyze stage:          {sum(walls.values()):8.1f} s   "
           f"(artifacts in {out})")
