@@ -22,11 +22,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def top_ops_from_xspace(xspace_path, top=40):
-    """Aggregate per-op self time from an .xplane.pb capture.
+    """Aggregate per-op time from an .xplane.pb capture, PER XLine.
 
-    Device planes are '/device:TPU:0' etc.; each XLine is a thread of
-    XEvents whose metadata name is the HLO op / fusion name. Durations are
-    picoseconds in the proto.
+    Device planes are '/device:TPU:0' etc.; each XLine is a separate event
+    track (op executions, module spans, async DMA streams) and tracks
+    OVERLAP each other in time — summing across lines triple-counts (a
+    module span covers its ops; copy-start events span their whole async
+    lifetime). Durations are picoseconds in the proto.
+
+    Returns {plane_name: {line_name: {op_name: ps}}}.
     """
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
@@ -39,13 +43,22 @@ def top_ops_from_xspace(xspace_path, top=40):
         # TPU device planes are '/device:TPU:…' / '#Chip… TensorCore';
         # a CPU-backend capture puts op execution under '/host:CPU'.
         meta = plane.event_metadata
-        agg = {}
+        lines = {}
         for line in plane.lines:
+            agg = {}
             for ev in line.events:
                 name = meta[ev.metadata_id].name if ev.metadata_id in meta else "?"
                 agg[name] = agg.get(name, 0) + ev.duration_ps
-        if agg:
-            per_plane[plane.name] = agg
+            if agg:
+                key = line.name or line.display_name or f"line_{line.id}"
+                prev = lines.get(key)
+                if prev:  # same-named lines (host threads): merge
+                    for k, v in agg.items():
+                        prev[k] = prev.get(k, 0) + v
+                else:
+                    lines[key] = agg
+        if lines:
+            per_plane[plane.name] = lines
     return per_plane
 
 
@@ -157,10 +170,28 @@ def main():
         print("xplane parsed but contained no device planes (host-only "
               "capture); file:", paths[-1])
         return
-    for plane, agg in per_plane.items():
+    for plane, lines in per_plane.items():
+        print(f"\n=== {plane} — per-line totals (lines OVERLAP; do not sum "
+              f"across lines) ===")
+        for lname, agg in sorted(
+            lines.items(), key=lambda kv: -sum(kv[1].values())
+        ):
+            total_ps = sum(agg.values())
+            print(f"  line '{lname}': {total_ps/1e12/epochs:.4f} s/epoch "
+                  f"({len(agg)} distinct events)")
+        # full table for the op-level line only: 'XLA Ops' on TPU; on a
+        # host/CPU capture fall back to the busiest line
+        op_line = None
+        for cand in ("XLA Ops", "XLA Ops (GPU)", "Ops"):
+            if cand in lines:
+                op_line = cand
+                break
+        if op_line is None:
+            op_line = max(lines, key=lambda k: sum(lines[k].values()))
+        agg = lines[op_line]
         total_ps = sum(agg.values())
-        print(f"\n=== {plane}: {total_ps/1e12:.4f} s device time over "
-              f"{epochs} epochs ({total_ps/1e12/epochs:.4f} s/epoch) ===")
+        print(f"  --- top ops on line '{op_line}' "
+              f"({total_ps/1e12/epochs:.4f} s/epoch busy) ---")
         rows = sorted(agg.items(), key=lambda kv: -kv[1])[:40]
         for name, ps in rows:
             print(f"{ps/1e12/epochs*1e3:9.3f} ms/ep  {100*ps/total_ps:5.1f}%  "
