@@ -41,34 +41,38 @@ run_step() {
   fi
 }
 
-# --- 2026-08-18d queue (after the SVGP trsm->gemm restructure: L_mm-derived
-# constants precomputed once, per-step triangular solves replaced by MXU
-# gemms — ops/svgp.py:svgp_shared).
+# --- 2026-08-19c queue (prior queues fully harvested: svgpgemm neutral at
+# all scales once pinned; staticoff within noise; logs committed).
 
-# 1-3. headline A/Bs at the shipped defaults (HLO changed -> fresh compiles)
-run_step bench_ch_svgpgemm timeout 3600 python bench.py
-run_step bench_atlas_svgpgemm timeout 3600 env BENCH_MODE=atlas python bench.py
-run_step bench_mouse_svgpgemm timeout 3600 env BENCH_MODE=mouse python bench.py
+# 0. CH confirm: is the pinned-path 0.1319 (bench_ch_svgpfix) noise or a
+# real ~3% restructure regression vs the 0.1272/0.1295 pre-restructure runs?
+run_step bench_ch_svgpfix2 timeout 3600 python bench.py
 
-# 4. quality re-gate on the new path: multi-seed fast-vs-parity composite
-# (the 2026-08-18c study measured +0.0051 ± 0.0096 on the PREVIOUS code)
-run_step quality_multiseed_svgpgemm timeout 10800 \
-  python examples/quality_multiseed.py
+# 1. atlas-scale training quality: 100-epoch domain ARI at 2 x 102,400 under
+# the shipped atlas config (exact closures) — no quality number existed at
+# any scale where the minibatch machinery is mandatory AND multi-tp OT runs
+run_step atlas_quality_100ep timeout 10800 python examples/atlas_quality.py
 
-# 5. fresh per-op profile at CH scale (what replaced the 35% trsm/chol block)
-run_step profile_ch_svgpgemm timeout 3600 python scripts/profile_epoch.py 3
+# 2. analyze stage at atlas scale, device backend (elbow included): first
+# measured number for the factored 102k x 102k full-cell OT + device elbow
+run_step analyze_atlas_device timeout 10800 \
+  python scripts/bench_analyze.py 102400 2 device 1
 
-# 6. attribution A/B: atlas with static closure adjacencies forced OFF
-# (the 'auto' default builds them when the 4 GiB budget allows — this pins
-# the contribution of dropping the 5.9 ms/step mask scatter; CLAUDE.md
-# lists the measurement as pending from the 2026-08-18 outage)
-run_step bench_atlas_staticoff timeout 3600 \
-  env BENCH_MODE=atlas BENCH_CFG='{"gat_ext_static_adj": false}' python bench.py
+# 3. host-sklearn clustering comparison (clustering phases only — the OT
+# phase is backend-independent and already timed by step 2)
+run_step analyze_atlas_sklearn timeout 10800 \
+  env SPADOT_BENCH_PHASES=none python scripts/bench_analyze.py 102400 2 sklearn 1
 
-# --- 2026-08-19 follow-ups (svgp precision pin, db43632) ---
-# 7. CH re-measure with the pinned solve-replacement gemms (the step-1 CH
-# number above ran the UNPINNED code; atlas NaN'd on it — the pinned-path
-# number is what BENCH_r03 will reflect). The failed unpinned atlas log is
-# preserved as bench_atlas_svgpgemm_nan.log; the step-2 retry on re-fire
-# overwrites bench_atlas_svgpgemm.log with the pinned run.
-run_step bench_ch_svgpfix timeout 3600 python bench.py
+# 4. per-op decomposition at atlas scale with the per-line xplane parser
+# (what binds the 1.67 s epoch: GAT flash kernels vs SVGP terms vs decoder)
+run_step profile_atlas_lines timeout 3600 \
+  env BENCH_MODE=atlas python scripts/profile_epoch.py 2
+
+# 5. CH decomposition re-print with the fixed parser (the svgpgemm capture
+# summed overlapping lines and was unreadable)
+run_step profile_ch_lines timeout 3600 python scripts/profile_epoch.py 3
+
+# 6. atlas batch-size A/B: 8192 halves the step count if the closures stay
+# within the banding budget (the global criterion re-decides at this shape)
+run_step bench_atlas_b8192 timeout 3600 \
+  env BENCH_MODE=atlas BENCH_CFG='{"batch_size": 8192}' python bench.py
