@@ -123,6 +123,10 @@ class Trainer:
             )
         )
 
+        # precomputed K̃-constant gemm solves (ops/svgp.py:svgp_shared);
+        # false = per-step solve_triangular fallback (config.yaml)
+        self.svgp_gemm_solves = bool(model_config.get("svgp_gemm_solves", True))
+
         # float32 by default; `dtype: float64` (with jax x64 enabled by
         # resolve_dtype) runs the data/SVGP path in f64 for parity ablations
         # against the reference's float64 training (SpaDOT/train.py:27)
@@ -185,6 +189,13 @@ class Trainer:
             self.svgp_states[tp] = svgp_shared(
                 Z, self.kernel_type, self.kernel_scale
             )
+            if not self.svgp_gemm_solves:
+                # config A/B escape: drop the K̃ constants so ops/svgp.py
+                # takes its per-step solve_triangular fallback
+                self.svgp_states[tp] = {
+                    k: v for k, v in self.svgp_states[tp].items()
+                    if k in ("Z", "K_mm", "L_mm")
+                }
         self.tp_batches = {
             tp: (
                 jnp.asarray(data["tp_data"][tp]["batch_idx"]),
@@ -695,14 +706,17 @@ class Trainer:
             "nbr": jnp.asarray(NB), "nbr_mask": jnp.asarray(NM),
             "row_mask": jnp.asarray(RM), "N_train": jnp.asarray(Ntr),
             "Z": jnp.stack(Zs), "K_mm": jnp.stack(Ks), "L_mm": jnp.stack(Ls),
-            "L_inv": jnp.stack(Lis), "C": jnp.stack(Cs), "M": jnp.stack(Ms),
-            "Kt_inv": jnp.stack(KTs), "F": jnp.stack(Fs),
-            "logdet_CCj": jnp.stack(LCs),
             "m_mask": jnp.stack(MMs),
             "kl_const": jnp.asarray(np.asarray(KCs, np_dt)),
             "batch_idx": jnp.asarray(BI), "batch_mask": jnp.asarray(BM),
             "batch_valid": jnp.asarray(BV),
         }
+        if self.svgp_gemm_solves:
+            stacked.update(
+                {"L_inv": jnp.stack(Lis), "C": jnp.stack(Cs),
+                 "M": jnp.stack(Ms), "Kt_inv": jnp.stack(KTs),
+                 "F": jnp.stack(Fs), "logdet_CCj": jnp.stack(LCs)}
+            )
         if have_adj:
             stacked["adj"] = jnp.asarray(A)
         if self.gat_bf16_gather and not self._pregather_y:
@@ -854,13 +868,17 @@ class Trainer:
             tp_data["Y_gat"] = dyn(stacked["Y_gat"])
         svgp_state = {
             "Z": dyn(stacked["Z"]), "K_mm": dyn(stacked["K_mm"]),
-            "L_mm": dyn(stacked["L_mm"]), "L_inv": dyn(stacked["L_inv"]),
-            "C": dyn(stacked["C"]), "M": dyn(stacked["M"]),
-            "Kt_inv": dyn(stacked["Kt_inv"]), "F": dyn(stacked["F"]),
-            "logdet_CCj": stacked["logdet_CCj"][t],
+            "L_mm": dyn(stacked["L_mm"]),
             "m_mask": dyn(stacked["m_mask"]),
             "kl_const": stacked["kl_const"][t],
         }
+        if "L_inv" in stacked:  # svgp_gemm_solves (config.yaml)
+            svgp_state.update(
+                {"L_inv": dyn(stacked["L_inv"]), "C": dyn(stacked["C"]),
+                 "M": dyn(stacked["M"]), "Kt_inv": dyn(stacked["Kt_inv"]),
+                 "F": dyn(stacked["F"]),
+                 "logdet_CCj": stacked["logdet_CCj"][t]}
+            )
         return tp_data, svgp_state
 
     def _fused_epoch_impl(

@@ -81,6 +81,31 @@ def test_make_batches_padding():
 
 
 @pytest.mark.slow
+def test_svgp_gemm_solves_flag_matches_solve_path():
+    """`svgp_gemm_solves: false` restores the per-step solve_triangular
+    SVGP path (ops/svgp.py fallback branch); trajectories must match the
+    precomputed-constant gemm default to float roundoff."""
+    from spadot_tpu.train.loop import train_spadot
+
+    adata = make_synthetic_adata(n_per_tp=100, n_genes=25, n_tp=2, seed=9)
+    out = {}
+    for flag in (True, False):
+        cfg = _tiny_config(adata)
+        cfg["svgp_gemm_solves"] = flag
+        set_seed(1993)
+        data = prepare_data(adata, cfg)
+        trainer, _, _, _, loss_df = train_spadot(data, cfg)
+        if flag:
+            assert "L_inv" in trainer._stacked or not trainer.fused
+        elif trainer.fused:
+            assert "L_inv" not in trainer._stacked
+        out[flag] = loss_df.to_numpy(np.float64)
+    rel = np.abs(out[True] - out[False]) / np.maximum(np.abs(out[True]), 1e-9)
+    assert np.isfinite(out[False]).all()
+    assert rel.max() < 1e-4
+
+
+@pytest.mark.slow
 def test_svgp_only_ablation_mode():
     """VAE-only encoder ablation (GAT off) — BASELINE.json config 2."""
     from spadot_tpu.train.loop import Trainer, get_latent, train_spadot
