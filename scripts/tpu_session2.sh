@@ -1,0 +1,40 @@
+#!/bin/bash
+# 2026-08-19d follow-up queue — fired after the 2026-08-19c queue drains
+# (do not edit a script bash is still executing). Decides the
+# svgp_gemm_solves default: the pinned gemm path measures a real CH
+# regression (0.1319/0.1331 vs the 0.1272/0.1295 pre-restructure band);
+# these A/B the restored per-step solve path at every scale.
+set -x
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/tpu_logs docs/tpu_logs
+
+probe() {
+  timeout 120 python -c "import jax; jax.devices()" >/dev/null 2>&1
+}
+
+run_step() {
+  local name="$1"; shift
+  local log="docs/tpu_logs/${name}.log"
+  if [ -f "$log" ] && grep -q '^STEP_DONE$' "$log"; then
+    echo "skip ${name}: already done"
+    return 0
+  fi
+  if ! probe; then
+    echo "tunnel down — stopping queue before ${name}" | tee /tmp/tpu_logs/ABORTED
+    exit 42
+  fi
+  "$@" 2>&1 | tee "$log"
+  local rc=${PIPESTATUS[0]}
+  if [ "$rc" -eq 0 ]; then
+    echo "STEP_DONE" >> "$log"
+  else
+    echo "STEP_RC=${rc}" >> "$log"
+  fi
+}
+
+run_step bench_ch_solvepath timeout 3600 \
+  env BENCH_CFG='{"svgp_gemm_solves": false}' python bench.py
+run_step bench_mouse_solvepath timeout 3600 \
+  env BENCH_MODE=mouse BENCH_CFG='{"svgp_gemm_solves": false}' python bench.py
+run_step bench_atlas_solvepath timeout 3600 \
+  env BENCH_MODE=atlas BENCH_CFG='{"svgp_gemm_solves": false}' python bench.py
