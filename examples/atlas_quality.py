@@ -12,6 +12,12 @@ final latents plus loss-trajectory finiteness.
 
 Usage: python examples/atlas_quality.py [n_per_tp] [epochs] [genes] [n_tp]
 Defaults mirror the atlas bench: 102400 x 2 tps x 2954 genes, 100 epochs.
+QUALITY_CFG (JSON dict) overrides config keys — e.g. precision or lr arms:
+the first 102k run under the speed defaults DIVERGED (GAT_KL explodes from
+epoch ~10, NaN centroids by ~epoch 40, atlas_quality_100ep.log); note the
+reference loss SUMS over batch rows (model/SpaDOT.py:87-89 via the N/b
+ELBO scaling), so batch 4096 carries ~8x the gradient magnitude of the
+reference's batch 512 at the same lr 3e-4.
 """
 import os
 import sys
@@ -56,6 +62,12 @@ def main():
         input_dim=genes, timepoints=list(range(n_tp)), maxiter=epochs,
         n_clusters=7, batch_size=4096, full_graph_gat=False, gat_window=2048,
     )
+    if os.environ.get("QUALITY_CFG"):
+        import json
+
+        overrides = json.loads(os.environ["QUALITY_CFG"])
+        cfg.update(overrides)
+        print(f"# QUALITY_CFG overrides: {overrides}")
     set_seed(int(cfg["seed"]))
     data = prepare_data(adata, cfg)
     t0 = time.time()

@@ -38,3 +38,15 @@ run_step bench_mouse_solvepath timeout 3600 \
   env BENCH_MODE=mouse BENCH_CFG='{"svgp_gemm_solves": false}' python bench.py
 run_step bench_atlas_solvepath timeout 3600 \
   env BENCH_MODE=atlas BENCH_CFG='{"svgp_gemm_solves": false}' python bench.py
+
+# atlas-quality divergence arms (the speed-default run NaN'd ~epoch 40,
+# atlas_quality_100ep.log). Hypotheses, in order of suspicion:
+# (a) effective lr — the loss SUMS over batch rows, so batch 4096 carries
+#     ~8x the reference's batch-512 gradient at the same lr 3e-4;
+# (b) precision — bf16 speed defaults compound at this scale.
+run_step atlasq_lrscaled timeout 10800 \
+  env QUALITY_CFG='{"lr": 3.75e-5}' python examples/atlas_quality.py
+run_step atlasq_parity timeout 10800 \
+  env QUALITY_CFG='{"precision_preset": "parity"}' python examples/atlas_quality.py
+run_step atlasq_b512 timeout 10800 \
+  env QUALITY_CFG='{"batch_size": 512}' python examples/atlas_quality.py
