@@ -177,7 +177,9 @@ def _make_solver(I, J, d, dtype, lambda1, lambda2, epsilon, epsilon0,
             ent, cost, rk, colm, rowm = gap_blocks(f, g, eps_i)
             t1 = jnp.where(rowm > 0, rowm * jnp.log(rowm / p), 0.0) - rowm + p
             t2 = jnp.where(colm > 0, colm * jnp.log(colm / q), 0.0) - colm + q
-            IJ = I * J
+            # float: at 100k x 100k the entry count (~1e10) overflows the
+            # int32 a python-int operand would be parsed as under jit
+            IJ = float(I) * float(J)
             primal = (
                 lambda1 * jnp.sum(t1) / I
                 + lambda2 * jnp.sum(t2) / J
