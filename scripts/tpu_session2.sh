@@ -39,6 +39,12 @@ run_step bench_mouse_solvepath timeout 3600 \
 run_step bench_atlas_solvepath timeout 3600 \
   env BENCH_MODE=atlas BENCH_CFG='{"svgp_gemm_solves": false}' python bench.py
 
+# retry the analyze-stage full-cell OT at 102k x 102k with the int32
+# overflow fixed (2f7f91d); sklearn clustering (1.5 s measured) feeds it —
+# the phase under test is backend-independent
+run_step analyze_atlas_ot timeout 10800 \
+  env SPADOT_BENCH_PHASES=ot python scripts/bench_analyze.py 102400 2 sklearn 0
+
 # atlas-quality divergence arms (the speed-default run NaN'd ~epoch 40,
 # atlas_quality_100ep.log). Hypotheses, in order of suspicion:
 # (a) effective lr — the loss SUMS over batch rows, so batch 4096 carries
