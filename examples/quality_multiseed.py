@@ -14,6 +14,9 @@ every train is a persistent-compile-cache hit (~15 s each on the v5e).
 
 Usage: python examples/quality_multiseed.py [n_per_tp] [epochs] [genes]
 Env:   SPADOT_SEEDS="1993,7,42,2024,5"  (training seeds; data seed fixed)
+       SPADOT_AB_CFG='{"kmeans_refresh_warm": true}' — switch the study to
+       arm A = shipped defaults vs arm B = defaults + these overrides
+       (instead of the fast-vs-parity precision arms).
 Results recorded in docs/performance.md.
 """
 import os
@@ -59,11 +62,24 @@ def main():
         inducing_point_nums=min(1200, 2 * n),
     )
 
-    arms = {}
-    for preset in ("fast", "parity"):
-        cfg = dict(base)
-        cfg["precision_preset"] = preset
-        arms[preset] = apply_precision_preset(cfg)
+    ab_json = os.environ.get("SPADOT_AB_CFG")
+    if ab_json:
+        import json
+
+        overrides = json.loads(ab_json)
+        print(f"# A/B arms: shipped defaults vs overrides {overrides}",
+              flush=True)
+        arm_a = apply_precision_preset(dict(base))
+        arm_b = apply_precision_preset({**base, **overrides})
+        arms = {"base": arm_a, "ab": arm_b}
+        arm_names = ("base", "ab")
+    else:
+        arms = {}
+        for preset in ("fast", "parity"):
+            cfg = dict(base)
+            cfg["precision_preset"] = preset
+            arms[preset] = apply_precision_preset(cfg)
+        arm_names = ("fast", "parity")
 
     results = {p: [] for p in arms}
     walls = {p: [] for p in arms}
@@ -75,19 +91,20 @@ def main():
             print(f"seed {seed:5d}  {preset:6s}: ARI {ari:.4f}  ({wall:.0f}s)",
                   flush=True)
 
-    fast = np.asarray(results["fast"])
-    par = np.asarray(results["parity"])
-    delta = fast - par
-    print(f"\n=== composite precision across {len(seeds)} seeds "
+    a_name, b_name = arm_names
+    a = np.asarray(results[a_name])
+    b = np.asarray(results[b_name])
+    delta = a - b
+    print(f"\n=== {a_name} vs {b_name} across {len(seeds)} seeds "
           f"(n={n}/tp, {epochs} epochs) ===")
-    print(f"fast   (shipped defaults): {fast.mean():.4f} ± {fast.std(ddof=1):.4f}"
-          f"   per-seed {np.round(fast, 4).tolist()}")
-    print(f"parity (all highest):      {par.mean():.4f} ± {par.std(ddof=1):.4f}"
-          f"   per-seed {np.round(par, 4).tolist()}")
-    print(f"paired delta (fast-parity): {delta.mean():+.4f} ± "
+    print(f"{a_name:6s}: {a.mean():.4f} ± {a.std(ddof=1):.4f}"
+          f"   per-seed {np.round(a, 4).tolist()}")
+    print(f"{b_name:6s}: {b.mean():.4f} ± {b.std(ddof=1):.4f}"
+          f"   per-seed {np.round(b, 4).tolist()}")
+    print(f"paired delta ({a_name}-{b_name}): {delta.mean():+.4f} ± "
           f"{delta.std(ddof=1):.4f}  per-seed {np.round(delta, 4).tolist()}")
-    print(f"mean wall: fast {np.mean(walls['fast']):.0f}s, "
-          f"parity {np.mean(walls['parity']):.0f}s")
+    print(f"mean wall: {a_name} {np.mean(walls[a_name]):.0f}s, "
+          f"{b_name} {np.mean(walls[b_name]):.0f}s")
 
 
 if __name__ == "__main__":

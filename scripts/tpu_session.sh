@@ -9,8 +9,9 @@
 # backend init) and skipped on re-fire once its log carries STEP_DONE, so
 # the watcher can re-arm across flapping tunnel windows without repeating
 # finished measurements.
-# ORDER: headline benches first — if the window closes early, the numbers
-# that matter most (BENCH_r03-shaped) are already on disk.
+# ORDER: quick benches that settle config defaults first; long quality arms
+# last — if the window closes early, the decisions that gate commits are
+# already on disk.
 set -x
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpu_logs docs/tpu_logs
@@ -41,38 +42,52 @@ run_step() {
   fi
 }
 
-# --- 2026-08-19c queue (prior queues fully harvested: svgpgemm neutral at
-# all scales once pinned; staticoff within noise; logs committed).
+# --- 2026-08-19d queue. Supersedes the fully-harvested 19c queue and the
+# never-fired tpu_session2.sh draft. Two 19c steps ended STEP_RC=1 and are
+# NOT retried under their old names: atlas_quality_100ep (real divergence —
+# the arms below investigate it) and analyze_atlas_device (int32 overflow,
+# fixed in 2f7f91d — retried below as analyze_atlas_ot).
 
-# 0. CH confirm: is the pinned-path 0.1319 (bench_ch_svgpfix) noise or a
-# real ~3% restructure regression vs the 0.1272/0.1295 pre-restructure runs?
-run_step bench_ch_svgpfix2 timeout 3600 python bench.py
+# 1-3. svgp_gemm_solves default decision: the pinned gemm path measures a
+# real CH regression (0.1319/0.1331 vs the 0.1272/0.1295 pre-restructure
+# band); A/B the restored per-step solve path at every scale.
+run_step bench_ch_solvepath timeout 3600 \
+  env BENCH_CFG='{"svgp_gemm_solves": false}' python bench.py
+run_step bench_mouse_solvepath timeout 3600 \
+  env BENCH_MODE=mouse BENCH_CFG='{"svgp_gemm_solves": false}' python bench.py
+run_step bench_atlas_solvepath timeout 3600 \
+  env BENCH_MODE=atlas BENCH_CFG='{"svgp_gemm_solves": false}' python bench.py
 
-# 1. atlas-scale training quality: 100-epoch domain ARI at 2 x 102,400 under
-# the shipped atlas config (exact closures) — no quality number existed at
-# any scale where the minibatch machinery is mandatory AND multi-tp OT runs
-run_step atlas_quality_100ep timeout 10800 python examples/atlas_quality.py
+# 4-6. warm-start KMeans refresh (ops/kmeans.py:kmeans_refit): the cold
+# 10-restart kmeans++ fit is 387 ms of the 1.66 s atlas epoch
+# (profile_atlas_lines.log). Expect ~20% atlas win if the warm path holds.
+run_step bench_atlas_kmwarm timeout 3600 \
+  env BENCH_MODE=atlas BENCH_CFG='{"kmeans_refresh_warm": true}' python bench.py
+run_step bench_ch_kmwarm timeout 3600 \
+  env BENCH_CFG='{"kmeans_refresh_warm": true}' python bench.py
+run_step bench_mouse_kmwarm timeout 3600 \
+  env BENCH_MODE=mouse BENCH_CFG='{"kmeans_refresh_warm": true}' python bench.py
 
-# 2. analyze stage at atlas scale, device backend (elbow included): first
-# measured number for the factored 102k x 102k full-cell OT + device elbow
-run_step analyze_atlas_device timeout 10800 \
-  python scripts/bench_analyze.py 102400 2 device 1
+# 7. warm-KMeans quality gate: 5-seed paired ARI, shipped defaults vs
+# defaults + warm refresh, at ChickenHeart scale / 100 epochs
+run_step kmwarm_quality timeout 7200 \
+  env SPADOT_AB_CFG='{"kmeans_refresh_warm": true}' \
+  python examples/quality_multiseed.py
 
-# 3. host-sklearn clustering comparison (clustering phases only — the OT
-# phase is backend-independent and already timed by step 2)
-run_step analyze_atlas_sklearn timeout 10800 \
-  env SPADOT_BENCH_PHASES=none python scripts/bench_analyze.py 102400 2 sklearn 1
+# 8. retry the analyze-stage full-cell OT at 102k x 102k with the int32
+# overflow fixed (2f7f91d); sklearn clustering (1.5 s measured) feeds it —
+# the phase under test is backend-independent
+run_step analyze_atlas_ot timeout 10800 \
+  env SPADOT_BENCH_PHASES=ot python scripts/bench_analyze.py 102400 2 sklearn 0
 
-# 4. per-op decomposition at atlas scale with the per-line xplane parser
-# (what binds the 1.67 s epoch: GAT flash kernels vs SVGP terms vs decoder)
-run_step profile_atlas_lines timeout 3600 \
-  env BENCH_MODE=atlas python scripts/profile_epoch.py 2
-
-# 5. CH decomposition re-print with the fixed parser (the svgpgemm capture
-# summed overlapping lines and was unreadable)
-run_step profile_ch_lines timeout 3600 python scripts/profile_epoch.py 3
-
-# 6. atlas batch-size A/B: 8192 halves the step count if the closures stay
-# within the banding budget (the global criterion re-decides at this shape)
-run_step bench_atlas_b8192 timeout 3600 \
-  env BENCH_MODE=atlas BENCH_CFG='{"batch_size": 8192}' python bench.py
+# 9-11. atlas-quality divergence arms (the speed-default run NaN'd ~epoch
+# 31-40, atlas_quality_100ep.log). Hypotheses, in order of suspicion:
+# (a) effective lr — the loss SUMS over batch rows, so batch 4096 carries
+#     ~8x the reference's batch-512 gradient at the same lr 3e-4;
+# (b) precision — bf16 speed defaults compound at this scale.
+run_step atlasq_lrscaled timeout 10800 \
+  env QUALITY_CFG='{"lr": 3.75e-5}' python examples/atlas_quality.py
+run_step atlasq_parity timeout 10800 \
+  env QUALITY_CFG='{"precision_preset": "parity"}' python examples/atlas_quality.py
+run_step atlasq_b512 timeout 10800 \
+  env QUALITY_CFG='{"batch_size": 512}' python examples/atlas_quality.py

@@ -88,6 +88,41 @@ def _lloyd(X, centers, mask, n_iter):
     return centers, inertia
 
 
+@partial(jax.jit, static_argnames=("n_iter",))
+def kmeans_refit(X, centers, mask=None, n_iter=100):
+    """Warm-start Lloyd from existing centers (no kmeans++, no restarts).
+
+    The per-epoch centroid refresh re-clusters latents that moved by one
+    optimizer epoch — the previous epoch's centers are an excellent init, so
+    a single early-stopping Lloyd run converges in a handful of iterations
+    where the cold `kmeans_fit` pays 10 restarts of kmeans++ + Lloyd from
+    scratch every epoch (measured 387 ms/epoch of the 1.66 s atlas epoch,
+    docs/tpu_logs/profile_atlas_lines.log). Warm-starting also keeps cluster
+    INDICES stable across refreshes, which the OT loss implicitly relies on
+    between its 10-epoch plan refreshes (the stored plan's rows/cols are
+    matched to centroids by index — the reference's fresh sklearn fit per
+    epoch can silently permute them mid-window, _train_utils.py:298-307).
+
+    Returns (centers (k, d), labels (n,), inertia scalar) like `kmeans_fit`.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _warm_refit_impl(X, centers, mask, n_iter)
+
+
+def _warm_refit_impl(X, centers, mask, n_iter):
+    if mask is None:
+        mask = jnp.ones(X.shape[0], X.dtype)
+    mask = mask.astype(X.dtype)
+    centers, inertia = _lloyd(X, centers.astype(X.dtype), mask, n_iter)
+    d2 = (
+        jnp.sum(X * X, axis=1)[:, None]
+        - 2.0 * X @ centers.T
+        + jnp.sum(centers * centers, axis=1)[None, :]
+    )
+    labels = jnp.argmin(d2, axis=1)
+    return centers, labels, inertia
+
+
 @partial(jax.jit, static_argnames=("k", "n_init", "n_iter"))
 def kmeans_fit(key, X, k, mask=None, n_init=10, n_iter=50):
     """Run KMeans with `n_init` parallel restarts; return best by inertia.

@@ -126,6 +126,10 @@ class Trainer:
         # precomputed K̃-constant gemm solves (ops/svgp.py:svgp_shared);
         # false = per-step solve_triangular fallback (config.yaml)
         self.svgp_gemm_solves = bool(model_config.get("svgp_gemm_solves", True))
+        # warm-start the per-epoch KMeans refresh from the previous epoch's
+        # centers (ops/kmeans.py:kmeans_refit); cold kmeans++ x10 on the
+        # first refresh only (config.yaml: kmeans_refresh_warm)
+        self.kmeans_warm = bool(model_config.get("kmeans_refresh_warm", False))
 
         # float32 by default; `dtype: float64` (with jax x64 enabled by
         # resolve_dtype) runs the data/SVGP path in f64 for parity ablations
@@ -504,27 +508,33 @@ class Trainer:
         return lat[: self.tp_n[tp]]
 
     def _refresh_impl(self, variables, tp_dev, svgp_state, key, ext_tables,
-                      *, n, tp_i):
+                      prev_centers=None, *, n, tp_i):
         """Latent extraction + KMeans refresh for one timepoint, fused into a
-        single dispatch (the per-epoch refresh is tunnel-latency-bound)."""
-        from spadot_tpu.ops.kmeans import _kmeans_fit_impl
+        single dispatch (the per-epoch refresh is tunnel-latency-bound).
+        With `prev_centers`, warm-start Lloyd instead of the cold
+        10-restart kmeans++ fit (kmeans_refresh_warm)."""
+        from spadot_tpu.ops.kmeans import _kmeans_fit_impl, _warm_refit_impl
 
         jax = self.jax
         lat = self._latent_impl(variables, tp_dev, svgp_state, ext_tables)[:n]
         sub = jax.random.fold_in(key, tp_i)
         with jax.default_matmul_precision("highest"):
-            centers, labels, _ = _kmeans_fit_impl(
-                sub, lat, self.n_clusters, None, 10, 100
-            )
+            if prev_centers is not None:
+                centers, labels, _ = _warm_refit_impl(lat, prev_centers, None, 100)
+            else:
+                centers, labels, _ = _kmeans_fit_impl(
+                    sub, lat, self.n_clusters, None, 10, 100
+                )
         return centers, labels
 
     def update_kmeans(self, variables, key, km):
         """Per-epoch centroid refresh (_train_utils.py:255-269), on device —
         one fused (latent + kmeans) dispatch per timepoint."""
         for i, tp in enumerate(self.timepoints):
+            prev = km["centers"].get(tp) if self.kmeans_warm else None
             centers, labels = self._refresh_jit(
                 variables, self.tp_dev[tp], self.svgp_states[tp], key,
-                self.tp_ext.get(tp), n=self.tp_n[tp], tp_i=i,
+                self.tp_ext.get(tp), prev, n=self.tp_n[tp], tp_i=i,
             )
             km["centers"][tp] = centers
             km["assign"][tp] = labels
@@ -883,7 +893,7 @@ class Trainer:
 
     def _fused_epoch_impl(
         self, variables, opt_state, rng, km_key, stacked, perm, centers_s,
-        assign_s, gamma_s, use_km_s, use_ot_s, beta1,
+        assign_s, gamma_s, use_km_s, use_ot_s, beta1, warm_s,
     ):
         """One WHOLE epoch — every timepoint's gated batch scan (in the
         shuffled order `perm`) plus the per-timepoint KMeans refresh — as a
@@ -974,9 +984,30 @@ class Trainer:
                 )
             sub = jax.random.fold_in(km_key, i)
             with jax.default_matmul_precision("highest"):
-                centers, labels, _ = _kmeans_fit_impl(
-                    sub, lat, self.n_clusters, row_mask, 10, 100
-                )
+                if self.kmeans_warm:
+                    # warm-start Lloyd from the previous epoch's centers
+                    # (ops/kmeans.py:kmeans_refit); cold 10-restart kmeans++
+                    # only on the first refresh (warm_s = 0)
+                    from spadot_tpu.ops.kmeans import _warm_refit_impl
+
+                    def cold(_):
+                        c, l, _i = _kmeans_fit_impl(
+                            sub, lat, self.n_clusters, row_mask, 10, 100
+                        )
+                        return c, l
+
+                    def warm(prev_c):
+                        c, l, _i = _warm_refit_impl(lat, prev_c, row_mask, 100)
+                        return c, l
+
+                    centers, labels = lax.cond(
+                        warm_s > 0, warm, cold,
+                        lax.dynamic_index_in_dim(centers_s, i, keepdims=False),
+                    )
+                else:
+                    centers, labels, _ = _kmeans_fit_impl(
+                        sub, lat, self.n_clusters, row_mask, 10, 100
+                    )
             return centers, labels.astype(jnp.int32)
 
         centers_new, assign_new = lax.map(refresh, jnp.arange(T))
@@ -1019,6 +1050,7 @@ class Trainer:
             self._staged_perm(order), centers_s, assign_s, self._gamma_stack,
             self._staged_flags(use_km), self._staged_flags(use_ot),
             self._scalar(beta1),
+            self._scalar(1.0 if (self.kmeans_warm and have_km) else 0.0),
         )
         variables, opt_state, rng, losses_sum, centers_s, assign_s = out
         km["_stacked"] = (centers_s, assign_s)

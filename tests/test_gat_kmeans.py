@@ -157,6 +157,41 @@ def test_kmeans_recovers_blobs(rng):
     assert (d.min(axis=0) < 0.2).all()
 
 
+def test_kmeans_refit_warm_start(rng):
+    """kmeans_refit (warm-start Lloyd) converges from perturbed centers to
+    the blob solution WITHOUT permuting centroid indices — the property the
+    per-epoch refresh relies on between OT plan refreshes."""
+    import jax
+    from spadot_tpu.ops.kmeans import kmeans_refit
+
+    centers_true = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    X = np.vstack([c + rng.normal(0, 0.3, size=(50, 2)) for c in centers_true])
+    Xj = jnp.asarray(X, jnp.float32)
+    prev = jnp.asarray(centers_true + rng.normal(0, 0.5, size=(3, 2)), jnp.float32)
+    centers, labels, inertia = kmeans_refit(Xj, prev)
+    centers = np.asarray(centers)
+    labels = np.asarray(labels)
+    # index-stable: learned center i stays near the input center i
+    assert (np.linalg.norm(centers - centers_true, axis=1) < 0.2).all()
+    # labels follow the input index order exactly
+    assert (labels == np.repeat([0, 1, 2], 50)).all()
+    # matches the cold fit's quality
+    _, _, cold_inertia = kmeans_fit(jax.random.PRNGKey(0), Xj, 3)
+    assert float(inertia) <= float(cold_inertia) * 1.01
+
+
+def test_kmeans_refit_masked_rows_ignored(rng):
+    from spadot_tpu.ops.kmeans import kmeans_refit
+
+    X = np.vstack(
+        [np.zeros((20, 2)), np.ones((20, 2)) * 5, np.ones((4, 2)) * 1000]
+    ).astype(np.float32)
+    mask = jnp.asarray([1.0] * 40 + [0.0] * 4)
+    prev = jnp.asarray([[0.5, 0.5], [4.0, 4.0]], jnp.float32)
+    centers, _, _ = kmeans_refit(jnp.asarray(X), prev, mask=mask)
+    assert np.abs(np.asarray(centers)).max() < 10
+
+
 def test_kmeans_masked_rows_ignored(rng):
     import jax
 

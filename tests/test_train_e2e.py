@@ -155,6 +155,41 @@ def test_fused_epoch_matches_per_tp_path():
 
 
 @pytest.mark.slow
+def test_warm_kmeans_refresh_fused_matches_per_tp():
+    """kmeans_refresh_warm: the warm-started refresh must be the SAME math in
+    the fused and per-tp paths (prev centers come from the stacked state vs
+    km['centers'] but carry identical values), and train finite with the
+    normal loss-schedule structure."""
+    from spadot_tpu.train.loop import train_spadot
+
+    adata = make_synthetic_adata(n_per_tp=96, n_genes=24, n_tp=2, seed=11)
+    cfg = _tiny_config(adata, maxiter=4)
+    cfg["equal_inducing_split"] = True
+    cfg["kmeans_refresh_warm"] = True
+
+    runs = {}
+    for mode in ("auto", "false"):
+        c = dict(cfg)
+        c["fused_epoch"] = mode
+        set_seed(1993)
+        data = prepare_data(adata, c)
+        trainer, _, _, _, loss_df = train_spadot(data, c)
+        assert trainer.fused == (mode == "auto")
+        assert trainer.kmeans_warm
+        assert np.isfinite(loss_df.to_numpy()).all()
+        assert (loss_df["KMeans"].iloc[1:] > 0).all()
+        runs[mode] = loss_df
+    np.testing.assert_allclose(
+        runs["auto"].iloc[0].to_numpy(), runs["false"].iloc[0].to_numpy(),
+        rtol=5e-3, atol=1e-4,
+    )
+    rel = np.abs(
+        runs["auto"].to_numpy() - runs["false"].to_numpy()
+    ) / np.maximum(np.abs(runs["false"].to_numpy()), 1e-3)
+    assert np.nanmax(rel) < 0.2, rel
+
+
+@pytest.mark.slow
 def test_fused_epoch_unequal_timepoint_sizes():
     """Row/batch/inducing padding path: unequal per-tp spot counts must train
     finite with correct loss-schedule structure, and the padded batches must
