@@ -123,6 +123,95 @@ def _warm_refit_impl(X, centers, mask, n_iter):
     return centers, labels, inertia
 
 
+def _lloyd_active(X, centers, mask, n_iter, active):
+    """`_lloyd` restricted to the clusters flagged in ``active`` (k_max,).
+
+    Inactive columns are excluded from the assignment argmin (distance +inf)
+    so they never receive points and their (garbage) center rows are inert.
+    Identical to `_lloyd` when every cluster is active.
+    """
+    big = jnp.asarray(jnp.finfo(X.dtype).max, X.dtype)
+    col_pen = jnp.where(active > 0, 0.0, big).astype(X.dtype)
+
+    def assign_of(centers):
+        d2 = (
+            jnp.sum(X * X, axis=1)[:, None]
+            - 2.0 * X @ centers.T
+            + jnp.sum(centers * centers, axis=1)[None, :]
+        )
+        return jnp.argmin(d2 + col_pen[None, :], axis=1).astype(jnp.int32)
+
+    def cond(carry):
+        _, _, changed, it = carry
+        return jnp.logical_and(changed, it < n_iter)
+
+    def step(carry):
+        centers, prev_assign, _, it = carry
+        assign = assign_of(centers)
+        onehot = jax.nn.one_hot(assign, centers.shape[0], dtype=X.dtype) * mask[:, None]
+        counts = jnp.sum(onehot, axis=0)
+        sums = onehot.T @ X
+        new_centers = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centers
+        )
+        changed = jnp.any(assign != prev_assign)
+        return new_centers, assign, changed, it + 1
+
+    init = (centers, jnp.full((X.shape[0],), -1, jnp.int32), jnp.bool_(True),
+            jnp.asarray(0, jnp.int32))
+    centers, _, _, _ = jax.lax.while_loop(cond, step, init)
+    d2 = (
+        jnp.sum(X * X, axis=1)[:, None]
+        - 2.0 * X @ centers.T
+        + jnp.sum(centers * centers, axis=1)[None, :]
+    )
+    inertia = jnp.sum(jnp.min(d2 + col_pen[None, :], axis=1) * mask)
+    return centers, inertia
+
+
+@partial(jax.jit, static_argnames=("k_max", "n_init", "n_iter"))
+def kmeans_fit_padded(key, X, k, k_max, mask=None, n_init=10, n_iter=300):
+    """`kmeans_fit` with a TRACED cluster count ``k`` padded to static
+    ``k_max`` — one compiled executable serves every k in [1, k_max].
+
+    The analyze-stage elbow sweep fits k = 4..20 per timepoint
+    (_analyze_utils.py:72); with per-k compilation the device backend spent
+    ~110 s at atlas scale almost entirely in 17 remote compiles
+    (docs/tpu_logs/analyze_atlas_device.log). Padding the center count makes
+    the sweep ONE compile + 17 sub-second executions.
+
+    kmeans++ draws the full k_max chain and activates the first k centers:
+    each new center's D²-sampling conditions only on the centers BEFORE it,
+    so the first k draws are distributed exactly as a k-cluster kmeans++ run.
+    Inactive columns get +inf distance (never assigned, excluded from
+    inertia). Returns (centers (k_max, d) — rows ≥ k are garbage, labels (n,)
+    all < k, inertia scalar).
+    """
+    with jax.default_matmul_precision("highest"):
+        if mask is None:
+            mask = jnp.ones(X.shape[0], X.dtype)
+        mask = mask.astype(X.dtype)
+        active = (jnp.arange(k_max) < k).astype(X.dtype)
+        keys = jax.random.split(key, n_init)
+
+        def one(key):
+            centers0 = _plus_plus_init(key, X, k_max, mask)
+            return _lloyd_active(X, centers0, mask, n_iter, active)
+
+        all_centers, all_inertia = jax.vmap(one)(keys)
+        best = jnp.argmin(all_inertia)
+        centers = all_centers[best]
+        big = jnp.asarray(jnp.finfo(X.dtype).max, X.dtype)
+        d2 = (
+            jnp.sum(X * X, axis=1)[:, None]
+            - 2.0 * X @ centers.T
+            + jnp.sum(centers * centers, axis=1)[None, :]
+        )
+        d2 = d2 + jnp.where(active > 0, 0.0, big).astype(X.dtype)[None, :]
+        labels = jnp.argmin(d2, axis=1)
+        return centers, labels, all_inertia[best]
+
+
 @partial(jax.jit, static_argnames=("k", "n_init", "n_iter"))
 def kmeans_fit(key, X, k, mask=None, n_init=10, n_iter=50):
     """Run KMeans with `n_init` parallel restarts; return best by inertia.

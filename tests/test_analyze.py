@@ -70,6 +70,62 @@ def test_device_backend_matches_sklearn(rng, tmp_path):
         assert abs(w_sk - w_dev) / w_sk < 0.02, (k, w_sk, w_dev)
 
 
+def test_padded_kmeans_matches_plain(rng):
+    """kmeans_fit_padded (traced k padded to k_max + masked row padding, the
+    single-executable elbow path) must find the same partitions and the same
+    inertia curve as the per-k kmeans_fit."""
+    import jax
+    import jax.numpy as jnp
+    from sklearn.metrics import adjusted_rand_score
+
+    from spadot_tpu.ops.kmeans import kmeans_fit, kmeans_fit_padded
+
+    z, k_true = 6, 5
+    centers = rng.normal(0, 8, size=(k_true, z))
+    lab = rng.integers(0, k_true, 400)
+    X = (centers[lab] + rng.normal(0, 0.3, size=(400, z))).astype(np.float32)
+    n_pad = 512
+    Xp = np.zeros((n_pad, z), np.float32)
+    Xp[:400] = X
+    mask = np.zeros((n_pad,), np.float32)
+    mask[:400] = 1.0
+
+    for k in (3, 5, 8):
+        c_p, l_p, i_p = kmeans_fit_padded(
+            jax.random.PRNGKey(0), jnp.asarray(Xp), jnp.asarray(k, jnp.int32),
+            10, mask=jnp.asarray(mask), n_init=10, n_iter=100,
+        )
+        l_p = np.asarray(l_p)[:400]
+        assert l_p.max() < k  # inactive clusters never assigned
+        _, l_f, i_f = kmeans_fit(
+            jax.random.PRNGKey(0), jnp.asarray(X), k, n_init=10, n_iter=100
+        )
+        # same partition quality: inertia within 2% (kmeans++ streams differ)
+        assert abs(float(i_p) - float(i_f)) / float(i_f) < 0.02, (k, i_p, i_f)
+        if k == k_true:
+            ari = adjusted_rand_score(lab, l_p)
+            assert ari > 0.99, ari
+
+
+def test_device_elbow_single_executable(rng, tmp_path):
+    """The device adaptive sweep pads k to max_clusters: every fit of the
+    17-k sweep must hit ONE jit cache entry (the remote-compile cost that
+    made the device backend slower than sklearn at 102k spots)."""
+    from spadot_tpu.analyze.clustering import adaptive_clustering
+    from spadot_tpu.ops.kmeans import kmeans_fit_padded
+
+    ad = _latent_adata(rng, k=5)
+    args = SimpleNamespace(output_dir=str(tmp_path), prefix="dev_")
+    before = kmeans_fit_padded._cache_size()
+    out = adaptive_clustering(args, ad, backend="device")
+    added = kmeans_fit_padded._cache_size() - before
+    assert added <= 1, added  # one executable for all ks and both tps
+    for tp in (0, 1):
+        rows = (out.obs["timepoint"] == tp).to_numpy()
+        n_found = len(set(out.obs["kmeans"].to_numpy()[rows]))
+        assert 4 <= n_found <= 7
+
+
 def test_adaptive_clustering_selects_k(rng, tmp_path):
     from spadot_tpu.analyze.clustering import adaptive_clustering
 
