@@ -12,12 +12,17 @@ final latents plus loss-trajectory finiteness.
 
 Usage: python examples/atlas_quality.py [n_per_tp] [epochs] [genes] [n_tp]
 Defaults mirror the atlas bench: 102400 x 2 tps x 2954 genes, 100 epochs.
-QUALITY_CFG (JSON dict) overrides config keys — e.g. precision or lr arms:
-the first 102k run under the speed defaults DIVERGED (GAT_KL explodes from
-epoch ~10, NaN centroids by ~epoch 40, atlas_quality_100ep.log); note the
+QUALITY_CFG (JSON dict) overrides config keys.
+
+Divergence ROOT CAUSE (2026-08-19 arms, docs/tpu_logs/atlasq_*.log): the
 reference loss SUMS over batch rows (model/SpaDOT.py:87-89 via the N/b
 ELBO scaling), so batch 4096 carries ~8x the gradient magnitude of the
-reference's batch 512 at the same lr 3e-4.
+reference's batch 512 at the same lr 3e-4. The speed-default run diverged
+(GAT_KL explodes from epoch ~10, NaN centroids by ~epoch 40); the
+all-highest parity-precision arm diverged the same way (precision is NOT
+the cause); lr scaled by 512/4096 to 3.75e-5 trained to completion with
+mean domain ARI 0.8525. The shipped default here is therefore the scaled
+lr; pass QUALITY_CFG='{"lr": 3e-4}' to reproduce the divergence.
 """
 import os
 import sys
@@ -61,6 +66,9 @@ def main():
     cfg.update(
         input_dim=genes, timepoints=list(range(n_tp)), maxiter=epochs,
         n_clusters=7, batch_size=4096, full_graph_gat=False, gat_window=2048,
+        # effective-lr scaling for the summed-over-rows loss at batch 4096
+        # (see module docstring; atlasq_lrscaled.log)
+        lr=3e-4 * 512 / 4096,
     )
     if os.environ.get("QUALITY_CFG"):
         import json

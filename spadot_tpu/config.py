@@ -33,21 +33,25 @@ def _deep_merge(base: dict, override: dict) -> dict:
     return out
 
 
-# One-switch bundles for the scoped matmul-precision knobs. "parity" pins
-# every branch to true f32 (the setting every reference-parity study in
-# docs/parity uses); "fast" is the shipped quality-gated speed default
-# (spelled out so a config that says `precision_preset: fast` is explicit
-# about what it runs). A knob the user sets directly always wins.
+# One-switch bundles for the scoped matmul-precision knobs (plus the
+# reference-shaped algorithm toggles a parity study must pin). "parity" pins
+# every branch to true f32 and the cold per-epoch KMeans refit (the setting
+# every reference-parity study in docs/parity uses); "fast" is the shipped
+# quality-gated speed default (spelled out so a config that says
+# `precision_preset: fast` is explicit about what it runs). A knob the user
+# sets directly always wins.
 _PRECISION_PRESETS = {
     "parity": {
         "gat_matmul_precision": "highest",
         "svgp_matmul_precision": "highest",
         "mlp_matmul_precision": "highest",
+        "kmeans_refresh_warm": False,
     },
     "fast": {
         "gat_matmul_precision": "default",
         "svgp_matmul_precision": "high",
         "mlp_matmul_precision": "default",
+        "kmeans_refresh_warm": True,
     },
 }
 

@@ -1121,6 +1121,23 @@ def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, me
     from spadot_tpu.train.checkpoint import save_checkpoint
 
     trainer = Trainer(model_config, data, mesh=mesh)
+    # effective-lr guard: the per-batch loss SUMS over batch rows (the
+    # reference's N/b ELBO scaling, model/SpaDOT.py:87-89), so raising
+    # batch_size raises the gradient magnitude proportionally at a fixed
+    # lr. Measured at 2x102k spots (docs/tpu_logs/atlasq_*.log,
+    # 2026-08-19): batch 4096 at the reference lr 3e-4 DIVERGES by ~epoch
+    # 40 regardless of matmul precision, while lr scaled by 512/4096
+    # trains to completion. Warn rather than silently rescale.
+    _bs = int(model_config.get("batch_size", 512))
+    _lr = float(model_config.get("lr", 3e-4))
+    if _bs > 1024 and _lr >= 2.9e-4:
+        logger.warning(
+            "batch_size=%d with lr=%g: the summed-over-rows loss scales "
+            "gradients ~%.1fx vs the reference batch 512 — large-batch "
+            "runs at the default lr are known to diverge at scale; "
+            "consider lr ~%.2g (lr * 512/batch_size).",
+            _bs, _lr, _bs / 512.0, _lr * 512.0 / _bs,
+        )
     maxiter = int(model_config["maxiter"])
     seed = int(model_config["seed"])
     key = jax.random.PRNGKey(seed)
