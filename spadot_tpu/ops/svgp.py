@@ -243,7 +243,16 @@ def _svgp_batch_terms_impl(
         # large (observed at batch 4096, m 600). B ⪰ I also bounds
         # ‖Lb⁻¹‖₂ ≤ 1, so materializing Lb⁻¹ once is numerically safe and
         # turns every downstream triangular solve into an MXU gemm.
-        B = eye_m + ratio * (U * prec[None, :]) @ U.T
+        # The B-forming gemm must run at true-f32 'highest': the ⪰ I floor
+        # only protects the Cholesky while the gemm error is ≪ 1, and the
+        # error is RELATIVE to ‖B‖ ≈ ratio·max(prec)·b·O(U²). Measured at
+        # ratio = N/b = 200 (batch 512 at 102,400 spots): ‖B‖ ~ 1e6 and the
+        # ambient 'high' 3-pass bf16 product had min eig -0.098 → chol NaN
+        # at epoch 1 (docs/tpu_logs/atlasq_b512.log; /tmp-probe dissection
+        # 2026-08-19). One (m,b)·(b,m) gemm per latent dim — noise-level
+        # cost next to the S/R/T2 gemms that stay at the ambient precision.
+        with jax.default_matmul_precision("highest"):
+            B = eye_m + ratio * (U * prec[None, :]) @ U.T
         Lb = cholesky(B, lower=True)
         Lb_inv = solve_triangular(Lb, eye_m, lower=True)
 
@@ -272,7 +281,10 @@ def _svgp_batch_terms_impl(
             # with one more independent, unconditionally-stable
             # factorization — the serial chol→trsm→gemm→chol chain
             # becomes chol ∥ chol → trsm.
-            Bt = eye_m + (jitter * ratio) * (V * prec[None, :]) @ V.T
+            # same ⪰ I stability argument as B above (scale is jitter·ratio
+            # — 100× smaller, but one unlucky batch suffices)
+            with jax.default_matmul_precision("highest"):
+                Bt = eye_m + (jitter * ratio) * (V * prec[None, :]) @ V.T
             Lbt = cholesky(Bt, lower=True)
             logdet_A = (
                 logdet_CCj

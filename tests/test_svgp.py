@@ -248,3 +248,35 @@ def test_constant_fed_path_matches_fallback(rng):
 
     g_old, g_new = kl_sum({}), kl_sum(consts)
     np.testing.assert_allclose(g_old, g_new, rtol=5e-4, atol=5e-4)
+
+
+def test_b_gemm_precision_pinned_highest(rng):
+    """Regression (2026-08-19, docs/tpu_logs/atlasq_b512.log): the B- and
+    B̃-forming gemms must stay pinned to true-f32 'highest' even when the
+    caller scopes the training SVGP to 'high' (3-pass bf16). The B ⪰ I
+    eigenvalue floor only protects the unjittered Cholesky while the gemm
+    error is ≪ 1, and that error is relative to ‖B‖ ≈ ratio·max(1/σ²)·b:
+    at ratio = N/b = 200 (batch 512 at 102,400 spots) ‖B‖ ~ 1e6 and the
+    3-pass product measured min-eig −0.098 → chol NaN at epoch 1 on TPU.
+    CPU matmuls cannot reproduce the bf16 passes, so assert on the traced
+    program: the pinned dots carry Precision.HIGHEST under an ambient
+    'high' scope (counts drop by 4 / 2 if the B/B̃ pins are removed)."""
+    m, b, L = 37, 53, 4
+    Z = jnp.asarray(rng.uniform(0, 10, (m, 2)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 10, (b, 2)), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=(b, L)), jnp.float32)
+    var = jnp.asarray(rng.uniform(0.5, 2.0, (b, L)), jnp.float32)
+    mask = jnp.ones(b, jnp.float32)
+    st = svgp_shared(Z)
+    consts = dict(L_inv=st["L_inv"], C=st["C"], M=st["M"], Kt_inv=st["Kt_inv"],
+                  F=st["F"], logdet_CCj=st["logdet_CCj"])
+    with jax.default_matmul_precision("high"):
+        jx_gemm = jax.make_jaxpr(lambda: svgp_batch_terms(
+            x, mu, var, mask, 400.0, st["Z"], st["K_mm"], st["L_mm"],
+            **consts))()
+        jx_solve = jax.make_jaxpr(lambda: svgp_batch_terms(
+            x, mu, var, mask, 400.0, st["Z"], st["K_mm"], st["L_mm"]))()
+    # measured: 30 with the B (+2) and B̃ (+2) pins, 26 without, on the
+    # constant-fed path; 26 vs 24 on the solve fallback (B only)
+    assert str(jx_gemm).count("HIGHEST") >= 30
+    assert str(jx_solve).count("HIGHEST") >= 26
