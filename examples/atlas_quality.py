@@ -15,14 +15,17 @@ Defaults mirror the atlas bench: 102400 x 2 tps x 2954 genes, 100 epochs.
 QUALITY_CFG (JSON dict) overrides config keys.
 
 Divergence ROOT CAUSE (2026-08-19 arms, docs/tpu_logs/atlasq_*.log): the
-reference loss SUMS over batch rows (model/SpaDOT.py:87-89 via the N/b
-ELBO scaling), so batch 4096 carries ~8x the gradient magnitude of the
-reference's batch 512 at the same lr 3e-4. The speed-default run diverged
-(GAT_KL explodes from epoch ~10, NaN centroids by ~epoch 40); the
-all-highest parity-precision arm diverged the same way (precision is NOT
-the cause); lr scaled by 512/4096 to 3.75e-5 trained to completion with
-mean domain ARI 0.8525. The shipped default here is therefore the scaled
-lr; pass QUALITY_CFG='{"lr": 3e-4}' to reproduce the divergence.
+reference lr 3e-4 is unstable at this DATA SCALE, at every batch size —
+batch 4096 diverges across epochs (GAT_KL explodes from epoch ~10, NaN
+centroids by ~epoch 40; the all-highest parity-precision arm diverged the
+same way, so precision is NOT the cause) and batch 512, running 8x more
+steps per epoch, hits the same runaway within epoch 1 (per-step
+dissection: GAT_KL 101 -> 3529 in 20 steps; one latent dim's qnet_var
+driven to the exp-clip floor by step 23, atlasq_b512*.log). lr scaled to
+3.75e-5 (= 3e-4 x 10k/total-spots) trained to completion with mean
+domain ARI 0.8525 at batch 4096. The shipped default here is therefore
+the scaled lr; pass QUALITY_CFG='{"lr": 3e-4}' to reproduce the
+divergence. See docs/scaling.md "Large-scale learning rate".
 """
 import os
 import sys

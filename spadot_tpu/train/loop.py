@@ -1121,22 +1121,27 @@ def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, me
     from spadot_tpu.train.checkpoint import save_checkpoint
 
     trainer = Trainer(model_config, data, mesh=mesh)
-    # effective-lr guard: the per-batch loss SUMS over batch rows (the
-    # reference's N/b ELBO scaling, model/SpaDOT.py:87-89), so raising
-    # batch_size raises the gradient magnitude proportionally at a fixed
-    # lr. Measured at 2x102k spots (docs/tpu_logs/atlasq_*.log,
-    # 2026-08-19): batch 4096 at the reference lr 3e-4 DIVERGES by ~epoch
-    # 40 regardless of matmul precision, while lr scaled by 512/4096
-    # trains to completion. Warn rather than silently rescale.
-    _bs = int(model_config.get("batch_size", 512))
+    # effective-lr guard. Measured at 2x102,400 spots / 100 epochs
+    # (docs/tpu_logs/atlasq_*.log, 2026-08-19): the reference lr 3e-4
+    # diverges at BOTH batch 4096 (GAT_KL explodes ~epoch 10, NaN
+    # centroids ~40) and batch 512 (same runaway, 8x more steps/epoch ->
+    # NaN within epoch 1; per-step dissection: one latent dim's qnet_var
+    # driven to the exp-clip floor), and an all-'highest'-precision arm
+    # diverged identically — this is optimization at scale, not numerics.
+    # lr ~3.75e-5 (=3e-4 x 10k/total-spots, the reference's data scale)
+    # trained to completion (mean domain ARI 0.8525 at batch 4096). Warn
+    # rather than silently rescale.
+    _n_total = sum(
+        int(data["tp_data"][tp]["Y"].shape[0]) for tp in data["timepoints"]
+    )
     _lr = float(model_config.get("lr", 3e-4))
-    if _bs > 1024 and _lr >= 2.9e-4:
+    if _n_total > 50_000 and _lr >= 2.9e-4:
         logger.warning(
-            "batch_size=%d with lr=%g: the summed-over-rows loss scales "
-            "gradients ~%.1fx vs the reference batch 512 — large-batch "
-            "runs at the default lr are known to diverge at scale; "
-            "consider lr ~%.2g (lr * 512/batch_size).",
-            _bs, _lr, _bs / 512.0, _lr * 512.0 / _bs,
+            "%d total spots with lr=%g: runs at the reference lr are "
+            "measured to diverge beyond ~50k spots (any batch size; "
+            "docs/scaling.md 'Large-scale learning rate'); consider "
+            "lr ~%.2g (3e-4 x 10k/total_spots).",
+            _n_total, _lr, 3e-4 * 10_000.0 / _n_total,
         )
     maxiter = int(model_config["maxiter"])
     seed = int(model_config["seed"])
