@@ -91,3 +91,12 @@ run_step atlasq_parity timeout 10800 \
   env QUALITY_CFG='{"precision_preset": "parity"}' python examples/atlas_quality.py
 run_step atlasq_b512 timeout 10800 \
   env QUALITY_CFG='{"batch_size": 512}' python examples/atlas_quality.py
+
+# --- 2026-08-19c queue: post-B-pin timing re-measure -------------------
+# The whitened-SVGP B/Bt gemms are now pinned 'highest' (644925d — fixes
+# the large-ratio chol NaN). One (m,b)x(b,m) gemm per latent dim moved
+# from 3-pass to 6-pass: re-measure the headline benches to confirm the
+# cost is noise-level before the driver's round-end BENCH capture.
+run_step bench_ch_bpin timeout 3600 python bench.py
+run_step bench_mouse_bpin timeout 3600 env BENCH_MODE=mouse python bench.py
+run_step bench_atlas_bpin timeout 3600 env BENCH_MODE=atlas python bench.py

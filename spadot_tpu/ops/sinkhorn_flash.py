@@ -98,7 +98,17 @@ def _make_solver(I, J, d, dtype, lambda1, lambda2, epsilon, epsilon0,
                 1.0 / eps_i, block_i=min(block, 256), block_j=min(block, 512)
             )
 
-    def solver(X0, X1, p, q, inv_s):
+    def stage_chunk(X0, X1, p, q, inv_s, f, g, gp, it, it_hi, *, stage_e):
+        """Run ONE epsilon stage's Sinkhorn loop for at most (it_hi - it)
+        iterations (gap still checked every `inner` iterations — chunking
+        moves dispatch boundaries, never semantics). The host driver in
+        `sinkhorn_factored` loops this until the stage converges or the
+        GLOBAL iteration budget `max_iter` is spent: a single unbounded
+        while_loop dispatch at 100k x 100k ran for minutes and got the
+        remote TPU worker killed ('TPU worker process crashed',
+        docs/tpu_logs/analyze_atlas_ot.log) while a 60-iteration bounded
+        dispatch of the same program completes in ~1 min — long-running
+        single XLA executions are the failure mode, not the kernel."""
         sq0 = jnp.sum(X0 * X0, axis=1)
         sq1 = jnp.sum(X1 * X1, axis=1)
         # factors pre-scaled by sqrt(inv_s): the cost becomes a plain
@@ -192,54 +202,95 @@ def _make_solver(I, J, d, dtype, lambda1, lambda2, epsilon, epsilon0,
             )
             return (primal - dual) / jnp.abs(primal)
 
-        f = jnp.zeros((I,), dtype)
-        g = jnp.zeros((J,), dtype)
-        it0 = jnp.zeros((), jnp.int32)
-        for e, eps_i in enumerate(_stage_epsilons(epsilon, epsilon0)):
-            final = e == EPSILON_SCALINGS
-            a1 = lambda1 / (lambda1 + eps_i)
-            a2 = lambda2 / (lambda2 + eps_i)
-            threshold = eff_tol if final else 1e-6
-            inner = int(batch_size) if final else 5
+        eps_i, threshold, final = stage_params[stage_e]
+        a1 = lambda1 / (lambda1 + eps_i)
+        a2 = lambda2 / (lambda2 + eps_i)
+        inner = int(batch_size) if final else 5
 
-            def cond(c):
-                _f, _g, gp, it = c
-                return jnp.logical_and(gp > threshold, it < max_iter)
+        def cond(c):
+            _f, _g, gp_c, it_c = c
+            return jnp.logical_and(gp_c > threshold, it_c < it_hi)
 
-            def body(c, eps_i=eps_i, a1=a1, a2=a2, final=final, inner=inner):
-                _f, _g, gp, it = c
+        def body(c):
+            _f, _g, gp_c, it_c = c
 
-                def one(i, fg):
-                    fo, go, _, _ = fg
-                    fn, gn = half(fo, go, eps_i, a1, a2)
-                    return (fn, gn, fo, go)
+            def one(i, fg):
+                fo, go, _, _ = fg
+                fn, gn = half(fo, go, eps_i, a1, a2)
+                return (fn, gn, fo, go)
 
-                fn, gn, fprev, gprev = jax.lax.fori_loop(
-                    0, inner, one, (_f, _g, _f, _g)
-                )
-                if final:
-                    gp = gap_final(fn, gn, eps_i)
-                else:
-                    from spadot_tpu.ops.sinkhorn import _dual_evolution_gap_jnp
-
-                    gp = jnp.maximum(
-                        _dual_evolution_gap_jnp(fn, fprev, eps_i),
-                        _dual_evolution_gap_jnp(gn, gprev, eps_i),
-                    )
-                return (fn, gn, gp, it + inner)
-
-            f, g, _, it0 = jax.lax.while_loop(
-                cond, body, (f, g, jnp.asarray(jnp.inf, dtype), it0)
+            fn, gn, fprev, gprev = jax.lax.fori_loop(
+                0, inner, one, (_f, _g, _f, _g)
             )
-        return f, g
+            if final:
+                gp_n = gap_final(fn, gn, eps_i)
+            else:
+                from spadot_tpu.ops.sinkhorn import _dual_evolution_gap_jnp
 
-    return solver
+                gp_n = jnp.maximum(
+                    _dual_evolution_gap_jnp(fn, fprev, eps_i),
+                    _dual_evolution_gap_jnp(gn, gprev, eps_i),
+                )
+            return (fn, gn, gp_n, it_c + inner)
+
+        return jax.lax.while_loop(cond, body, (f, g, gp, it))
+
+    # (eps_i, convergence threshold, is-final-stage) per epsilon-ladder stage;
+    # the iteration counter is carried ACROSS stages (max_iter is a global
+    # budget, matching the single-dispatch semantics this replaces)
+    stage_params = [
+        (eps_i, eff_tol if e == EPSILON_SCALINGS else 1e-6,
+         e == EPSILON_SCALINGS)
+        for e, eps_i in enumerate(_stage_epsilons(epsilon, epsilon0))
+    ]
+    return stage_chunk, stage_params
+
+
+def _drive_chunks(stage_chunk, stage_params, X0d, X1d, pd, qd, invs_d, *,
+                  dtype, I, J, max_iter, chunk_iters=None, out_shardings=None):
+    """Host loop over bounded stage dispatches (see stage_chunk's docstring:
+    unbounded single dispatches at 100k x 100k get the remote TPU worker
+    killed). `chunk_iters=None` sizes one dispatch by the problem area so a
+    chunk stays ~tens of seconds; the gap/iteration scalars sync to host
+    once per chunk — negligible next to the chunk itself. Convergence
+    semantics are the single-dispatch while_loop's exactly: the gap is
+    checked every `inner` iterations, max_iter is a global budget carried
+    across epsilon stages, and a non-finite gap stops the stage (NaN fails
+    the `gp > threshold` cond both in-device and on host)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    if chunk_iters is None:
+        chunk_iters = int(
+            min(10_000, max(25, 3.0e11 / (float(I) * float(J) + 1.0)))
+        )
+    jit_kw = {} if out_shardings is None else {"out_shardings": out_shardings}
+    fns = [
+        jax.jit(functools.partial(stage_chunk, stage_e=e), **jit_kw)
+        for e in range(len(stage_params))
+    ]
+    f = jnp.zeros((I,), dtype)
+    g = jnp.zeros((J,), dtype)
+    it = jnp.zeros((), jnp.int32)
+    for e, (_eps_i, threshold, _final) in enumerate(stage_params):
+        gp = jnp.asarray(jnp.inf, dtype)
+        while int(it) < max_iter:
+            it_hi = jnp.asarray(
+                min(int(it) + int(chunk_iters), max_iter), jnp.int32
+            )
+            f, g, gp, it = fns[e](X0d, X1d, pd, qd, invs_d, f, g, gp, it, it_hi)
+            if not (float(gp) > threshold):  # converged, or non-finite gap
+                break
+    return f, g
 
 
 def sinkhorn_factored(
     X0, X1, G=None, *, lambda1=0.1, lambda2=5.0, epsilon=0.05, epsilon0=1.0,
     batch_size=5, tolerance=1e-8, max_iter=10_000_000, block=1024,
-    dtype=np.float32, return_plan=True, use_pallas=None, **ignored,
+    dtype=np.float32, return_plan=True, use_pallas=None, chunk_iters=None,
+    **ignored,
 ):
     """Cost-matrix-free unbalanced Sinkhorn between latent factor sets.
 
@@ -259,14 +310,17 @@ def sinkhorn_factored(
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    solver = _make_solver(
+    stage_chunk, stage_params = _make_solver(
         I, J, X0.shape[1], dtype, float(lambda1), float(lambda2),
         float(epsilon), float(epsilon0), int(batch_size), float(tolerance),
         int(max_iter), int(block), use_pallas=bool(use_pallas),
     )
-    f, g = jax.jit(solver)(
+    f, g = _drive_chunks(
+        stage_chunk, stage_params,
         jnp.asarray(X0), jnp.asarray(X1), jnp.asarray(G, dtype),
         jnp.asarray(q, dtype), jnp.asarray(1.0 / s, dtype),
+        dtype=dtype, I=I, J=J, max_iter=int(max_iter),
+        chunk_iters=chunk_iters,
     )
     eps_final = _stage_epsilons(epsilon, epsilon0)[-1]
     if not return_plan:
@@ -281,7 +335,7 @@ def sinkhorn_factored(
 def sinkhorn_factored_sharded(
     X0, X1, G=None, *, mesh, lambda1=0.1, lambda2=5.0, epsilon=0.05,
     epsilon0=1.0, batch_size=5, tolerance=1e-8, max_iter=10_000_000,
-    block=1024, dtype=np.float32, **ignored,
+    block=1024, dtype=np.float32, chunk_iters=None, **ignored,
 ):
     """Factored Sinkhorn with the source rows sharded over the mesh's `data`
     axis (SURVEY.md §5 "sharded Sinkhorn ... all-reduce of column marginals").
@@ -307,7 +361,7 @@ def sinkhorn_factored_sharded(
     G = np.ones(I) if G is None else np.asarray(G)
     q = np.full(J, G.mean())
 
-    solver = _make_solver(
+    stage_chunk, stage_params = _make_solver(
         I, J, X0.shape[1], dtype, float(lambda1), float(lambda2),
         float(epsilon), float(epsilon0), int(batch_size), float(tolerance),
         int(max_iter), int(block), use_pallas=False,
@@ -319,8 +373,12 @@ def sinkhorn_factored_sharded(
     X1_d = jax.device_put(jnp.asarray(X1), rep)
     p_d = jax.device_put(jnp.asarray(G, dtype), row_sh)
     q_d = jax.device_put(jnp.asarray(q, dtype), rep)
-    f, g = jax.jit(solver, out_shardings=(row_sh, rep))(
-        X0_d, X1_d, p_d, q_d, jnp.asarray(1.0 / s, dtype)
+    f, g = _drive_chunks(
+        stage_chunk, stage_params, X0_d, X1_d, p_d, q_d,
+        jnp.asarray(1.0 / s, dtype),
+        dtype=dtype, I=I, J=J, max_iter=int(max_iter),
+        chunk_iters=chunk_iters,
+        out_shardings=(row_sh, rep, rep, rep),
     )
     eps_final = _stage_epsilons(epsilon, epsilon0)[-1]
     return np.asarray(f), np.asarray(g), s, eps_final

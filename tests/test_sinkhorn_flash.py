@@ -60,3 +60,16 @@ def test_cost_median_sampled_close(rng):
     exact = cost_median_factored(X0, X1, scale_samples=10**9)
     sampled = cost_median_factored(X0, X1, scale_samples=50_000)
     assert abs(sampled / exact - 1) < 0.05
+
+
+def test_factored_chunk_invariance(rng):
+    """Host-chunked dispatch (bounded while_loop per device call — the
+    remote-TPU-worker-survival fix) must be bitwise-equivalent to one big
+    dispatch: chunking moves dispatch boundaries, never iteration or
+    gap-check semantics."""
+    X0, X1 = _xy(rng, 50, 40)
+    R_one = sinkhorn_factored(X0, X1, chunk_iters=10_000, dtype=np.float32,
+                              block=16, **PARAMS)
+    R_tiny = sinkhorn_factored(X0, X1, chunk_iters=7, dtype=np.float32,
+                               block=16, **PARAMS)
+    np.testing.assert_array_equal(R_one, R_tiny)
