@@ -1113,6 +1113,29 @@ class Trainer:
         return gammas
 
 
+def resolve_lr(lr, n_total):
+    """Resolve the config `lr` value, supporting the opt-in `lr: auto`.
+
+    'auto' applies the measured-stable scaling rule from docs/scaling.md:
+    3e-4 (the reference default, SpaDOT/utils/config.yaml `lr`) scaled by
+    10,000/total-spots beyond the reference's own ~10k data scale, capped
+    at 3e-4 — never raised above the reference default for small data.
+    Backed by the 2x102,400-spot study (docs/tpu_logs/atlasq_*.log,
+    2026-08-19): 3e-4 diverges at every batch size there while the scaled
+    value trains to completion. Numeric lr values pass through unchanged
+    (the default remains the reference's exact behavior)."""
+    if isinstance(lr, str):
+        if lr.strip().lower() == "auto":
+            return min(3e-4, 3e-4 * 10_000.0 / max(int(n_total), 1))
+        try:
+            # YAML 1.1 parses dot-less scientific notation ('3e-4') as a
+            # string — keep accepting what float(config['lr']) always did
+            return float(lr)
+        except ValueError:
+            raise ValueError(f"lr must be a number or 'auto', got {lr!r}")
+    return float(lr)
+
+
 def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, mesh=None):
     """Full training run. Returns (trainer, variables, host_state, loss_df)."""
     import jax
@@ -1120,6 +1143,16 @@ def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, me
     from spadot_tpu.train.schedules import beta_cycle_linear
     from spadot_tpu.train.checkpoint import save_checkpoint
 
+    _n_total = sum(
+        int(data["tp_data"][tp]["Y"].shape[0]) for tp in data["timepoints"]
+    )
+    if isinstance(model_config.get("lr"), str):
+        model_config = dict(model_config)
+        model_config["lr"] = resolve_lr(model_config["lr"], _n_total)
+        logger.info(
+            "lr: auto -> %.3g at %d total spots (docs/scaling.md rule)",
+            model_config["lr"], _n_total,
+        )
     trainer = Trainer(model_config, data, mesh=mesh)
     # effective-lr guard. Measured at 2x102,400 spots / 100 epochs
     # (docs/tpu_logs/atlasq_*.log, 2026-08-19): the reference lr 3e-4
@@ -1130,17 +1163,14 @@ def train_spadot(data, model_config, resume_state=None, checkpoint_path=None, me
     # diverged identically — this is optimization at scale, not numerics.
     # lr ~3.75e-5 (=3e-4 x 10k/total-spots, the reference's data scale)
     # trained to completion (mean domain ARI 0.8525 at batch 4096). Warn
-    # rather than silently rescale.
-    _n_total = sum(
-        int(data["tp_data"][tp]["Y"].shape[0]) for tp in data["timepoints"]
-    )
+    # rather than silently rescale (opt in with lr: auto).
     _lr = float(model_config.get("lr", 3e-4))
     if _n_total > 50_000 and _lr >= 2.9e-4:
         logger.warning(
             "%d total spots with lr=%g: runs at the reference lr are "
             "measured to diverge beyond ~50k spots (any batch size; "
             "docs/scaling.md 'Large-scale learning rate'); consider "
-            "lr ~%.2g (3e-4 x 10k/total_spots).",
+            "lr ~%.2g (3e-4 x 10k/total_spots), or set lr: auto.",
             _n_total, _lr, 3e-4 * 10_000.0 / _n_total,
         )
     maxiter = int(model_config["maxiter"])

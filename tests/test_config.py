@@ -69,3 +69,23 @@ def test_deep_merge_nested_ot_config(tmp_path):
     assert cfg["ot_config"]["epsilon"] == 0.2
     # untouched sibling keys survive the merge
     assert cfg["ot_config"]["growth_iters"] == 3
+
+
+def test_resolve_lr_auto_scaling():
+    """lr: 'auto' = min(3e-4, 3e-4*10k/total_spots) — docs/scaling.md rule,
+    quality-backed at 2x102,400 spots (docs/tpu_logs/atlasq_lrscaled.log)."""
+    from spadot_tpu.train.loop import resolve_lr
+
+    assert resolve_lr("auto", 1_000) == pytest.approx(3e-4)   # capped
+    assert resolve_lr("auto", 10_000) == pytest.approx(3e-4)
+    assert resolve_lr("AUTO", 204_800) == pytest.approx(3e-4 * 10_000 / 204_800)
+    assert resolve_lr(1e-3, 204_800) == 1e-3                  # numeric passthrough
+    # YAML 1.1 parses dot-less sci notation as a string - must still work
+    assert resolve_lr("3e-4", 204_800) == pytest.approx(3e-4)
+
+
+def test_resolve_lr_rejects_other_strings():
+    from spadot_tpu.train.loop import resolve_lr
+
+    with pytest.raises(ValueError, match="auto"):
+        resolve_lr("fast", 100)
