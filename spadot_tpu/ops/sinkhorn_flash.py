@@ -247,7 +247,8 @@ def _make_solver(I, J, d, dtype, lambda1, lambda2, epsilon, epsilon0,
 
 
 def _drive_chunks(stage_chunk, stage_params, X0d, X1d, pd, qd, invs_d, *,
-                  dtype, I, J, max_iter, chunk_iters=None, out_shardings=None):
+                  dtype, I, J, max_iter, chunk_iters=None, out_shardings=None,
+                  f0=None, g0=None, verbose=None):
     """Host loop over bounded stage dispatches (see stage_chunk's docstring:
     unbounded single dispatches at 100k x 100k get the remote TPU worker
     killed). `chunk_iters=None` sizes one dispatch by the problem area so a
@@ -256,12 +257,23 @@ def _drive_chunks(stage_chunk, stage_params, X0d, X1d, pd, qd, invs_d, *,
     semantics are the single-dispatch while_loop's exactly: the gap is
     checked every `inner` iterations, max_iter is a global budget carried
     across epsilon stages, and a non-finite gap stops the stage (NaN fails
-    the `gp > threshold` cond both in-device and on host)."""
+    the `gp > threshold` cond both in-device and on host).
+
+    f0/g0 warm-start the dual potentials (growth iterations re-solve with a
+    new row marginal only — the previous duals are near the new fixed point
+    and the gap criterion guarantees the same answer). `verbose` (default:
+    the SPADOT_OT_VERBOSE env) prints one stderr line per chunk so a
+    multi-hour 100k x 100k solve is observable."""
     import functools
+    import os
+    import sys
+    import time
 
     import jax
     import jax.numpy as jnp
 
+    if verbose is None:
+        verbose = bool(int(os.environ.get("SPADOT_OT_VERBOSE", "0") or 0))
     if chunk_iters is None:
         chunk_iters = int(
             min(10_000, max(25, 3.0e11 / (float(I) * float(J) + 1.0)))
@@ -271,17 +283,41 @@ def _drive_chunks(stage_chunk, stage_params, X0d, X1d, pd, qd, invs_d, *,
         jax.jit(functools.partial(stage_chunk, stage_e=e), **jit_kw)
         for e in range(len(stage_params))
     ]
-    f = jnp.zeros((I,), dtype)
-    g = jnp.zeros((J,), dtype)
+    f = jnp.zeros((I,), dtype) if f0 is None else jnp.asarray(f0, dtype)
+    g = jnp.zeros((J,), dtype) if g0 is None else jnp.asarray(g0, dtype)
+    if out_shardings is not None:
+        f = jax.device_put(f, out_shardings[0])
+        g = jax.device_put(g, out_shardings[1])
     it = jnp.zeros((), jnp.int32)
-    for e, (_eps_i, threshold, _final) in enumerate(stage_params):
+    t_start = time.time()
+    # the epsilon ladder is pure continuation (each stage warm-starts the
+    # next; the optimum of the FINAL stage is what's returned, and the
+    # unbalanced problem's optimum is unique) — with caller-provided duals
+    # near that optimum, running the early large-eps stages would drag the
+    # iterate back toward their fixed points, so skip straight to the last
+    stages = (
+        list(enumerate(stage_params))
+        if f0 is None and g0 is None
+        else [(len(stage_params) - 1, stage_params[-1])]
+    )
+    for e, (eps_i, threshold, _final) in stages:
         gp = jnp.asarray(jnp.inf, dtype)
         while int(it) < max_iter:
             it_hi = jnp.asarray(
                 min(int(it) + int(chunk_iters), max_iter), jnp.int32
             )
+            t0 = time.time()
             f, g, gp, it = fns[e](X0d, X1d, pd, qd, invs_d, f, g, gp, it, it_hi)
-            if not (float(gp) > threshold):  # converged, or non-finite gap
+            gp_h, it_h = float(gp), int(it)
+            if verbose:
+                print(
+                    f"[sinkhorn_factored] stage {e}/{len(stage_params) - 1} "
+                    f"eps={eps_i:.4g} it={it_h} gap={gp_h:.3e} "
+                    f"(thr {threshold:.1e}) chunk {time.time() - t0:.1f}s "
+                    f"total {time.time() - t_start:.0f}s",
+                    file=sys.stderr, flush=True,
+                )
+            if not (gp_h > threshold):  # converged, or non-finite gap
                 break
     return f, g
 
@@ -290,6 +326,7 @@ def sinkhorn_factored(
     X0, X1, G=None, *, lambda1=0.1, lambda2=5.0, epsilon=0.05, epsilon0=1.0,
     batch_size=5, tolerance=1e-8, max_iter=10_000_000, block=1024,
     dtype=np.float32, return_plan=True, use_pallas=None, chunk_iters=None,
+    f0=None, g0=None,
     **ignored,
 ):
     """Cost-matrix-free unbalanced Sinkhorn between latent factor sets.
@@ -297,6 +334,7 @@ def sinkhorn_factored(
     Returns (R / J) like the dense engine when return_plan, else the dual
     potentials (f, g) and the cost scale — enough to reconstruct any block of
     the plan on demand: R_ij = exp((f_i + g_j - C_ij)/eps_final).
+    f0/g0 warm-start the duals (see _drive_chunks).
     """
     import jax
     import jax.numpy as jnp
@@ -320,7 +358,7 @@ def sinkhorn_factored(
         jnp.asarray(X0), jnp.asarray(X1), jnp.asarray(G, dtype),
         jnp.asarray(q, dtype), jnp.asarray(1.0 / s, dtype),
         dtype=dtype, I=I, J=J, max_iter=int(max_iter),
-        chunk_iters=chunk_iters,
+        chunk_iters=chunk_iters, f0=f0, g0=g0,
     )
     eps_final = _stage_epsilons(epsilon, epsilon0)[-1]
     if not return_plan:
@@ -335,7 +373,8 @@ def sinkhorn_factored(
 def sinkhorn_factored_sharded(
     X0, X1, G=None, *, mesh, lambda1=0.1, lambda2=5.0, epsilon=0.05,
     epsilon0=1.0, batch_size=5, tolerance=1e-8, max_iter=10_000_000,
-    block=1024, dtype=np.float32, chunk_iters=None, **ignored,
+    block=1024, dtype=np.float32, chunk_iters=None, f0=None, g0=None,
+    **ignored,
 ):
     """Factored Sinkhorn with the source rows sharded over the mesh's `data`
     axis (SURVEY.md §5 "sharded Sinkhorn ... all-reduce of column marginals").
@@ -377,7 +416,7 @@ def sinkhorn_factored_sharded(
         stage_chunk, stage_params, X0_d, X1_d, p_d, q_d,
         jnp.asarray(1.0 / s, dtype),
         dtype=dtype, I=I, J=J, max_iter=int(max_iter),
-        chunk_iters=chunk_iters,
+        chunk_iters=chunk_iters, f0=f0, g0=g0,
         out_shardings=(row_sh, rep, rep, rep),
     )
     eps_final = _stage_epsilons(epsilon, epsilon0)[-1]

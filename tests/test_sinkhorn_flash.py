@@ -73,3 +73,37 @@ def test_factored_chunk_invariance(rng):
     R_tiny = sinkhorn_factored(X0, X1, chunk_iters=7, dtype=np.float32,
                                block=16, **PARAMS)
     np.testing.assert_array_equal(R_one, R_tiny)
+
+
+def test_factored_warm_start_same_answer(rng):
+    """Warm-started duals (the growth-iteration path) must reach the same
+    converged plan as a cold solve: the unbalanced problem's optimum is
+    unique, the ladder is pure continuation, and the gap criterion certifies
+    convergence regardless of init. The warm path skips the epsilon ladder."""
+    X0, X1 = _xy(rng, 50, 40)
+    G1 = rng.uniform(0.5, 2, 50)
+    f1, g1, s, eps_final = sinkhorn_factored(
+        X0, X1, np.ones(50), return_plan=False, dtype=np.float32, block=16,
+        **PARAMS,
+    )
+    # growth step: new row marginal, warm vs cold
+    cold = sinkhorn_factored(X0, X1, G1, dtype=np.float32, block=16, **PARAMS)
+    warm = sinkhorn_factored(
+        X0, X1, G1, dtype=np.float32, block=16, f0=f1, g0=g1, **PARAMS
+    )
+    np.testing.assert_allclose(warm, cold, rtol=5e-3, atol=1e-8)
+
+
+def test_factored_verbose_progress(rng, capfd):
+    """SPADOT_OT_VERBOSE=1 emits one stderr line per chunk (stage/it/gap) —
+    the observability lever for multi-hour 100k x 100k solves."""
+    X0, X1 = _xy(rng, 30, 25)
+    import os
+
+    os.environ["SPADOT_OT_VERBOSE"] = "1"
+    try:
+        sinkhorn_factored(X0, X1, dtype=np.float32, block=16, **PARAMS)
+    finally:
+        del os.environ["SPADOT_OT_VERBOSE"]
+    err = capfd.readouterr().err
+    assert "[sinkhorn_factored] stage" in err and "gap=" in err
