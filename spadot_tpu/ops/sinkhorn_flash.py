@@ -91,11 +91,21 @@ def _make_solver(I, J, d, dtype, lambda1, lambda2, epsilon, epsilon0,
 
     pallas_lse = {}
     if use_pallas:
+        import os
+
         from spadot_tpu.ops.sinkhorn_pallas import make_lse_rows_pallas
 
+        # tile shape of the fused LSE kernel: (256, 512) measured-safe
+        # defaults; SPADOT_LSE_TILES="bi,bj" overrides for A/B runs (at
+        # 102k x 102k the default grid is ~80k steps/sweep — taller tiles
+        # amortize grid/DMA overhead exactly as they did for flash3)
+        ti, tj = 256, 512
+        env_tiles = os.environ.get("SPADOT_LSE_TILES")
+        if env_tiles:
+            ti, tj = (int(v) for v in env_tiles.split(","))
         for eps_i in _stage_epsilons(epsilon, epsilon0):
             pallas_lse[eps_i] = make_lse_rows_pallas(
-                1.0 / eps_i, block_i=min(block, 256), block_j=min(block, 512)
+                1.0 / eps_i, block_i=min(block, ti), block_j=min(block, tj)
             )
 
     def stage_chunk(X0, X1, p, q, inv_s, f, g, gp, it, it_hi, *, stage_e):
