@@ -33,6 +33,52 @@ def _jittered_chol(mat, jitter):
     return cholesky(mat + jitter * eye, lower=True)
 
 
+def _chol_guarded(B_all, eye_m):
+    """Batched lower Cholesky of B ⪰ I matrices with a detected-failure
+    rescue for rounding-induced indefiniteness.
+
+    The whitened forms B = I + ratio·UΛUᵀ are PSD with eigenvalues ≥ 1 in
+    exact arithmetic, but the Gram-forming error is RELATIVE to ‖B‖: when a
+    latent dim's encoder variance collapses to the exp-clip floor
+    (layers.py: clip(logvar, -15, 15) → prec = e¹⁵ ≈ 3.3e6), ‖B‖ reaches
+    ~N·prec·O(U²) ≈ 1e9-1e10 and the ~√b·ε·‖B‖ float32 rounding error
+    swamps the ⪰ I floor — chol(B) goes indefinite → NaN. No matmul
+    precision can save this (it reproduces on CPU at exact f32); the
+    reference only tolerates collapsed dims because it trains float64
+    (SpaDOT/train.py:27, f64 ε leaves 1e-6 headroom at the same ‖B‖).
+
+    Rescue: only when a dim's plain Cholesky actually produced NaN, re-run
+    it with a 5%-of-max-diag jitter on the bad dims. 0.05·‖B‖ dominates the
+    worst-case forming error (b·ε·‖B‖ ≤ 0.012·‖B‖ even at b = 102 400), so
+    the second factorization cannot fail, while the healthy path — and
+    every healthy dim within a rescued batch — keeps bit-identical
+    numerics and pays only the all-finite predicate (the rescue lives
+    behind a real `lax.cond`). The jitter distorts only the collapsed
+    dim's near-null directions, which carry no signal by construction.
+
+    Root-caused 2026-08-19 on the MouseOrganogenesis-scale bench: one dim
+    hit the var floor within epoch 0 → NaN posterior column → NaN KMeans
+    centroids at the first OT refresh (docs/tpu_logs/bench_mouse_bpin.log;
+    CPU repro /tmp probes; also the b512@102k NaN arms atlasq_b512_*.log).
+    """
+    Lb = cholesky(B_all, lower=True)
+    ok = jnp.all(
+        jnp.isfinite(jnp.diagonal(Lb, axis1=-2, axis2=-1)), axis=-1
+    )  # (L,)
+
+    def rescue(_):
+        lam = jnp.where(
+            ok,
+            jnp.zeros((), B_all.dtype),
+            0.05 * jnp.max(jnp.diagonal(B_all, axis1=-2, axis2=-1), axis=-1),
+        )
+        return cholesky(
+            B_all + lam[:, None, None] * eye_m[None], lower=True
+        )
+
+    return jax.lax.cond(jnp.all(ok), lambda _: Lb, rescue, operand=None)
+
+
 def svgp_shared(Z, kernel_type="Gaussian", kernel_scale=0.1, jitter=1e-2):
     """Precompute quantities shared across batches and latent dims for a
     fixed inducing set Z (the reference keeps Z non-trainable: svgp.py:24-25).
@@ -234,26 +280,45 @@ def _svgp_batch_terms_impl(
     logdet_Kmm = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_mm)))
     eye_m = jnp.eye(m, dtype=K_mm.dtype)
 
-    def per_dim(y_l, var_l):
-        prec = mask / var_l  # masked precision (b,)
-        # Σ + jI = K̃ + ratio·K_mn Λ K_nm = L (I + ratio·U Λ Uᵀ) Lᵀ = L B Lᵀ.
-        # B has eigenvalues >= 1, so its UNJITTERED Cholesky is numerically
-        # robust at any data scale — the direct chol(Σ) the reference inverts
-        # (svgp.py:74-75) goes indefinite in float32 once ratio·b·prec is
-        # large (observed at batch 4096, m 600). B ⪰ I also bounds
-        # ‖Lb⁻¹‖₂ ≤ 1, so materializing Lb⁻¹ once is numerically safe and
-        # turns every downstream triangular solve into an MXU gemm.
-        # The B-forming gemm must run at true-f32 'highest': the ⪰ I floor
-        # only protects the Cholesky while the gemm error is ≪ 1, and the
-        # error is RELATIVE to ‖B‖ ≈ ratio·max(prec)·b·O(U²). Measured at
-        # ratio = N/b = 200 (batch 512 at 102,400 spots): ‖B‖ ~ 1e6 and the
-        # ambient 'high' 3-pass bf16 product had min eig -0.098 → chol NaN
-        # at epoch 1 (docs/tpu_logs/atlasq_b512.log; /tmp-probe dissection
-        # 2026-08-19). One (m,b)·(b,m) gemm per latent dim — noise-level
-        # cost next to the S/R/T2 gemms that stay at the ambient precision.
+    # Σ + jI = K̃ + ratio·K_mn Λ K_nm = L (I + ratio·U Λ Uᵀ) Lᵀ = L B Lᵀ.
+    # B has eigenvalues >= 1, so its UNJITTERED Cholesky is numerically
+    # robust at any data scale — the direct chol(Σ) the reference inverts
+    # (svgp.py:74-75) goes indefinite in float32 once ratio·b·prec is
+    # large (observed at batch 4096, m 600). B ⪰ I also bounds
+    # ‖Lb⁻¹‖₂ ≤ 1, so materializing Lb⁻¹ once is numerically safe and
+    # turns every downstream triangular solve into an MXU gemm.
+    # The B-forming gemm must run at true-f32 'highest': the ⪰ I floor
+    # only protects the Cholesky while the gemm error is ≪ 1, and the
+    # error is RELATIVE to ‖B‖ ≈ ratio·max(prec)·b·O(U²). Measured at
+    # ratio = N/b = 200 (batch 512 at 102,400 spots): ‖B‖ ~ 1e6 and the
+    # ambient 'high' 3-pass bf16 product had min eig -0.098 → chol NaN
+    # at epoch 1 (docs/tpu_logs/atlasq_b512.log; /tmp-probe dissection
+    # 2026-08-19). One (m,b)·(b,m) gemm per latent dim — noise-level
+    # cost next to the S/R/T2 gemms that stay at the ambient precision.
+    # The B/Bt factorizations live OUTSIDE the per-dim vmap so their
+    # collapsed-dim rescue (`_chol_guarded`) is one real lax.cond over the
+    # whole (L, m, m) batch — free on the healthy path.
+    prec_all = mask[:, None] / qnet_var  # masked precision (b, L)
+
+    def _form_B(prec):
         with jax.default_matmul_precision("highest"):
-            B = eye_m + ratio * (U * prec[None, :]) @ U.T
-        Lb = cholesky(B, lower=True)
+            return eye_m + ratio * (U * prec[None, :]) @ U.T
+
+    B_all = jax.vmap(_form_B, in_axes=1)(prec_all)  # (L, m, m)
+    Lb_all = _chol_guarded(B_all, eye_m)
+    if V is not None:
+        # same ⪰ I stability argument as B above (scale is jitter·ratio —
+        # 100× smaller, but one unlucky batch suffices), and the same
+        # collapsed-dim rescue
+        def _form_Bt(prec):
+            with jax.default_matmul_precision("highest"):
+                return eye_m + (jitter * ratio) * (V * prec[None, :]) @ V.T
+
+        Bt_all = jax.vmap(_form_Bt, in_axes=1)(prec_all)
+        Lbt_all = _chol_guarded(Bt_all, eye_m)
+
+    def per_dim(y_l, var_l, Lb, *maybe_lbt):
+        prec = mask / var_l  # masked precision (b,)
         Lb_inv = solve_triangular(Lb, eye_m, lower=True)
 
         # Everything below uses Σ̃⁻¹ = L⁻ᵀ Lb⁻ᵀ Lb⁻¹ L⁻¹ so that the batch
@@ -281,11 +346,7 @@ def _svgp_batch_terms_impl(
             # with one more independent, unconditionally-stable
             # factorization — the serial chol→trsm→gemm→chol chain
             # becomes chol ∥ chol → trsm.
-            # same ⪰ I stability argument as B above (scale is jitter·ratio
-            # — 100× smaller, but one unlucky batch suffices)
-            with jax.default_matmul_precision("highest"):
-                Bt = eye_m + (jitter * ratio) * (V * prec[None, :]) @ V.T
-            Lbt = cholesky(Bt, lower=True)
+            (Lbt,) = maybe_lbt
             logdet_A = (
                 logdet_CCj
                 + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lbt)))
@@ -323,9 +384,14 @@ def _svgp_batch_terms_impl(
         )
         return p_m, p_v, recon, kl
 
-    p_m, p_v, recon, kl = jax.vmap(per_dim, in_axes=(1, 1), out_axes=(1, 1, 0, 0))(
-        qnet_mu, qnet_var
-    )
+    dim_args = (qnet_mu, qnet_var, Lb_all)
+    in_axes = (1, 1, 0)
+    if V is not None:
+        dim_args += (Lbt_all,)
+        in_axes += (0,)
+    p_m, p_v, recon, kl = jax.vmap(
+        per_dim, in_axes=in_axes, out_axes=(1, 1, 0, 0)
+    )(*dim_args)
     return {"p_m": p_m, "p_v": p_v, "recon": recon, "kl": kl}
 
 

@@ -1085,21 +1085,28 @@ class Trainer:
             if km["centers"].get(cur) is None or km["centers"].get(nxt) is None:
                 continue
             # diagnose divergence at the source: non-finite centroids mean
-            # the TRAINING latents went NaN (not an OT-solver problem) —
-            # the classic trigger is under-precision linear algebra
-            # (svgp_matmul_precision below 'high' is measured to do this
-            # at every bench scale; see config.yaml). Without this check
-            # the failure surfaces as an opaque duality-gap overflow deep
-            # in the Sinkhorn engine.
+            # the TRAINING latents went NaN (not an OT-solver problem).
+            # Known triggers, in order of likelihood: (1) learning rate at
+            # data scale — the summed-over-rows loss diverges N-driven
+            # above ~50k total spots at the reference lr (docs/scaling.md;
+            # lr: auto applies the measured-stable rule); (2) under-
+            # precision linear algebra (svgp_matmul_precision below 'high'
+            # is measured to do this at every bench scale; see
+            # config.yaml). A collapsed latent dim at the variance clip
+            # floor is NOT a trigger anymore — ops/svgp.py:_chol_guarded
+            # rescues that case (2026-08-19). Without this check the
+            # failure surfaces as an opaque duality-gap overflow deep in
+            # the Sinkhorn engine.
             for tp, c in ((cur, km["centers"][cur]), (nxt, km["centers"][nxt])):
                 if not np.all(np.isfinite(np.asarray(c))):
                     raise FloatingPointError(
                         f"KMeans centroids for timepoint {tp} are non-finite "
                         "at the OT refresh — training latents have diverged "
-                        "(NaN/Inf). Check precision settings: "
-                        "svgp_matmul_precision must be 'high' or 'highest' "
-                        "(1-pass bf16 is known to destabilize the SVGP "
-                        "solves), and consider precision_preset: parity."
+                        "(NaN/Inf). Likely causes: learning rate too high "
+                        "for this data scale (set lr: auto — see "
+                        "docs/scaling.md) or under-precision settings "
+                        "(svgp_matmul_precision must be 'high' or "
+                        "'highest'; consider precision_preset: parity)."
                     )
             gamma = compute_transport_map(
                 np.asarray(km["centers"][cur], np.float64),

@@ -280,3 +280,53 @@ def test_b_gemm_precision_pinned_highest(rng):
     # constant-fed path; 26 vs 24 on the solve fallback (B only)
     assert str(jx_gemm).count("HIGHEST") >= 30
     assert str(jx_solve).count("HIGHEST") >= 26
+
+
+def test_chol_guarded_rescues_rounding_indefiniteness(rng):
+    """Regression (2026-08-19, docs/tpu_logs/bench_mouse_bpin.log): when a
+    latent dim's encoder variance collapses to the exp(-15) clip floor,
+    ‖B‖ = ‖I + ratio·UΛUᵀ‖ reaches ~1e9-1e10 and f32 Gram-forming rounding
+    (~√b·ε·‖B‖ ≫ 1) makes chol(B) indefinite — NO matmul precision fixes
+    this (it reproduces on CPU at exact f32). `_chol_guarded` must (a) keep
+    healthy slots bit-identical to a plain Cholesky and (b) rescue a slot
+    whose indefiniteness is rounding-scale relative to its diagonal."""
+    from spadot_tpu.ops.svgp import _chol_guarded
+
+    m = 32
+    Q, _ = np.linalg.qr(rng.normal(size=(m, m)))
+    eigs = np.geomspace(1e9, 1.0, m)
+    eigs[-1] = -1e3  # rounding-scale dip: ~1e-6 of ‖B‖
+    B_bad = ((Q * eigs) @ Q.T).astype(np.float32)
+    B_bad = (B_bad + B_bad.T) / 2
+    B_ok = (np.eye(m) * 2.0).astype(np.float32)
+    eye = jnp.eye(m, dtype=jnp.float32)
+    Lb = np.asarray(_chol_guarded(jnp.asarray(np.stack([B_ok, B_bad])), eye))
+    plain = np.asarray(jax.scipy.linalg.cholesky(jnp.asarray(B_ok), lower=True))
+    assert np.isfinite(Lb).all()
+    np.testing.assert_array_equal(Lb[0], plain)  # healthy slot untouched
+    # rescued factor reconstructs B_bad to the documented 5% jitter
+    rel = np.abs(Lb[1] @ Lb[1].T - B_bad).max() / np.abs(B_bad).max()
+    assert rel < 0.06
+
+
+def test_collapsed_dim_stays_finite(rng):
+    """A latent dim at the variance clip floor (prec = e¹⁵) must yield
+    finite posterior/ELBO terms on every path — the NaN column it used to
+    produce poisoned the KMeans refresh and took down the whole model
+    (mouse-scale benches + the b512@102k quality arms, 2026-08-19)."""
+    m, b, L = 48, 256, 4
+    Z = jnp.asarray(rng.uniform(0, 10, (m, 2)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 10, (b, 2)), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=(b, L)), jnp.float32)
+    var = np.ones((b, L), np.float32)
+    var[:, 1] = np.exp(-15.0)  # collapsed dim
+    mask = jnp.ones(b, jnp.float32)
+    st = svgp_shared(Z)
+    consts = dict(L_inv=st["L_inv"], C=st["C"], M=st["M"], Kt_inv=st["Kt_inv"],
+                  F=st["F"], logdet_CCj=st["logdet_CCj"])
+    for path in ({}, consts):
+        out = svgp_batch_terms(
+            x, mu, jnp.asarray(var), mask, float(b) * 6.6,
+            st["Z"], st["K_mm"], st["L_mm"], **path)
+        for k in ("p_m", "p_v", "recon", "kl"):
+            assert np.isfinite(np.asarray(out[k])).all(), (k, path.keys())
