@@ -47,36 +47,42 @@ def _chol_guarded(B_all, eye_m):
     reference only tolerates collapsed dims because it trains float64
     (SpaDOT/train.py:27, f64 ε leaves 1e-6 headroom at the same ‖B‖).
 
-    Rescue: only when a dim's plain Cholesky actually produced NaN, re-run
-    it with a 5%-of-max-diag jitter on the bad dims. 0.05·‖B‖ dominates the
-    worst-case forming error (b·ε·‖B‖ ≤ 0.012·‖B‖ even at b = 102 400), so
-    the second factorization cannot fail, while the healthy path — and
-    every healthy dim within a rescued batch — keeps bit-identical
-    numerics and pays only the all-finite predicate (the rescue lives
-    behind a real `lax.cond`). The jitter distorts only the collapsed
+    Rescue: detect failure on a PROBE Cholesky of `stop_gradient(B_all)` —
+    outside the autodiff graph — then take the one differentiable Cholesky
+    of B + λ·I with λ = 5%-of-max-diag on exactly the failed dims and 0.0
+    elsewhere. 0.05·‖B‖ dominates the worst-case forming error
+    (b·ε·‖B‖ ≤ 0.012·‖B‖ even at b = 102 400), so the jittered
+    factorization cannot fail, while healthy dims add literal +0.0 and
+    keep value-identical numerics. The jitter distorts only the collapsed
     dim's near-null directions, which carry no signal by construction.
+
+    The probe MUST be gradient-free: an earlier revision computed the
+    plain `cholesky(B_all)` in the AD graph and returned it from the
+    healthy branch of a `lax.cond` — when the rescue branch was taken,
+    the cond's VJP still routed a zero cotangent into the NaN-primal
+    probe's pullback (0·NaN = NaN), so every training step that *needed*
+    the rescue wrote NaN parameter gradients (finite loss, NaN grads —
+    CPU-verified repro, tests/test_svgp.py). The probe is one extra
+    forward (L, m, m) factorization per step; the same-shape solve-path
+    A/B (svgp_gemm_solves) measured m×m factor ops at wall-clock noise
+    at every bench scale.
 
     Root-caused 2026-08-19 on the MouseOrganogenesis-scale bench: one dim
     hit the var floor within epoch 0 → NaN posterior column → NaN KMeans
     centroids at the first OT refresh (docs/tpu_logs/bench_mouse_bpin.log;
     CPU repro /tmp probes; also the b512@102k NaN arms atlasq_b512_*.log).
     """
-    Lb = cholesky(B_all, lower=True)
+    B_ng = jax.lax.stop_gradient(B_all)
+    probe = cholesky(B_ng, lower=True)
     ok = jnp.all(
-        jnp.isfinite(jnp.diagonal(Lb, axis1=-2, axis2=-1)), axis=-1
+        jnp.isfinite(jnp.diagonal(probe, axis1=-2, axis2=-1)), axis=-1
     )  # (L,)
-
-    def rescue(_):
-        lam = jnp.where(
-            ok,
-            jnp.zeros((), B_all.dtype),
-            0.05 * jnp.max(jnp.diagonal(B_all, axis1=-2, axis2=-1), axis=-1),
-        )
-        return cholesky(
-            B_all + lam[:, None, None] * eye_m[None], lower=True
-        )
-
-    return jax.lax.cond(jnp.all(ok), lambda _: Lb, rescue, operand=None)
+    lam = jnp.where(
+        ok,
+        jnp.zeros((), B_all.dtype),
+        0.05 * jnp.max(jnp.diagonal(B_ng, axis1=-2, axis2=-1), axis=-1),
+    )
+    return cholesky(B_all + lam[:, None, None] * eye_m[None], lower=True)
 
 
 def svgp_shared(Z, kernel_type="Gaussian", kernel_scale=0.1, jitter=1e-2):
@@ -296,8 +302,8 @@ def _svgp_batch_terms_impl(
     # 2026-08-19). One (m,b)·(b,m) gemm per latent dim — noise-level
     # cost next to the S/R/T2 gemms that stay at the ambient precision.
     # The B/Bt factorizations live OUTSIDE the per-dim vmap so their
-    # collapsed-dim rescue (`_chol_guarded`) is one real lax.cond over the
-    # whole (L, m, m) batch — free on the healthy path.
+    # collapsed-dim rescue (`_chol_guarded`) probes the whole (L, m, m)
+    # batch at once — healthy dims stay value-identical (+0.0 jitter).
     prec_all = mask[:, None] / qnet_var  # masked precision (b, L)
 
     def _form_B(prec):

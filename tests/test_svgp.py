@@ -309,6 +309,50 @@ def test_chol_guarded_rescues_rounding_indefiniteness(rng):
     assert rel < 0.06
 
 
+def test_chol_guarded_gradients_finite_when_rescue_fires(rng):
+    """Regression (2026-08-20 review): the first guard revision computed the
+    probe `cholesky(B_all)` INSIDE the autodiff graph and returned it from
+    the healthy branch of a lax.cond — when the rescue fired, the cond's
+    VJP routed a zero cotangent into the NaN-primal probe's pullback
+    (0·NaN = NaN), so the training step that needed the rescue produced a
+    finite loss but NaN parameter gradients. The guard is differentiated in
+    every training step (forward_batch → svgp_batch_terms), so the rescue
+    must keep gradients finite — and must not perturb healthy-slot
+    gradients."""
+    from spadot_tpu.ops.svgp import _chol_guarded
+
+    m = 32
+    Q, _ = np.linalg.qr(rng.normal(size=(m, m)))
+    eigs = np.geomspace(1e9, 1.0, m)
+    eigs[-1] = -1e3
+    B_bad = ((Q * eigs) @ Q.T).astype(np.float32)
+    B_bad = (B_bad + B_bad.T) / 2
+    B_ok = (np.eye(m) * 2.0 + 0.1).astype(np.float32)
+    eye = jnp.eye(m, dtype=jnp.float32)
+    B_all = jnp.asarray(np.stack([B_ok, B_bad]))
+
+    # scale-normalized loss so the rescued slot's huge factor can't hide
+    # a NaN behind an overflow
+    def loss(B):
+        Lb = _chol_guarded(B, eye)
+        scale = jax.lax.stop_gradient(
+            jnp.max(jnp.abs(Lb), axis=(-2, -1), keepdims=True)
+        )
+        return jnp.sum((Lb / scale) ** 2)
+
+    g = np.asarray(jax.grad(loss)(B_all))
+    assert np.isfinite(g).all()
+
+    # healthy slot's gradient == plain-cholesky gradient (value-identical)
+    def loss_plain(B):
+        Lb = jax.scipy.linalg.cholesky(B, lower=True)
+        scale = jax.lax.stop_gradient(jnp.max(jnp.abs(Lb)))
+        return jnp.sum((Lb / scale) ** 2)
+
+    g_plain = np.asarray(jax.grad(loss_plain)(jnp.asarray(B_ok)))
+    np.testing.assert_array_equal(g[0], g_plain)
+
+
 def test_collapsed_dim_stays_finite(rng):
     """A latent dim at the variance clip floor (prec = e¹⁵) must yield
     finite posterior/ELBO terms on every path — the NaN column it used to
