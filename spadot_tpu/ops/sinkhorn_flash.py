@@ -273,7 +273,18 @@ def _drive_chunks(stage_chunk, stage_params, X0d, X1d, pd, qd, invs_d, *,
     new row marginal only — the previous duals are near the new fixed point
     and the gap criterion guarantees the same answer). `verbose` (default:
     the SPADOT_OT_VERBOSE env) prints one stderr line per chunk so a
-    multi-hour 100k x 100k solve is observable."""
+    multi-hour 100k x 100k solve is observable.
+
+    Plateau bail: the final stage's relative duality gap is a (primal −
+    dual)/|primal| difference of large near-cancelling f32 sums — at
+    100k × 100k its floor is ~3e-4, far above the 1e-6 threshold, and the
+    measured stall is a bitwise f32 fixed point (gap frozen at 3.340e-04
+    from iteration 125 through 16 000+, docs/tpu_logs/analyze_atlas_ot2.log
+    — an hour of wasted device time before the step timeout). When the gap
+    fails to improve by ≥0.1 % relative over SPADOT_OT_PLATEAU_CHUNKS
+    consecutive chunks (default 8; 0 disables), the stage bails with a
+    warning and the duals at the fixed point are accepted — they ARE the
+    f32 optimum; only the threshold was unreachable."""
     import functools
     import os
     import sys
@@ -310,8 +321,10 @@ def _drive_chunks(stage_chunk, stage_params, X0d, X1d, pd, qd, invs_d, *,
         if f0 is None and g0 is None
         else [(len(stage_params) - 1, stage_params[-1])]
     )
+    plateau_chunks = int(os.environ.get("SPADOT_OT_PLATEAU_CHUNKS", "8") or 0)
     for e, (eps_i, threshold, _final) in stages:
         gp = jnp.asarray(jnp.inf, dtype)
+        best_gap, since_improve = float("inf"), 0
         while int(it) < max_iter:
             it_hi = jnp.asarray(
                 min(int(it) + int(chunk_iters), max_iter), jnp.int32
@@ -329,6 +342,20 @@ def _drive_chunks(stage_chunk, stage_params, X0d, X1d, pd, qd, invs_d, *,
                 )
             if not (gp_h > threshold):  # converged, or non-finite gap
                 break
+            if gp_h < best_gap * (1.0 - 1e-3):
+                best_gap, since_improve = gp_h, 0
+            else:
+                since_improve += 1
+                if plateau_chunks and since_improve >= plateau_chunks:
+                    print(
+                        f"[sinkhorn_factored] WARNING: stage {e} gap "
+                        f"plateaued at {gp_h:.3e} (threshold {threshold:.1e} "
+                        f"unreachable at this precision) — accepting the "
+                        f"fixed-point duals after {since_improve} chunks / "
+                        f"{it_h} iterations without ≥0.1% improvement",
+                        file=sys.stderr, flush=True,
+                    )
+                    break
     return f, g
 
 

@@ -94,6 +94,55 @@ def test_factored_warm_start_same_answer(rng):
     np.testing.assert_allclose(warm, cold, rtol=5e-3, atol=1e-8)
 
 
+def test_factored_plateau_bail(rng, capfd, monkeypatch):
+    """An unreachable gap threshold must not spin until max_iter: the f32
+    relative duality gap has a cancellation floor (measured frozen at
+    3.340e-04 for 16k+ iterations at 102k x 102k,
+    docs/tpu_logs/analyze_atlas_ot2.log). With SPADOT_OT_PLATEAU_CHUNKS set,
+    a stage whose gap stops improving by >=0.1%/chunk bails with a warning
+    and returns the fixed-point duals. The stall shape is reproduced by
+    handing the host loop a threshold below the solver's own floor, so the
+    device iterate freezes while the host criterion stays unmet — exactly
+    the production failure."""
+    import jax.numpy as jnp
+
+    from spadot_tpu.ops.sinkhorn_flash import (
+        _drive_chunks,
+        _make_solver,
+    )
+
+    X0, X1 = _xy(rng, 30, 25)
+    X0 = np.asarray(X0, np.float32)
+    X1 = np.asarray(X1, np.float32)
+    I, J = X0.shape[0], X1.shape[0]
+    s = cost_median_factored(X0, X1)
+    stage_chunk, stage_params = _make_solver(
+        I, J, X0.shape[1], np.float32, 0.1, 5.0, 0.05, 1.0,
+        5, 1e-8, 20_000, 16,
+    )
+    # final-stage HOST threshold made unreachable (the device cond still
+    # converges at its clamped eff_tol and then freezes)
+    hacked = stage_params[:-1] + [(stage_params[-1][0], 1e-30, True)]
+    monkeypatch.setenv("SPADOT_OT_PLATEAU_CHUNKS", "3")
+    args = (jnp.asarray(X0), jnp.asarray(X1),
+            jnp.ones((I,), jnp.float32), jnp.full((J,), 1.0, jnp.float32),
+            jnp.asarray(1.0 / s, jnp.float32))
+    f, g = _drive_chunks(
+        stage_chunk, hacked, *args,
+        dtype=np.float32, I=I, J=J, max_iter=20_000, chunk_iters=5,
+    )
+    err = capfd.readouterr().err
+    assert "plateaued" in err
+    assert np.isfinite(np.asarray(f)).all() and np.isfinite(np.asarray(g)).all()
+    # the bailed duals ARE the converged fixed point, not a mid-descent cut
+    f_ref, g_ref = _drive_chunks(
+        stage_chunk, stage_params, *args,
+        dtype=np.float32, I=I, J=J, max_iter=20_000, chunk_iters=5,
+    )
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(f_ref))
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
+
+
 def test_factored_verbose_progress(rng, capfd):
     """SPADOT_OT_VERBOSE=1 emits one stderr line per chunk (stage/it/gap) —
     the observability lever for multi-hour 100k x 100k solves."""
