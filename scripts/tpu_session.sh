@@ -70,3 +70,13 @@ run_step analyze_atlas_ot2 timeout 10800 \
 #    ARI or a fresh root cause.
 run_step atlasq_b512_guard timeout 10800 \
   env QUALITY_CFG='{"batch_size": 512}' python examples/atlas_quality.py
+
+# 4-6. HEAD bench confirms after the guard's gradient fix (fa2214b): the
+#    rescue probe is now an ALWAYS-ON extra (L, m, m) forward Cholesky per
+#    step (the lax.cond variant it replaces wrote NaN grads whenever the
+#    rescue actually fired). Same-shape factor ops measured at wall noise
+#    in the solve-path A/Bs, but the driver's round-end BENCH captures
+#    HEAD — confirm the headline at every scale before it does.
+run_step bench_ch_gradfix timeout 3600 python bench.py
+run_step bench_mouse_gradfix timeout 3600 env BENCH_MODE=mouse python bench.py
+run_step bench_atlas_gradfix timeout 7200 env BENCH_MODE=atlas python bench.py
