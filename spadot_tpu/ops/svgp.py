@@ -33,6 +33,7 @@ def _jittered_chol(mat, jitter):
     return cholesky(mat + jitter * eye, lower=True)
 
 
+@jax.custom_vjp
 def _chol_guarded(B_all, eye_m):
     """Batched lower Cholesky of B ⪰ I matrices with a detected-failure
     rescue for rounding-induced indefiniteness.
@@ -47,42 +48,82 @@ def _chol_guarded(B_all, eye_m):
     reference only tolerates collapsed dims because it trains float64
     (SpaDOT/train.py:27, f64 ε leaves 1e-6 headroom at the same ‖B‖).
 
-    Rescue: detect failure on a PROBE Cholesky of `stop_gradient(B_all)` —
-    outside the autodiff graph — then take the one differentiable Cholesky
-    of B + λ·I with λ = 5%-of-max-diag on exactly the failed dims and 0.0
-    elsewhere. 0.05·‖B‖ dominates the worst-case forming error
-    (b·ε·‖B‖ ≤ 0.012·‖B‖ even at b = 102 400), so the jittered
-    factorization cannot fail, while healthy dims add literal +0.0 and
-    keep value-identical numerics. The jitter distorts only the collapsed
-    dim's near-null directions, which carry no signal by construction.
+    Rescue: factor B plainly, and only when a dim's Cholesky actually
+    produced NaN, re-factor with λ = 5%-of-max-diag jitter on exactly the
+    failed dims (behind a real `lax.cond` — the healthy path is ONE
+    Cholesky, bit-identical to an unguarded one). 0.05·‖B‖ dominates the
+    worst-case forming error (b·ε·‖B‖ ≤ 0.012·‖B‖ even at b = 102 400),
+    so the jittered factorization cannot fail. The jitter distorts only
+    the collapsed dim's near-null directions, which carry no signal by
+    construction.
 
-    The probe MUST be gradient-free: an earlier revision computed the
-    plain `cholesky(B_all)` in the AD graph and returned it from the
-    healthy branch of a `lax.cond` — when the rescue branch was taken,
-    the cond's VJP still routed a zero cotangent into the NaN-primal
-    probe's pullback (0·NaN = NaN), so every training step that *needed*
-    the rescue wrote NaN parameter gradients (finite loss, NaN grads —
-    CPU-verified repro, tests/test_svgp.py). The probe is one extra
-    forward (L, m, m) factorization per step; the same-shape solve-path
-    A/B (svgp_gemm_solves) measured m×m factor ops at wall-clock noise
-    at every bench scale.
+    Gradient safety demands custom_vjp, not plain autodiff: two earlier
+    revisions both cost a training failure or 20% of the epoch —
+    (a) returning the in-graph plain chol from the healthy branch of a
+    lax.cond routed a zero cotangent into the NaN-primal factorization's
+    pullback whenever the rescue was taken (0·NaN = NaN → finite loss,
+    NaN parameter grads; CPU-verified repro in tests/test_svgp.py), and
+    (b) probing on `stop_gradient(B)` then always re-factoring B + λI
+    doubled the per-step Cholesky count, measured +20% epoch time at
+    ChickenHeart AND Mouse scale (bench_ch_gradfix.log 0.1679 vs 0.1374,
+    bench_mouse_gradfix.log 0.2626 vs 0.2308). The custom backward
+    applies the standard Cholesky pullback (Murray 2016, the same rule
+    jax transposes) AT THE RETURNED FACTOR, which is finite by
+    construction on both paths — so gradients are finite whenever the
+    output is, with zero extra factorizations. λ is treated as a
+    constant in the backward (the 5% jitter is a numerical rescue, not a
+    modeling choice — matching the stop_gradient(λ) semantics of (b)).
 
     Root-caused 2026-08-19 on the MouseOrganogenesis-scale bench: one dim
     hit the var floor within epoch 0 → NaN posterior column → NaN KMeans
     centroids at the first OT refresh (docs/tpu_logs/bench_mouse_bpin.log;
     CPU repro /tmp probes; also the b512@102k NaN arms atlasq_b512_*.log).
     """
-    B_ng = jax.lax.stop_gradient(B_all)
-    probe = cholesky(B_ng, lower=True)
+    L, _ = _chol_guarded_fwd(B_all, eye_m)
+    return L
+
+
+def _chol_guarded_fwd(B_all, eye_m):
+    L0 = cholesky(B_all, lower=True)
     ok = jnp.all(
-        jnp.isfinite(jnp.diagonal(probe, axis1=-2, axis2=-1)), axis=-1
+        jnp.isfinite(jnp.diagonal(L0, axis1=-2, axis2=-1)), axis=-1
     )  # (L,)
-    lam = jnp.where(
-        ok,
-        jnp.zeros((), B_all.dtype),
-        0.05 * jnp.max(jnp.diagonal(B_ng, axis1=-2, axis2=-1), axis=-1),
+
+    def rescue(_):
+        lam = jnp.where(
+            ok,
+            jnp.zeros((), B_all.dtype),
+            0.05 * jnp.max(jnp.diagonal(B_all, axis1=-2, axis2=-1), axis=-1),
+        )
+        return cholesky(
+            B_all + lam[:, None, None] * eye_m[None], lower=True
+        )
+
+    L = jax.lax.cond(jnp.all(ok), lambda _: L0, rescue, operand=None)
+    return L, (L,)
+
+
+def _chol_guarded_bwd(res, L_bar):
+    """Cholesky reverse rule evaluated at the RETURNED factor L (finite on
+    both guard paths): B̄ = L⁻ᵀ φ(Lᵀ L̄) L⁻¹ with φ(X) = tril(X), diagonal
+    halved — the transpose of the Murray (2016) forward rule jax itself
+    uses, so healthy-path gradients match plain-cholesky autodiff."""
+    (L,) = res
+    m = L.shape[-1]
+    M = jnp.matmul(
+        jnp.swapaxes(L, -1, -2), L_bar, precision=jax.lax.Precision.HIGHEST
     )
-    return cholesky(B_all + lam[:, None, None] * eye_m[None], lower=True)
+    P = jnp.tril(M) / (1.0 + jnp.eye(m, dtype=L.dtype))
+    W = jax.lax.linalg.triangular_solve(
+        L, P, left_side=True, lower=True, transpose_a=True
+    )
+    B_bar = jax.lax.linalg.triangular_solve(
+        L, W, left_side=False, lower=True, transpose_a=False
+    )
+    return B_bar, jnp.zeros((m, m), L.dtype)
+
+
+_chol_guarded.defvjp(_chol_guarded_fwd, _chol_guarded_bwd)
 
 
 def svgp_shared(Z, kernel_type="Gaussian", kernel_scale=0.1, jitter=1e-2):
@@ -302,8 +343,9 @@ def _svgp_batch_terms_impl(
     # 2026-08-19). One (m,b)·(b,m) gemm per latent dim — noise-level
     # cost next to the S/R/T2 gemms that stay at the ambient precision.
     # The B/Bt factorizations live OUTSIDE the per-dim vmap so their
-    # collapsed-dim rescue (`_chol_guarded`) probes the whole (L, m, m)
-    # batch at once — healthy dims stay value-identical (+0.0 jitter).
+    # collapsed-dim rescue (`_chol_guarded`) is one real lax.cond over the
+    # whole (L, m, m) batch — free on the healthy path, finite-gradient
+    # on the rescue path (custom_vjp at the returned factor).
     prec_all = mask[:, None] / qnet_var  # masked precision (b, L)
 
     def _form_B(prec):

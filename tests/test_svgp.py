@@ -343,14 +343,16 @@ def test_chol_guarded_gradients_finite_when_rescue_fires(rng):
     g = np.asarray(jax.grad(loss)(B_all))
     assert np.isfinite(g).all()
 
-    # healthy slot's gradient == plain-cholesky gradient (value-identical)
+    # healthy slot's gradient == plain-cholesky gradient (the custom
+    # backward is the transpose of the same Murray-2016 rule jax uses;
+    # only op association may differ in the last bits)
     def loss_plain(B):
         Lb = jax.scipy.linalg.cholesky(B, lower=True)
         scale = jax.lax.stop_gradient(jnp.max(jnp.abs(Lb)))
         return jnp.sum((Lb / scale) ** 2)
 
     g_plain = np.asarray(jax.grad(loss_plain)(jnp.asarray(B_ok)))
-    np.testing.assert_array_equal(g[0], g_plain)
+    np.testing.assert_allclose(g[0], g_plain, rtol=1e-5, atol=1e-6)
 
 
 def test_collapsed_dim_stays_finite(rng):
