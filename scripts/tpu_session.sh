@@ -80,3 +80,15 @@ run_step atlasq_b512_guard timeout 10800 \
 run_step bench_ch_gradfix timeout 3600 python bench.py
 run_step bench_mouse_gradfix timeout 3600 env BENCH_MODE=mouse python bench.py
 run_step bench_atlas_gradfix timeout 7200 env BENCH_MODE=atlas python bench.py
+
+# 7-9. Re-confirm after the guard's custom_vjp restructure: the
+#    stop_gradient-probe variant (steps 4-6) measured +20% at CH and
+#    mouse — it doubled the per-step Cholesky count. The custom_vjp
+#    guard is ONE plain chol on the healthy path (rescue re-chol only
+#    when a dim actually NaN's, behind a real cond) with the standard
+#    Cholesky pullback applied at the returned finite factor — expected
+#    to restore the 0.127-0.137 CH band while keeping rescue gradients
+#    finite.
+run_step bench_ch_cvjp timeout 3600 python bench.py
+run_step bench_mouse_cvjp timeout 3600 env BENCH_MODE=mouse python bench.py
+run_step bench_atlas_cvjp timeout 7200 env BENCH_MODE=atlas python bench.py

@@ -306,6 +306,37 @@ def _drive_chunks(stage_chunk, stage_params, X0d, X1d, pd, qd, invs_d, *,
     ]
     f = jnp.zeros((I,), dtype) if f0 is None else jnp.asarray(f0, dtype)
     g = jnp.zeros((J,), dtype) if g0 is None else jnp.asarray(g0, dtype)
+    # AOT-precompile the ladder's stage executables CONCURRENTLY: lazily,
+    # the 102k x 102k cold start compiles 6 near-identical programs in
+    # sequence at ~3 min each over the remote-TPU tunnel (~18 min before
+    # the first Sinkhorn iteration runs — docs/tpu_logs analyze_atlas_ot2
+    # cold window). Compilation is server/network-bound and releases the
+    # GIL, so a thread pool overlaps it. Single-device path only: the
+    # sharded variant's input shardings are committed on the arrays, and
+    # AOT-from-ShapeDtypeStruct would compile for the default placement.
+    if (
+        len(fns) > 1 and out_shardings is None and f0 is None and g0 is None
+        and os.environ.get("SPADOT_OT_PARALLEL_COMPILE", "1") != "0"
+    ):
+        try:
+            import concurrent.futures as _cf
+
+            sds = jax.ShapeDtypeStruct
+            arg_shapes = (
+                [sds(a.shape, a.dtype) for a in (X0d, X1d, pd, qd, invs_d)]
+                + [sds((I,), dtype), sds((J,), dtype), sds((), dtype),
+                   sds((), jnp.int32), sds((), jnp.int32)]
+            )
+            with _cf.ThreadPoolExecutor(max_workers=len(fns)) as ex:
+                fns = list(
+                    ex.map(lambda fn: fn.lower(*arg_shapes).compile(), fns)
+                )
+        except Exception as exc:  # pragma: no cover - fall back to lazy jit
+            print(
+                f"[sinkhorn_factored] parallel stage compile failed "
+                f"({type(exc).__name__}: {exc}) — compiling lazily",
+                file=sys.stderr, flush=True,
+            )
     if out_shardings is not None:
         f = jax.device_put(f, out_shardings[0])
         g = jax.device_put(g, out_shardings[1])
