@@ -30,7 +30,16 @@ import os
 import re
 import sys
 
-N_DEV = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+def _argv_int(i, default):
+    """Defensive argv parse: the module is also imported by the parser
+    unit test (tests/test_parallel.py), where argv is pytest's."""
+    try:
+        return int(sys.argv[i])
+    except (IndexError, ValueError):
+        return default
+
+
+N_DEV = _argv_int(2, 8)
 os.environ.setdefault(
     "XLA_FLAGS", f"--xla_force_host_platform_device_count={N_DEV}"
 )

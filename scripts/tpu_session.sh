@@ -99,3 +99,8 @@ run_step bench_atlas_cvjp timeout 7200 env BENCH_MODE=atlas python bench.py
 #    the fixed number. Clustering phase only (OT already measured).
 run_step elbow_atlas_device timeout 3600 \
   env SPADOT_BENCH_PHASES=cluster python scripts/bench_analyze.py 102400 2 device 1
+
+# 11. Fresh per-op profile at the 0.1239 HEAD (custom_vjp guard) — the
+#    round-4 lever hunt input: where do the remaining 6.2 ms/step go
+#    (closure-GAT passes vs SVGP terms vs refresh vs copies).
+run_step profile_ch_cvjp timeout 3600 python scripts/profile_epoch.py 3

@@ -340,3 +340,36 @@ def test_fused_epoch_collective_hygiene():
     # gradient psum + KMeans refresh bookkeeping; generous headroom over
     # the measured 9 so benign partitioner changes don't flake the suite
     assert counts["all-reduce"] + counts["all-gather"] <= 32, counts
+
+
+def test_collective_accounting_parser():
+    """scripts/collective_accounting.py's HLO tally: op-site counting and
+    result-shape byte arithmetic (incl. tuple shapes and -start forms) —
+    the numbers docs/multichip.md quotes come from this parser."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "collective_accounting",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "collective_accounting.py"),
+    )
+    # the module sets env defaults at import; harmless under the conftest
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    hlo = "\n".join([
+        "  %ar.1 = f32[10,20]{1,0} all-reduce(f32[10,20] %p), replica_groups={}",
+        "  %ars = (f32[4]{0}, f32[8]{0}) all-reduce-start(%a, %b)",  # not counted: -start
+        "  %ag.2 = (f32[16]{0}, f32[16]{0}) all-gather(%x, %y), dimensions={0}",
+        "  %cp = u32[2]{0} collective-permute(%z), source_target_pairs={{0,1}}",
+        "  ROOT %t = f32[1]{0} tuple(%ar.1)",
+    ])
+    stats = mod.account(hlo)
+    assert stats["all-reduce"]["count"] == 1
+    assert stats["all-reduce"]["bytes"] == 10 * 20 * 4
+    assert stats["all-gather"]["count"] == 1
+    assert stats["all-gather"]["bytes"] == (16 + 16) * 4
+    assert stats["collective-permute"]["count"] == 1
+    assert stats["collective-permute"]["bytes"] == 2 * 4
+    assert stats["all-to-all"]["count"] == 0
