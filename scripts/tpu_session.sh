@@ -104,10 +104,3 @@ run_step elbow_atlas_device timeout 3600 \
 #    round-4 lever hunt input: where do the remaining 6.2 ms/step go
 #    (closure-GAT passes vs SVGP terms vs refresh vs copies).
 run_step profile_ch_cvjp timeout 3600 python scripts/profile_epoch.py 3
-
-# 12-14. B+Bt stacked into ONE (2L, m, m) guarded Cholesky (profile said
-#    the two separate (L, m, m) chol custom-calls were ~12 ms of the
-#    113 ms CH epoch). A/B the stacked HEAD at every scale.
-run_step bench_ch_cholstack timeout 3600 python bench.py
-run_step bench_mouse_cholstack timeout 3600 env BENCH_MODE=mouse python bench.py
-run_step bench_atlas_cholstack timeout 7200 env BENCH_MODE=atlas python bench.py

@@ -353,28 +353,17 @@ def _svgp_batch_terms_impl(
             return eye_m + ratio * (U * prec[None, :]) @ U.T
 
     B_all = jax.vmap(_form_B, in_axes=1)(prec_all)  # (L, m, m)
+    Lb_all = _chol_guarded(B_all, eye_m)
     if V is not None:
         # same ⪰ I stability argument as B above (scale is jitter·ratio —
         # 100× smaller, but one unlucky batch suffices), and the same
-        # collapsed-dim rescue. B and B̃ STACK into one (2L, m, m) guarded
-        # Cholesky: per-slice numerics are identical (batched chol
-        # factors slices independently) and the single custom-call halves
-        # the per-step factorization dispatches — the two (L, m, m) chol
-        # custom-calls were ~12 ms/ep of the 113 ms ChickenHeart epoch
-        # (docs/tpu_logs/profile_ch_cvjp.log). B̃'s factor is consumed
-        # only through its log-diagonal (determinant lemma below), so no
-        # extra solves ride the wider batch.
+        # collapsed-dim rescue
         def _form_Bt(prec):
             with jax.default_matmul_precision("highest"):
                 return eye_m + (jitter * ratio) * (V * prec[None, :]) @ V.T
 
         Bt_all = jax.vmap(_form_Bt, in_axes=1)(prec_all)
-        LL = _chol_guarded(
-            jnp.concatenate([B_all, Bt_all], axis=0), eye_m
-        )
-        Lb_all, Lbt_all = LL[: B_all.shape[0]], LL[B_all.shape[0]:]
-    else:
-        Lb_all = _chol_guarded(B_all, eye_m)
+        Lbt_all = _chol_guarded(Bt_all, eye_m)
 
     def per_dim(y_l, var_l, Lb, *maybe_lbt):
         prec = mask / var_l  # masked precision (b,)
