@@ -67,6 +67,12 @@ class SpaDOTNet(nn.Module):
     # bench scales). Parity runs pin "highest". Latent extraction always
     # runs "highest" (train/loop.py scopes it) — artifacts unaffected.
     mlp_matmul_precision: str = "default"
+    # triangular-inverse backend for the whitened-SVGP B/B̃ factors:
+    # "auto" = the nilpotent log-series inverse (pure MXU matmuls,
+    # ops/tri_inverse.py) on TPU, the XLA trsm elsewhere; "series"/"xla"
+    # pin a backend (rationale + measured trsm latency in
+    # ops/tri_inverse.py).
+    svgp_chol_backend: str = "auto"
 
     def setup(self):
         self.svgp_z_dim = self.z_dim // 2
@@ -154,6 +160,9 @@ def build_net(model_config: Dict[str, Any]) -> SpaDOTNet:
         ),
         mlp_matmul_precision=str(
             model_config.get("mlp_matmul_precision", "default")
+        ),
+        svgp_chol_backend=str(
+            model_config.get("svgp_chol_backend", "auto")
         ),
     )
 
@@ -315,6 +324,7 @@ def forward_batch(
             M=svgp_state.get("M"), Kt_inv=svgp_state.get("Kt_inv"),
             F=svgp_state.get("F"), logdet_CCj=svgp_state.get("logdet_CCj"),
             matmul_precision=net.svgp_matmul_precision,
+            chol_backend=net.svgp_chol_backend,
         )
         inside_elbo = jnp.sum(terms["recon"]) - (b_eff / N_train) * jnp.sum(terms["kl"])
         ce = gauss_cross_entropy(terms["p_m"], terms["p_v"], qnet_mu, qnet_var)
@@ -502,6 +512,7 @@ def full_latent_ext(
             L_inv=svgp_state.get("L_inv"), C=svgp_state.get("C"),
             M=svgp_state.get("M"), Kt_inv=svgp_state.get("Kt_inv"),
             F=svgp_state.get("F"), logdet_CCj=svgp_state.get("logdet_CCj"),
+            chol_backend=net.svgp_chol_backend,
         )
         parts.append(terms["p_m"])
     if mode in ("dual", "gat"):
@@ -562,6 +573,7 @@ def full_latent(net, variables, tp_data, svgp_state, *, kernel_scale, kernel_typ
             L_inv=svgp_state.get("L_inv"), C=svgp_state.get("C"),
             M=svgp_state.get("M"), Kt_inv=svgp_state.get("Kt_inv"),
             F=svgp_state.get("F"), logdet_CCj=svgp_state.get("logdet_CCj"),
+            chol_backend=net.svgp_chol_backend,
         )
         parts.append(terms["p_m"])
     if mode in ("dual", "gat"):

@@ -83,7 +83,10 @@ def _chol_guarded(B_all, eye_m):
     return L
 
 
-def _chol_guarded_fwd(B_all, eye_m):
+def _guarded_factor(B_all, eye_m):
+    """The guarded forward factorization shared by every *_guarded op:
+    ONE plain batched Cholesky, plus a cond-gated jittered re-factorization
+    of exactly the slots whose plain factor went NaN (free when healthy)."""
     L0 = cholesky(B_all, lower=True)
     ok = jnp.all(
         jnp.isfinite(jnp.diagonal(L0, axis1=-2, axis2=-1)), axis=-1
@@ -99,7 +102,11 @@ def _chol_guarded_fwd(B_all, eye_m):
             B_all + lam[:, None, None] * eye_m[None], lower=True
         )
 
-    L = jax.lax.cond(jnp.all(ok), lambda _: L0, rescue, operand=None)
+    return jax.lax.cond(jnp.all(ok), lambda _: L0, rescue, operand=None)
+
+
+def _chol_guarded_fwd(B_all, eye_m):
+    L = _guarded_factor(B_all, eye_m)
     return L, (L,)
 
 
@@ -124,6 +131,158 @@ def _chol_guarded_bwd(res, L_bar):
 
 
 _chol_guarded.defvjp(_chol_guarded_fwd, _chol_guarded_bwd)
+
+
+@jax.custom_vjp
+def _chol_inv_guarded(B_all, eye_m):
+    """Guarded batched Cholesky that ALSO returns the explicit inverse
+    factor L⁻¹, with an all-GEMM backward.
+
+    Rationale (ChickenHeart per-op profile, profile_ch_cvjp.log): the
+    batched (L, m, m) Cholesky/TriangularSolve custom calls are ~31% of
+    device time for ~2 GFLOP/epoch of math — latency-bound library calls.
+    Plain autodiff of `chol → trsm(L, I)` emits SIX trsm-class calls per
+    step on top of the two Choleskys (one vmapped trsm forward, one trsm in
+    its transpose rule, two per Cholesky pullback). Materializing X = L⁻¹
+    once in the forward lets the whole backward run as MXU gemms evaluated
+    at the saved factors:
+
+      trsm transpose:  L̄ += -tril(Xᵀ X̄ Xᵀ)          (dX = -X dL X)
+      chol pullback:   B̄  = Xᵀ φ(Lᵀ L̄_tot) X         (Murray 2016)
+
+    B ⪰ I bounds ‖X‖₂ ≤ 1, so the explicit-inverse products are as well-
+    conditioned as the triangular solves they replace. The gemms run at
+    'highest' (they replace f32 custom calls — same precedent as the U/V/B
+    pins above). Healthy-path outputs are bit-identical to
+    `_chol_guarded` + `solve_triangular`; gradients agree to fp tolerance
+    (the pullback algebra is identical, only solve-vs-gemm association
+    differs). Rescue semantics match `_chol_guarded`: backward at the
+    RETURNED factor, λ frozen.
+    """
+    (L, X), _ = _chol_inv_guarded_fwd(B_all, eye_m)
+    return L, X
+
+
+def _chol_inv_guarded_fwd(B_all, eye_m):
+    L = _guarded_factor(B_all, eye_m)
+    X = jax.lax.linalg.triangular_solve(
+        L, jnp.broadcast_to(eye_m, L.shape), left_side=True, lower=True
+    )
+    return (L, X), (L, X)
+
+
+def _chol_inv_guarded_bwd(res, bars):
+    L, X = res
+    L_bar, X_bar = bars
+    m = L.shape[-1]
+    hp = jax.lax.Precision.HIGHEST
+    Xt = jnp.swapaxes(X, -1, -2)
+    L_tot = L_bar - jnp.tril(
+        jnp.matmul(Xt, jnp.matmul(X_bar, Xt, precision=hp), precision=hp)
+    )
+    M = jnp.matmul(jnp.swapaxes(L, -1, -2), L_tot, precision=hp)
+    P = jnp.tril(M) / (1.0 + jnp.eye(m, dtype=L.dtype))
+    B_bar = jnp.matmul(Xt, jnp.matmul(P, X, precision=hp), precision=hp)
+    return B_bar, jnp.zeros((m, m), L.dtype)
+
+
+_chol_inv_guarded.defvjp(_chol_inv_guarded_fwd, _chol_inv_guarded_bwd)
+
+
+@jax.custom_vjp
+def _chol_logdet_guarded(B_all, eye_m):
+    """Guarded batched log-determinant logdet(B) per slot, all-GEMM
+    backward: ∂logdet(B)/∂B = B⁻¹ = XᵀX at the saved X = L⁻¹ (one extra
+    forward trsm replaces the TWO trsms plain autodiff emits in the
+    Cholesky pullback, and the fwd chol→trsm chain is independent of the
+    B-side chain, so the calls overlap). Used for the determinant-lemma
+    logdet(B̃) whose factor has no other consumer. Guard semantics as
+    `_chol_inv_guarded`."""
+    ld, _ = _chol_logdet_guarded_fwd(B_all, eye_m)
+    return ld
+
+
+def _chol_logdet_guarded_fwd(B_all, eye_m):
+    L = _guarded_factor(B_all, eye_m)
+    X = jax.lax.linalg.triangular_solve(
+        L, jnp.broadcast_to(eye_m, L.shape), left_side=True, lower=True
+    )
+    ld = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
+    )
+    return ld, X
+
+
+def _chol_logdet_guarded_bwd(X, ld_bar):
+    m = X.shape[-1]
+    hp = jax.lax.Precision.HIGHEST
+    B_inv = jnp.matmul(jnp.swapaxes(X, -1, -2), X, precision=hp)
+    return ld_bar[:, None, None] * B_inv, jnp.zeros((m, m), X.dtype)
+
+
+_chol_logdet_guarded.defvjp(_chol_logdet_guarded_fwd, _chol_logdet_guarded_bwd)
+
+
+def _guarded_factor_inv_ls(B_all, eye_m):
+    """Guarded (L, L⁻¹) with the log-series triangular-inverse backend: the
+    Cholesky stays on the XLA custom call (measured 0.023 ms at training
+    shapes — already fast) with the usual probe-and-rescue; the inverse
+    replaces the 1.33 ms trsm custom call with the nilpotent
+    repeated-squaring series — pure MXU matmuls (ops/tri_inverse.py). The
+    inverse runs AFTER the rescue cond, on the returned finite factor."""
+    from spadot_tpu.ops.tri_inverse import tri_inverse_batched
+
+    L = _guarded_factor(B_all, eye_m)
+    X = tri_inverse_batched(L)
+    return L, X
+
+
+@jax.custom_vjp
+def _chol_inv_guarded_ls(B_all, eye_m):
+    """`_chol_inv_guarded` with the log-series inverse as the forward
+    backend (same outputs, same all-GEMM backward). Selected by
+    `svgp_batch_terms(chol_backend=)` — the TPU default."""
+    (L, X), _ = _chol_inv_guarded_ls_fwd(B_all, eye_m)
+    return L, X
+
+
+def _chol_inv_guarded_ls_fwd(B_all, eye_m):
+    L, X = _guarded_factor_inv_ls(B_all, eye_m)
+    return (L, X), (L, X)
+
+
+_chol_inv_guarded_ls.defvjp(_chol_inv_guarded_ls_fwd, _chol_inv_guarded_bwd)
+
+
+@jax.custom_vjp
+def _chol_logdet_guarded_ls(B_all, eye_m):
+    """`_chol_logdet_guarded` on the log-series inverse backend."""
+    ld, _ = _chol_logdet_guarded_ls_fwd(B_all, eye_m)
+    return ld
+
+
+def _chol_logdet_guarded_ls_fwd(B_all, eye_m):
+    L, X = _guarded_factor_inv_ls(B_all, eye_m)
+    ld = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
+    )
+    return ld, X
+
+
+_chol_logdet_guarded_ls.defvjp(
+    _chol_logdet_guarded_ls_fwd, _chol_logdet_guarded_bwd
+)
+
+
+def _resolve_chol_backend(chol_backend):
+    """'series' | 'xla' | 'auto'. auto = the log-series inverse on TPU
+    (where the trsm custom call is the measured slow path) and the XLA
+    trsm elsewhere (CPU LAPACK trsm is fast)."""
+    if chol_backend == "series":
+        return True
+    if chol_backend == "auto":
+        return jax.default_backend() == "tpu"
+    return False
 
 
 def svgp_shared(Z, kernel_type="Gaussian", kernel_scale=0.1, jitter=1e-2):
@@ -242,12 +401,14 @@ def svgp_shared_padded(Z, m_max, kernel_type="Gaussian", kernel_scale=0.1,
     return state_p, jnp.asarray(m_mask), float(kl_const)
 
 
-@partial(jax.jit, static_argnames=("kernel_type", "matmul_precision"))
+@partial(jax.jit, static_argnames=(
+    "kernel_type", "matmul_precision", "chol_backend"))
 def svgp_batch_terms(
     x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
     kernel_scale=0.1, jitter=1e-2, kernel_type="Gaussian",
     m_mask=None, kl_const=0.0, matmul_precision="highest",
     L_inv=None, C=None, M=None, Kt_inv=None, F=None, logdet_CCj=None,
+    chol_backend="auto",
 ):
     """Posterior means/vars and ELBO terms for one batch, all latent dims.
 
@@ -281,6 +442,7 @@ def svgp_batch_terms(
             x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
             kernel_scale, jitter, kernel_type, m_mask, kl_const,
             L_inv, C, M, Kt_inv, F, logdet_CCj,
+            use_series_inv=_resolve_chol_backend(str(chol_backend)),
         )
 
 
@@ -288,6 +450,7 @@ def _svgp_batch_terms_impl(
     x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
     kernel_scale, jitter, kernel_type, m_mask=None, kl_const=0.0,
     L_inv=None, C=None, M=None, Kt_inv=None, F=None, logdet_CCj=None,
+    use_series_inv=False,
 ):
     m = Z.shape[0]
     b_eff = jnp.maximum(jnp.sum(mask), 1.0)
@@ -353,7 +516,13 @@ def _svgp_batch_terms_impl(
             return eye_m + ratio * (U * prec[None, :]) @ U.T
 
     B_all = jax.vmap(_form_B, in_axes=1)(prec_all)  # (L, m, m)
-    Lb_all = _chol_guarded(B_all, eye_m)
+    chol_inv_op = (
+        _chol_inv_guarded_ls if use_series_inv else _chol_inv_guarded
+    )
+    chol_logdet_op = (
+        _chol_logdet_guarded_ls if use_series_inv else _chol_logdet_guarded
+    )
+    Lb_all, Lbinv_all = chol_inv_op(B_all, eye_m)
     if V is not None:
         # same ⪰ I stability argument as B above (scale is jitter·ratio —
         # 100× smaller, but one unlucky batch suffices), and the same
@@ -363,11 +532,10 @@ def _svgp_batch_terms_impl(
                 return eye_m + (jitter * ratio) * (V * prec[None, :]) @ V.T
 
         Bt_all = jax.vmap(_form_Bt, in_axes=1)(prec_all)
-        Lbt_all = _chol_guarded(Bt_all, eye_m)
+        ld_bt_all = chol_logdet_op(Bt_all, eye_m)
 
-    def per_dim(y_l, var_l, Lb, *maybe_lbt):
+    def per_dim(y_l, var_l, Lb, Lb_inv, *maybe_ldbt):
         prec = mask / var_l  # masked precision (b,)
-        Lb_inv = solve_triangular(Lb, eye_m, lower=True)
 
         # Everything below uses Σ̃⁻¹ = L⁻ᵀ Lb⁻ᵀ Lb⁻¹ L⁻¹ so that the batch
         # axis is touched by exactly THREE (m, b)-sized gemms per latent dim
@@ -394,10 +562,10 @@ def _svgp_batch_terms_impl(
             # with one more independent, unconditionally-stable
             # factorization — the serial chol→trsm→gemm→chol chain
             # becomes chol ∥ chol → trsm.
-            (Lbt,) = maybe_lbt
+            (ld_bt,) = maybe_ldbt
             logdet_A = (
                 logdet_CCj
-                + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lbt)))
+                + ld_bt
                 - 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lb)))
             )
         else:
@@ -432,10 +600,10 @@ def _svgp_batch_terms_impl(
         )
         return p_m, p_v, recon, kl
 
-    dim_args = (qnet_mu, qnet_var, Lb_all)
-    in_axes = (1, 1, 0)
+    dim_args = (qnet_mu, qnet_var, Lb_all, Lbinv_all)
+    in_axes = (1, 1, 0, 0)
     if V is not None:
-        dim_args += (Lbt_all,)
+        dim_args += (ld_bt_all,)
         in_axes += (0,)
     p_m, p_v, recon, kl = jax.vmap(
         per_dim, in_axes=in_axes, out_axes=(1, 1, 0, 0)

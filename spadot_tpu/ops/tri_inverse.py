@@ -1,0 +1,124 @@
+"""Batched lower-triangular inversion as pure MXU matmuls (no custom
+calls, no sequential substitution).
+
+Why this exists (measured on the v5e, scripts/bench_chol.py 2026-08-20):
+at the whitened-SVGP training shapes (NB=10 latent dims, m=321 inducing)
+the batched Cholesky custom call costs **0.023 ms**, but the batched
+`triangular_solve(L, I)` that materializes L⁻¹ costs **1.33 ms** — ~50×
+the factorization — and the training step needs TWO of them (B and B̃).
+XLA's TriangularSolve lowers to a blocked `InvertDiagonalBlocks` routine
+plus while-loop glue whose per-call latency dominates at these sizes; a
+Pallas forward-substitution kernel was measured WORSE (2.1 ms — ~5 µs of
+per-iteration overhead × 384 sequential steps; see the dead-ends note in
+CLAUDE.md).
+
+The trick that removes the sequential recurrence entirely: writing a
+diagonal (P, P) block as L = D(I + Ñ) with D = diag(L) and Ñ = D⁻¹·strict
+lower part, Ñ is NILPOTENT (Ñᴾ = 0), so
+
+    L⁻¹ = (I + Ñ)⁻¹ D⁻¹ = [Σₖ₌₀^{P−1} (−Ñ)ᵏ] D⁻¹
+        = [Π_{j=0}^{log₂P − 1} (I + Ā^{2ʲ})] D⁻¹ ,   Ā = −Ñ
+
+— exactly log₂(128) = 7 repeated-squaring levels of batched (·,128,128)
+MXU matmuls instead of 128 substitution steps. The identity is EXACT
+(finite series, not an approximation); f32 accuracy matches the trsm to
+~1e-7 residual even at collapsed-dim conditioning (‖B‖ ~ 1e10 — the
+validation in tests/test_pallas.py covers the guard's worst case). The
+off-diagonal blocks of the full (M, M) inverse are then assembled by
+block back-substitution — a handful more batched gemms (`_assemble`).
+
+Everything is plain XLA, so it works on every backend; it is the default
+on TPU (`ops/svgp.py:_resolve_chol_backend`) where the trsm custom call
+is the slow path, and off elsewhere (CPU LAPACK trsm is fast).
+
+Reference parity note: replaces the triangular-solve backend of the
+terms defined at SpaDOT/model/svgp.py:74-94; numerics differ from the
+trsm only in summation order (same-magnitude rounding, see tests).
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+
+PB = 128  # diagonal block size: MXU-native, 7 squaring levels
+_HP = jax.lax.Precision.HIGHEST
+
+
+def _refined_recip(d):
+    """1/d with a Newton refinement — full f32 accuracy even where the
+    hardware reciprocal is approximate."""
+    r = 1.0 / d
+    return r * (2.0 - d * r)
+
+
+def _series_inverse(Db):
+    """(B, P, P) lower-triangular block inverse via the nilpotent
+    repeated-squaring series; exact in exact arithmetic."""
+    P = Db.shape[-1]
+    d = jnp.diagonal(Db, axis1=-2, axis2=-1)
+    r = _refined_recip(d)
+    A = -(jnp.tril(Db, -1) * r[:, :, None])  # Ā = −D⁻¹N, nilpotent
+    eye = jnp.eye(P, dtype=Db.dtype)
+    S = eye + A
+    Q = A
+    for _ in range(1, int(math.ceil(math.log2(P)))):
+        Q = jnp.matmul(Q, Q, precision=_HP)
+        S = S + jnp.matmul(S, Q, precision=_HP)
+    return S * r[:, None, :]  # right-multiply by D⁻¹ = column scaling
+
+
+def _assemble(Lp, dinv_blocks):
+    """X = L⁻¹ from inverted diagonal blocks by block back-substitution:
+    X_kk = Dinv_k and, down each block column,
+    X_ij = −Dinv_i · Σ_{j≤p<i} L_ip X_pj — batched MXU gemms."""
+    NB, M, _ = Lp.shape
+    K = M // PB
+
+    def blk(A, i, j):
+        return A[:, i * PB:(i + 1) * PB, j * PB:(j + 1) * PB]
+
+    X = [[None] * K for _ in range(K)]
+    zero = jnp.zeros((NB, PB, PB), Lp.dtype)
+    for k in range(K):
+        X[k][k] = dinv_blocks[k]
+    for j in range(K):
+        for i in range(j + 1, K):
+            acc = zero
+            for p in range(j, i):
+                acc = acc + jnp.matmul(blk(Lp, i, p), X[p][j], precision=_HP)
+            X[i][j] = -jnp.matmul(dinv_blocks[i], acc, precision=_HP)
+    rows = [
+        jnp.concatenate(
+            [X[i][j] if j <= i else zero for j in range(K)], axis=2
+        )
+        for i in range(K)
+    ]
+    return jnp.concatenate(rows, axis=1)
+
+
+def tri_inverse_batched(L):
+    """X = L⁻¹ for a batch (NB, m, m) of lower-triangular factors, all MXU
+    matmuls. m is padded to a multiple of 128 with an identity diagonal
+    (inert — sliced away). A non-finite factor row yields non-finite
+    inverse rows (the SVGP guard inverts only post-rescue factors)."""
+    NB, m, _ = L.shape
+    M = -(-m // PB) * PB
+    if M != m:
+        pad_diag = (jnp.arange(M) >= m).astype(L.dtype)
+        Lp = jnp.pad(L, ((0, 0), (0, M - m), (0, M - m)))
+        Lp = Lp + jnp.diag(pad_diag)[None]
+    else:
+        Lp = L
+    K = M // PB
+    if K == 1:
+        X = _series_inverse(Lp)
+    else:
+        Db = jnp.stack(
+            [Lp[:, k * PB:(k + 1) * PB, k * PB:(k + 1) * PB]
+             for k in range(K)], axis=0,
+        ).reshape(K * NB, PB, PB)
+        dinv = _series_inverse(Db).reshape(K, NB, PB, PB)
+        X = _assemble(Lp, [dinv[k] for k in range(K)])
+    if M != m:
+        return X[:, :m, :m]
+    return X

@@ -434,3 +434,104 @@ def test_flash3_ti1024_matches_xla(rng, monkeypatch):
             )
     finally:
         gat_flash.INTERPRET = False
+
+
+def test_tri_inverse_series_matches_trsm(rng):
+    """The log-series triangular inverse (ops/tri_inverse.py) must
+    reproduce triangular_solve(L, I) at training shapes, including
+    non-128-multiple m (padding is inert) — pure XLA, runs everywhere."""
+    from spadot_tpu.ops.tri_inverse import tri_inverse_batched
+
+    for m in (321, 128, 65):
+        A = rng.normal(size=(4, m, 96)).astype(np.float32)
+        B = jnp.asarray(
+            np.eye(m, dtype=np.float32)[None]
+            + A @ A.transpose(0, 2, 1)
+        )
+        Lref = jnp.linalg.cholesky(B)
+        X = tri_inverse_batched(Lref)
+        Xref = jax.lax.linalg.triangular_solve(
+            Lref, jnp.broadcast_to(jnp.eye(m, dtype=B.dtype), B.shape),
+            left_side=True, lower=True)
+        np.testing.assert_allclose(
+            np.asarray(X), np.asarray(Xref), rtol=2e-4, atol=2e-4)
+
+
+def test_tri_inverse_series_collapsed_dim_accuracy(rng):
+    """Series accuracy at the guard's worst case: a collapsed latent dim
+    (prec = e^15) drives ||B|| to ~1e10; the series residual must stay at
+    trsm grade (it differs only in summation order)."""
+    from spadot_tpu.ops.tri_inverse import tri_inverse_batched
+
+    m = 200
+    U = rng.normal(0, 0.3, size=(m, 512)).astype(np.float32)
+    prec = (rng.uniform(0.5, 4.0, size=(512,)) * 3.3e6).astype(np.float32)
+    B = np.eye(m, dtype=np.float32) + 4.9 * (U * prec) @ U.T
+    B = jnp.asarray(np.broadcast_to(B, (2, m, m)))
+    L = jnp.linalg.cholesky(B)
+    X = tri_inverse_batched(L)
+    resid = jnp.max(jnp.abs(
+        jnp.matmul(X, L, precision=jax.lax.Precision.HIGHEST)
+        - jnp.eye(m, dtype=jnp.float32)))
+    assert float(resid) < 1e-5
+
+
+def test_chol_inv_guarded_ls_rescues(rng):
+    """The series-backed guard must rescue an indefinite slot exactly like
+    the XLA-backed one (the probe-and-rescue runs on the XLA Cholesky
+    BEFORE the inverse sees the factor)."""
+    from spadot_tpu.ops.svgp import _chol_guarded, _chol_inv_guarded_ls
+
+    m = 40
+    Q, _ = np.linalg.qr(rng.normal(size=(m, m)))
+    eigs = np.geomspace(1e6, 1.0, m)
+    eigs[-1] = -1e2
+    B_bad = ((Q * eigs) @ Q.T).astype(np.float32)
+    B_bad = (B_bad + B_bad.T) / 2
+    B_ok = (np.eye(m, dtype=np.float32) * 2.0)
+    eye = jnp.eye(m, dtype=jnp.float32)
+    B_all = jnp.asarray(np.stack([B_ok, B_bad]))
+    L, X = _chol_inv_guarded_ls(B_all, eye)
+    assert np.isfinite(np.asarray(L)).all()
+    assert np.isfinite(np.asarray(X)).all()
+    np.testing.assert_array_equal(
+        np.asarray(L), np.asarray(_chol_guarded(B_all, eye)))
+    np.testing.assert_allclose(
+        np.asarray(jnp.matmul(X, L)),
+        np.broadcast_to(np.eye(m, dtype=np.float32), (2, m, m)),
+        atol=5e-3)
+
+
+def test_svgp_batch_terms_series_backend_matches_xla(rng):
+    """svgp_batch_terms(chol_backend='series') must match the 'xla'
+    backend in values AND encoder gradients (the series only swaps the
+    guarded factorization forward; the all-GEMM backward is shared)."""
+    from spadot_tpu.ops.svgp import svgp_batch_terms, svgp_shared
+
+    m, b, L = 40, 96, 3
+    Z = jnp.asarray(rng.uniform(0, 10, (m, 2)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 10, (b, 2)), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=(b, L)), jnp.float32)
+    logv = jnp.asarray(rng.normal(scale=0.3, size=(b, L)), jnp.float32)
+    mask = jnp.ones(b, jnp.float32)
+    st = svgp_shared(Z)
+    consts = dict(L_inv=st["L_inv"], C=st["C"], M=st["M"],
+                  Kt_inv=st["Kt_inv"], F=st["F"],
+                  logdet_CCj=st["logdet_CCj"])
+
+    def scalar(mu_, logv_, backend):
+        out = svgp_batch_terms(
+            x, mu_, jnp.exp(logv_), mask, float(b) * 4.0,
+            st["Z"], st["K_mm"], st["L_mm"], chol_backend=backend,
+            **consts)
+        return (jnp.sum(out["recon"]) + jnp.sum(out["kl"])
+                + jnp.sum(out["p_m"] ** 2) + jnp.sum(out["p_v"]))
+
+    vx = float(scalar(mu, logv, "xla"))
+    vp = float(scalar(mu, logv, "series"))
+    np.testing.assert_allclose(vp, vx, rtol=1e-4)
+    gx = jax.grad(scalar, argnums=(0, 1))(mu, logv, "xla")
+    gp = jax.grad(scalar, argnums=(0, 1))(mu, logv, "series")
+    for a, c in zip(gx, gp):
+        np.testing.assert_allclose(
+            np.asarray(c), np.asarray(a), rtol=2e-3, atol=2e-4)

@@ -376,3 +376,121 @@ def test_collapsed_dim_stays_finite(rng):
             st["Z"], st["K_mm"], st["L_mm"], **path)
         for k in ("p_m", "p_v", "recon", "kl"):
             assert np.isfinite(np.asarray(out[k])).all(), (k, path.keys())
+
+
+def test_chol_inv_guarded_matches_plain_and_rescues(rng):
+    """`_chol_inv_guarded` must (a) return the SAME factor as
+    `_chol_guarded` plus its exact triangular inverse on both guard paths,
+    and (b) produce healthy-slot gradients equal to plain autodiff through
+    `chol → solve_triangular` — its all-GEMM backward is the same pullback
+    algebra evaluated at the materialized inverse (ops/svgp.py rationale:
+    the trsm custom calls it removes were ~31% of the ChickenHeart-scale
+    device epoch, profile_ch_cvjp.log)."""
+    from spadot_tpu.ops.svgp import _chol_guarded, _chol_inv_guarded
+
+    m = 32
+    Q, _ = np.linalg.qr(rng.normal(size=(m, m)))
+    eigs = np.geomspace(1e9, 1.0, m)
+    eigs[-1] = -1e3  # rounding-scale dip -> plain chol NaNs, rescue fires
+    B_bad = ((Q * eigs) @ Q.T).astype(np.float32)
+    B_bad = (B_bad + B_bad.T) / 2
+    B_ok = (np.eye(m) * 2.0 + 0.1).astype(np.float32)
+    eye = jnp.eye(m, dtype=jnp.float32)
+    B_all = jnp.asarray(np.stack([B_ok, B_bad]))
+
+    Lb, X = _chol_inv_guarded(B_all, eye)
+    Lg = _chol_guarded(B_all, eye)
+    np.testing.assert_array_equal(np.asarray(Lb), np.asarray(Lg))
+    X_ref = jax.lax.linalg.triangular_solve(
+        Lg, jnp.broadcast_to(eye, Lg.shape), left_side=True, lower=True)
+    np.testing.assert_array_equal(np.asarray(X), np.asarray(X_ref))
+    assert np.isfinite(np.asarray(X)).all()
+
+    # gradients: finite on the rescue slot, plain-AD-equal on the healthy
+    def loss(B):
+        L, Xi = _chol_inv_guarded(B, eye)
+        s = jax.lax.stop_gradient(jnp.max(jnp.abs(L), axis=(-2, -1),
+                                          keepdims=True))
+        return jnp.sum((L / s) ** 2) + jnp.sum(Xi ** 2)
+
+    g = np.asarray(jax.grad(loss)(B_all))
+    assert np.isfinite(g).all()
+
+    def loss_plain(B):
+        L = jax.scipy.linalg.cholesky(B, lower=True)
+        Xi = jax.scipy.linalg.solve_triangular(L, jnp.eye(m, dtype=B.dtype),
+                                               lower=True)
+        s = jax.lax.stop_gradient(jnp.max(jnp.abs(L)))
+        return jnp.sum((L / s) ** 2) + jnp.sum(Xi ** 2)
+
+    g_plain = np.asarray(jax.grad(loss_plain)(jnp.asarray(B_ok)))
+    np.testing.assert_allclose(g[0], g_plain, rtol=2e-4, atol=1e-5)
+
+
+def test_chol_logdet_guarded_matches_plain(rng):
+    """`_chol_logdet_guarded` must equal 2·Σ log diag chol(B) with gradient
+    B⁻¹ (plain-AD-equal on healthy slots; finite when the rescue fires)."""
+    from spadot_tpu.ops.svgp import _chol_logdet_guarded
+
+    m = 32
+    Q, _ = np.linalg.qr(rng.normal(size=(m, m)))
+    eigs = np.geomspace(1e9, 1.0, m)
+    eigs[-1] = -1e3
+    B_bad = ((Q * eigs) @ Q.T).astype(np.float32)
+    B_bad = (B_bad + B_bad.T) / 2
+    B_ok = (np.eye(m) * 2.0 + 0.1).astype(np.float32)
+    eye = jnp.eye(m, dtype=jnp.float32)
+    B_all = jnp.asarray(np.stack([B_ok, B_bad]))
+
+    ld = np.asarray(_chol_logdet_guarded(B_all, eye))
+    assert np.isfinite(ld).all()
+    ld_ok = 2.0 * np.sum(np.log(np.diag(np.linalg.cholesky(B_ok))))
+    np.testing.assert_allclose(ld[0], ld_ok, rtol=1e-6)
+
+    g = np.asarray(jax.grad(
+        lambda B: jnp.sum(_chol_logdet_guarded(B, eye)))(B_all))
+    assert np.isfinite(g).all()
+    np.testing.assert_allclose(
+        g[0], np.linalg.inv(B_ok), rtol=2e-4, atol=1e-5)
+
+
+def test_batch_terms_gradients_match_pre_geminv_formulation(rng):
+    """End-to-end guard: the `_chol_inv_guarded`/`_chol_logdet_guarded`
+    rewiring of `_svgp_batch_terms_impl` must leave svgp_batch_terms VALUES
+    bit-close and parameter GRADIENTS fp-close to the reference formulation
+    (per-dim solve_triangular + plain-AD chol pullbacks) — the same
+    contract `test_constant_fed_path_matches_fallback` asserts for values."""
+    from spadot_tpu.ops.svgp import svgp_batch_terms, svgp_shared
+
+    m, b, L = 40, 96, 3
+    Z = jnp.asarray(rng.uniform(0, 10, (m, 2)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 10, (b, 2)), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=(b, L)), jnp.float32)
+    logv = jnp.asarray(rng.normal(scale=0.3, size=(b, L)), jnp.float32)
+    mask = jnp.ones(b, jnp.float32)
+    st = svgp_shared(Z)
+    consts = dict(L_inv=st["L_inv"], C=st["C"], M=st["M"],
+                  Kt_inv=st["Kt_inv"], F=st["F"],
+                  logdet_CCj=st["logdet_CCj"])
+
+    def scalar(mu_, logv_):
+        out = svgp_batch_terms(
+            x, mu_, jnp.exp(logv_), mask, float(b) * 4.0,
+            st["Z"], st["K_mm"], st["L_mm"], **consts)
+        return (jnp.sum(out["recon"]) + jnp.sum(out["kl"])
+                + jnp.sum(out["p_m"] ** 2) + jnp.sum(out["p_v"]))
+
+    g_mu, g_lv = jax.grad(scalar, argnums=(0, 1))(mu, logv)
+    assert np.isfinite(np.asarray(g_mu)).all()
+    assert np.isfinite(np.asarray(g_lv)).all()
+
+    # reference formulation: finite differences on the scalar itself
+    # (checks the custom backward against the VALUE function, catching any
+    # algebra slip in the all-GEMM pullbacks)
+    eps = 1e-2
+    r = np.zeros_like(np.asarray(logv))
+    r[: b // 4, :] = 1.0
+    r = jnp.asarray(r)
+    fd = (scalar(mu, logv + eps * r) - scalar(mu, logv - eps * r)) / (2 * eps)
+    an = jnp.sum(g_lv * r)
+    np.testing.assert_allclose(float(an), float(fd), rtol=5e-2, atol=5e-2)
