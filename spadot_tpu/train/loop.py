@@ -130,6 +130,13 @@ class Trainer:
         # centers (ops/kmeans.py:kmeans_refit); cold kmeans++ x10 on the
         # first refresh only (config.yaml: kmeans_refresh_warm)
         self.kmeans_warm = bool(model_config.get("kmeans_refresh_warm", False))
+        # early-stopping cap for the warm refresh Lloyd (config.yaml:
+        # kmeans_refresh_warm_iters) — each iteration is tiny FLOPs but a
+        # sequential device while step; the per-epoch assignment drift is
+        # small so a low cap converges identically most epochs
+        self.kmeans_warm_iters = int(
+            model_config.get("kmeans_refresh_warm_iters", 100)
+        )
 
         # float32 by default; `dtype: float64` (with jax x64 enabled by
         # resolve_dtype) runs the data/SVGP path in f64 for parity ablations
@@ -520,7 +527,9 @@ class Trainer:
         sub = jax.random.fold_in(key, tp_i)
         with jax.default_matmul_precision("highest"):
             if prev_centers is not None:
-                centers, labels, _ = _warm_refit_impl(lat, prev_centers, None, 100)
+                centers, labels, _ = _warm_refit_impl(
+                    lat, prev_centers, None, self.kmeans_warm_iters
+                )
             else:
                 centers, labels, _ = _kmeans_fit_impl(
                     sub, lat, self.n_clusters, None, 10, 100
@@ -997,7 +1006,9 @@ class Trainer:
                         return c, l
 
                     def warm(prev_c):
-                        c, l, _i = _warm_refit_impl(lat, prev_c, row_mask, 100)
+                        c, l, _i = _warm_refit_impl(
+                            lat, prev_c, row_mask, self.kmeans_warm_iters
+                        )
                         return c, l
 
                     centers, labels = lax.cond(
