@@ -104,3 +104,15 @@ run_step elbow_atlas_device timeout 3600 \
 #    round-4 lever hunt input: where do the remaining 6.2 ms/step go
 #    (closure-GAT passes vs SVGP terms vs refresh vs copies).
 run_step profile_ch_cvjp timeout 3600 python scripts/profile_epoch.py 3
+
+# --- 2026-08-20b queue (post-series profiles; feeds the round-4 lever hunt).
+# The CH series-HEAD profile and the kmiters8 neutral A/B were measured
+# interactively (profile_ch_series.log, bench_ch_kmiters8.log). Remaining:
+# per-op profiles at the OTHER two scales under the series backend — mouse
+# (weakest multiplier, 15.7x: where do the 9,281-gene GEMMs sit vs the
+# scale-constant SVGP factor complex?) and atlas (is the refresh/extraction
+# share at 102k spots still ~residual after closure-batched KMeans?).
+run_step profile_mouse_series2 timeout 3000 \
+  env BENCH_MODE=mouse python scripts/profile_epoch.py 3
+run_step profile_atlas_series timeout 4800 \
+  env BENCH_MODE=atlas python scripts/profile_epoch.py 2
