@@ -116,3 +116,17 @@ run_step profile_mouse_series2 timeout 3000 \
   env BENCH_MODE=mouse python scripts/profile_epoch.py 3
 run_step profile_atlas_series timeout 4800 \
   env BENCH_MODE=atlas python scripts/profile_epoch.py 2
+
+# --- 2026-08-20c: blocked-Cholesky backend A/B (svgp_chol_backend:
+# blocked — keeps only the per-128-block chol custom calls; panels are
+# series-gemm products, ops/tri_inverse.py:blocked_cholesky). Targets the
+# ~22 ms/ep (CH) / ~45 ms/ep (mouse) CholeskyExpander complex measured in
+# profile_ch_series.log / profile_mouse_series.log. CPU-differential
+# tests green (tests/test_pallas.py::test_blocked_*, ::test_svgp_batch_
+# terms_blocked_backend_matches_xla). Decision rule: flip 'auto' to
+# blocked-on-TPU next round iff both arms beat series HEAD (0.1142 CH /
+# 0.1955 mouse) outside the ±1% noise band.
+run_step bench_ch_blocked timeout 3600 \
+  env BENCH_CFG='{"svgp_chol_backend": "blocked"}' python bench.py
+run_step bench_mouse_blocked timeout 3600 \
+  env BENCH_MODE=mouse BENCH_CFG='{"svgp_chol_backend": "blocked"}' python bench.py

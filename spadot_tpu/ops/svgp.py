@@ -83,11 +83,16 @@ def _chol_guarded(B_all, eye_m):
     return L
 
 
-def _guarded_factor(B_all, eye_m):
+def _guarded_factor(B_all, eye_m, chol_fn=None):
     """The guarded forward factorization shared by every *_guarded op:
     ONE plain batched Cholesky, plus a cond-gated jittered re-factorization
-    of exactly the slots whose plain factor went NaN (free when healthy)."""
-    L0 = cholesky(B_all, lower=True)
+    of exactly the slots whose plain factor went NaN (free when healthy).
+    `chol_fn` swaps the factorization backend (default: the XLA custom
+    call; the 'blocked' backend passes ops/tri_inverse.py:blocked_cholesky,
+    whose NaN propagation preserves the finite-diagonal probe semantics)."""
+    if chol_fn is None:
+        chol_fn = lambda b: cholesky(b, lower=True)  # noqa: E731
+    L0 = chol_fn(B_all)
     ok = jnp.all(
         jnp.isfinite(jnp.diagonal(L0, axis1=-2, axis2=-1)), axis=-1
     )  # (L,)
@@ -98,9 +103,7 @@ def _guarded_factor(B_all, eye_m):
             jnp.zeros((), B_all.dtype),
             0.05 * jnp.max(jnp.diagonal(B_all, axis1=-2, axis2=-1), axis=-1),
         )
-        return cholesky(
-            B_all + lam[:, None, None] * eye_m[None], lower=True
-        )
+        return chol_fn(B_all + lam[:, None, None] * eye_m[None])
 
     return jax.lax.cond(jnp.all(ok), lambda _: L0, rescue, operand=None)
 
@@ -274,15 +277,79 @@ _chol_logdet_guarded_ls.defvjp(
 )
 
 
+def _guarded_factor_inv_bc(B_all, eye_m):
+    """Guarded (L, L⁻¹) with BOTH the factorization and the inverse off
+    the XLA custom-call path: `blocked_cholesky` keeps only the K
+    per-128-block chol custom calls (panels = series-inverse gemms) and
+    the log-series inverse then materializes X. The blocked-expander
+    panel trsms + layout copies it replaces measured ~22 ms/ep at CH and
+    ~45 ms/ep at mouse scale (profile_ch_series.log,
+    profile_mouse_series.log). Guard semantics unchanged: blocked_cholesky
+    propagates a non-finite diagonal block into every later block, so the
+    finite-diagonal probe and the jittered rescue behave exactly as the
+    XLA-chol guard."""
+    from spadot_tpu.ops.tri_inverse import blocked_cholesky, tri_inverse_batched
+
+    L = _guarded_factor(B_all, eye_m, chol_fn=blocked_cholesky)
+    X = tri_inverse_batched(L)
+    return L, X
+
+
+@jax.custom_vjp
+def _chol_inv_guarded_bc(B_all, eye_m):
+    """`_chol_inv_guarded` on the blocked-chol + log-series backend (same
+    outputs, same all-GEMM backward)."""
+    (L, X), _ = _chol_inv_guarded_bc_fwd(B_all, eye_m)
+    return L, X
+
+
+def _chol_inv_guarded_bc_fwd(B_all, eye_m):
+    L, X = _guarded_factor_inv_bc(B_all, eye_m)
+    return (L, X), (L, X)
+
+
+_chol_inv_guarded_bc.defvjp(_chol_inv_guarded_bc_fwd, _chol_inv_guarded_bwd)
+
+
+@jax.custom_vjp
+def _chol_logdet_guarded_bc(B_all, eye_m):
+    """`_chol_logdet_guarded` on the blocked-chol + log-series backend."""
+    ld, _ = _chol_logdet_guarded_bc_fwd(B_all, eye_m)
+    return ld
+
+
+def _chol_logdet_guarded_bc_fwd(B_all, eye_m):
+    L, X = _guarded_factor_inv_bc(B_all, eye_m)
+    ld = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
+    )
+    return ld, X
+
+
+_chol_logdet_guarded_bc.defvjp(
+    _chol_logdet_guarded_bc_fwd, _chol_logdet_guarded_bwd
+)
+
+
+_CHOL_OPS = {
+    "xla": (_chol_inv_guarded, _chol_logdet_guarded),
+    "series": (_chol_inv_guarded_ls, _chol_logdet_guarded_ls),
+    "blocked": (_chol_inv_guarded_bc, _chol_logdet_guarded_bc),
+}
+
+
 def _resolve_chol_backend(chol_backend):
-    """'series' | 'xla' | 'auto'. auto = the log-series inverse on TPU
-    (where the trsm custom call is the measured slow path) and the XLA
-    trsm elsewhere (CPU LAPACK trsm is fast)."""
-    if chol_backend == "series":
-        return True
-    if chol_backend == "auto":
-        return jax.default_backend() == "tpu"
-    return False
+    """'series' | 'xla' | 'blocked' | 'auto'. auto = the log-series
+    inverse on TPU (where the trsm custom call is the measured slow path)
+    and the XLA trsm elsewhere (CPU LAPACK trsm is fast). 'blocked'
+    additionally swaps the factorization itself for the
+    gemm-panel blocked Cholesky (ops/tri_inverse.py:blocked_cholesky) —
+    pending its TPU A/B before joining 'auto'."""
+    if chol_backend in _CHOL_OPS:
+        return chol_backend
+    if chol_backend == "auto" and jax.default_backend() == "tpu":
+        return "series"
+    return "xla"
 
 
 def svgp_shared(Z, kernel_type="Gaussian", kernel_scale=0.1, jitter=1e-2):
@@ -442,7 +509,7 @@ def svgp_batch_terms(
             x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
             kernel_scale, jitter, kernel_type, m_mask, kl_const,
             L_inv, C, M, Kt_inv, F, logdet_CCj,
-            use_series_inv=_resolve_chol_backend(str(chol_backend)),
+            chol_mode=_resolve_chol_backend(str(chol_backend)),
         )
 
 
@@ -450,7 +517,7 @@ def _svgp_batch_terms_impl(
     x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
     kernel_scale, jitter, kernel_type, m_mask=None, kl_const=0.0,
     L_inv=None, C=None, M=None, Kt_inv=None, F=None, logdet_CCj=None,
-    use_series_inv=False,
+    chol_mode="xla",
 ):
     m = Z.shape[0]
     b_eff = jnp.maximum(jnp.sum(mask), 1.0)
@@ -516,12 +583,7 @@ def _svgp_batch_terms_impl(
             return eye_m + ratio * (U * prec[None, :]) @ U.T
 
     B_all = jax.vmap(_form_B, in_axes=1)(prec_all)  # (L, m, m)
-    chol_inv_op = (
-        _chol_inv_guarded_ls if use_series_inv else _chol_inv_guarded
-    )
-    chol_logdet_op = (
-        _chol_logdet_guarded_ls if use_series_inv else _chol_logdet_guarded
-    )
+    chol_inv_op, chol_logdet_op = _CHOL_OPS[chol_mode]
     Lb_all, Lbinv_all = chol_inv_op(B_all, eye_m)
     if V is not None:
         # same ⪰ I stability argument as B above (scale is jitter·ratio —

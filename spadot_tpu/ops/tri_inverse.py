@@ -96,6 +96,79 @@ def _assemble(Lp, dinv_blocks):
     return jnp.concatenate(rows, axis=1)
 
 
+def blocked_cholesky(B):
+    """Batched Cholesky (NB, m, m) → L with panel solves as MXU gemms.
+
+    XLA's CholeskyExpander lowers a batched chol into per-128-block
+    custom calls PLUS per-panel triangular-solve custom calls plus
+    layout copies — measured ~22 ms/ep at ChickenHeart scale and ~45
+    ms/ep at MouseOrganogenesis scale (docs/tpu_logs/profile_ch_series.log,
+    profile_mouse_series.log: each blocked call is ~0.1-0.15 ms of
+    latency for microseconds of math). This routine keeps ONLY the
+    unavoidable K diagonal-block (NB, 128, 128) chol custom calls and
+    computes the panels as
+
+        L_ij = (B_ij − Σ_{p<j} L_ip L_jpᵀ) · (L_jj⁻¹)ᵀ
+
+    with L_jj⁻¹ from the exact nilpotent series (`_series_inverse`) —
+    batched MXU gemms instead of trsm custom calls. m pads to K·128 with
+    an identity diagonal (blockdiag(B, I) → blockdiag(L, I), inert,
+    sliced away). Accuracy: the explicit-inverse panel product's error is
+    O(cond(L_jj)·eps) — for the whitened SVGP factors B ⪰ I bounds it
+    like the series inverse itself (validated to ‖B‖ ~ 1e10 in
+    tests/test_pallas.py); a non-finite diagonal block propagates NaN to
+    every later block, so the SVGP guard's finite-diagonal probe keeps
+    its exact semantics (ops/svgp.py:_guarded_factor).
+
+    Replaces the factorization behind SpaDOT/model/svgp.py:74-75 (the
+    reference Cholesky-inverts Σ directly in f64).
+    """
+    NB, m, _ = B.shape
+    K = -(-m // PB)
+    M = K * PB
+    if M != m:
+        pad_diag = (jnp.arange(M) >= m).astype(B.dtype)
+        Bp = jnp.pad(B, ((0, 0), (0, M - m), (0, M - m)))
+        Bp = Bp + jnp.diag(pad_diag)[None]
+    else:
+        Bp = B
+    if K == 1:
+        Lp = jax.lax.linalg.cholesky(Bp)
+        return Lp[:, :m, :m] if M != m else Lp
+
+    def blk(A, i, j):
+        return A[:, i * PB:(i + 1) * PB, j * PB:(j + 1) * PB]
+
+    L = [[None] * K for _ in range(K)]
+    for j in range(K):
+        S = blk(Bp, j, j)
+        for p in range(j):
+            S = S - jnp.matmul(
+                L[j][p], jnp.swapaxes(L[j][p], -1, -2), precision=_HP
+            )
+        L[j][j] = jax.lax.linalg.cholesky(S)
+        if j + 1 < K:
+            Xd_t = jnp.swapaxes(_series_inverse(L[j][j]), -1, -2)
+            for i in range(j + 1, K):
+                S_ij = blk(Bp, i, j)
+                for p in range(j):
+                    S_ij = S_ij - jnp.matmul(
+                        L[i][p], jnp.swapaxes(L[j][p], -1, -2), precision=_HP
+                    )
+                L[i][j] = jnp.matmul(S_ij, Xd_t, precision=_HP)
+    zero = jnp.zeros((NB, PB, PB), B.dtype)
+    rows = [
+        jnp.concatenate(
+            [L[i][j] if j <= i else zero for j in range(K)], axis=2
+        )
+        for i in range(K)
+    ]
+    Lp = jnp.concatenate(rows, axis=1)
+    if M != m:
+        return Lp[:, :m, :m]
+    return Lp
+
+
 def tri_inverse_batched(L):
     """X = L⁻¹ for a batch (NB, m, m) of lower-triangular factors, all MXU
     matmuls. m is padded to a multiple of 128 with an identity diagonal

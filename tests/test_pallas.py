@@ -535,3 +535,106 @@ def test_svgp_batch_terms_series_backend_matches_xla(rng):
     for a, c in zip(gx, gp):
         np.testing.assert_allclose(
             np.asarray(c), np.asarray(a), rtol=2e-3, atol=2e-4)
+
+
+def test_blocked_cholesky_matches_xla(rng):
+    """blocked_cholesky (per-128-block custom calls + series-gemm panels,
+    ops/tri_inverse.py) must reproduce the XLA Cholesky at the training
+    factor shapes, including non-128-multiple m (321 = CH inducing count,
+    414 = mouse) where the identity padding must stay inert."""
+    from spadot_tpu.ops.tri_inverse import blocked_cholesky
+
+    for m in (321, 414, 256, 128, 65):
+        A = rng.normal(size=(3, m, 80)).astype(np.float32)
+        B = jnp.asarray(
+            np.eye(m, dtype=np.float32)[None] + A @ A.transpose(0, 2, 1)
+        )
+        L = blocked_cholesky(B)
+        Lref = jnp.linalg.cholesky(B)
+        assert np.asarray(
+            jnp.triu(L, 1) == 0
+        ).all(), "blocked factor must be exactly lower-triangular"
+        np.testing.assert_allclose(
+            np.asarray(L), np.asarray(Lref), rtol=3e-4, atol=3e-4)
+
+
+def test_blocked_cholesky_collapsed_dim_accuracy(rng):
+    """Factor accuracy at the guard's worst case (||B|| ~ 1e10 from a
+    collapsed latent dim): the gemm-panel association must stay at
+    XLA-chol grade — checked via the reconstruction residual RELATIVE to
+    ||B|| (absolute diffs scale with the 1e5 diagonal)."""
+    from spadot_tpu.ops.tri_inverse import blocked_cholesky
+
+    m = 321
+    U = rng.normal(0, 0.3, size=(m, 512)).astype(np.float32)
+    prec = (rng.uniform(0.5, 4.0, size=(512,)) * 3.3e6).astype(np.float32)
+    B = np.eye(m, dtype=np.float32) + 4.9 * (U * prec) @ U.T
+    B = jnp.asarray(np.broadcast_to(B, (2, m, m)))
+    L = blocked_cholesky(B)
+    assert np.isfinite(np.asarray(L)).all()
+    resid = jnp.max(jnp.abs(
+        jnp.matmul(L, jnp.swapaxes(L, -1, -2),
+                   precision=jax.lax.Precision.HIGHEST) - B
+    )) / jnp.max(jnp.abs(B))
+    assert float(resid) < 1e-5
+
+
+def test_chol_inv_guarded_bc_rescues(rng):
+    """The blocked-backed guard must rescue an indefinite slot exactly
+    like the XLA/series guards: blocked_cholesky propagates the NaN
+    diagonal into later blocks, so the finite-diagonal probe fires and
+    the jittered re-factorization returns finite (L, X)."""
+    from spadot_tpu.ops.svgp import _chol_inv_guarded_bc
+
+    m = 200
+    Q, _ = np.linalg.qr(rng.normal(size=(m, m)))
+    eigs = np.geomspace(1e6, 1.0, m)
+    eigs[-1] = -1e2
+    B_bad = ((Q * eigs) @ Q.T).astype(np.float32)
+    B_bad = (B_bad + B_bad.T) / 2
+    B_ok = np.eye(m, dtype=np.float32) * 2.0
+    eye = jnp.eye(m, dtype=jnp.float32)
+    B_all = jnp.asarray(np.stack([B_ok, B_bad]))
+    L, X = _chol_inv_guarded_bc(B_all, eye)
+    assert np.isfinite(np.asarray(L)).all()
+    assert np.isfinite(np.asarray(X)).all()
+    np.testing.assert_allclose(
+        np.asarray(jnp.matmul(X, L)),
+        np.broadcast_to(np.eye(m, dtype=np.float32), (2, m, m)),
+        atol=5e-3)
+
+
+def test_svgp_batch_terms_blocked_backend_matches_xla(rng):
+    """svgp_batch_terms(chol_backend='blocked') must match 'xla' in
+    values AND encoder gradients (the backend only swaps the guarded
+    factorization forward; the all-GEMM backward is shared). m=168 spans
+    two 128-blocks so the gemm panel path is exercised."""
+    from spadot_tpu.ops.svgp import svgp_batch_terms, svgp_shared
+
+    m, b, L = 168, 96, 3
+    Z = jnp.asarray(rng.uniform(0, 10, (m, 2)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 10, (b, 2)), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=(b, L)), jnp.float32)
+    logv = jnp.asarray(rng.normal(scale=0.3, size=(b, L)), jnp.float32)
+    mask = jnp.ones(b, jnp.float32)
+    st = svgp_shared(Z)
+    consts = dict(L_inv=st["L_inv"], C=st["C"], M=st["M"],
+                  Kt_inv=st["Kt_inv"], F=st["F"],
+                  logdet_CCj=st["logdet_CCj"])
+
+    def scalar(mu_, logv_, backend):
+        out = svgp_batch_terms(
+            x, mu_, jnp.exp(logv_), mask, float(b) * 4.0,
+            st["Z"], st["K_mm"], st["L_mm"], chol_backend=backend,
+            **consts)
+        return (jnp.sum(out["recon"]) + jnp.sum(out["kl"])
+                + jnp.sum(out["p_m"] ** 2) + jnp.sum(out["p_v"]))
+
+    vx = float(scalar(mu, logv, "xla"))
+    vb = float(scalar(mu, logv, "blocked"))
+    np.testing.assert_allclose(vb, vx, rtol=1e-4)
+    gx = jax.grad(scalar, argnums=(0, 1))(mu, logv, "xla")
+    gb = jax.grad(scalar, argnums=(0, 1))(mu, logv, "blocked")
+    for a, c in zip(gx, gb):
+        np.testing.assert_allclose(
+            np.asarray(c), np.asarray(a), rtol=2e-3, atol=2e-4)
