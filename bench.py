@@ -10,10 +10,25 @@ forward, all losses, backward, optimizer, device KMeans refresh included at
 the reference cadence).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Fail-fast contract (round-3 verdict: BENCH_r03 was rc=124 — a dead TPU
+tunnel blocked device init for the driver's whole 10-minute timeout with
+no parseable record): a ≤120 s tunnel probe SUBPROCESS runs before any
+in-process jax import; on failure ONE parseable JSON line
+{"metric": ..., "error": "tpu_unreachable"} is printed and the process
+exits 3 within ~2 minutes. The in-run faulthandler watchdog is likewise
+capped: after BENCH_WATCHDOG_DUMPS stall dumps it emits the same error
+JSON and aborts instead of hanging into a queue-step timeout
+(bench_mouse_blocked.log burned 3600 s on five 10-min dumps).
+Env: SPADOT_BENCH_PROBE=0 skips the probe; SPADOT_BENCH_PROBE_CMD /
+SPADOT_BENCH_PROBE_TIMEOUT override it (used by the simulated
+dead-backend test, tests/test_bench_contract.py).
 """
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -21,14 +36,101 @@ import numpy as np
 BASELINE_SEC_PER_EPOCH = 3.0  # reference: ~5 min / 100 epochs on GPU
 
 
-def main():
-    import faulthandler
+def _metric_name():
+    return {
+        "atlas": "atlas_100k_epoch_time",
+        "mouse": "mouse_scale_epoch_time",
+    }.get(os.environ.get("BENCH_MODE", "chickenheart"),
+          "chickenheart_scale_epoch_time")
 
-    faulthandler.dump_traceback_later(600, repeat=True, file=sys.stderr)
+
+def _fail_fast(reason):
+    print(json.dumps({
+        "metric": _metric_name(),
+        "value": None,
+        "unit": "s/epoch",
+        "vs_baseline": None,
+        "error": reason,
+    }), flush=True)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(3)
+
+
+def _probe_tunnel():
+    """Device-init probe in a SUBPROCESS (the in-process axon plugin init
+    blocks ~10 min when the tunnel is down and cannot be interrupted).
+    Pattern proven by scripts/tpu_session.sh:19-22."""
+    if os.environ.get("SPADOT_BENCH_PROBE", "1") == "0":
+        return
+    timeout = float(os.environ.get("SPADOT_BENCH_PROBE_TIMEOUT", "120"))
+    cmd = os.environ.get("SPADOT_BENCH_PROBE_CMD")
+    argv = (["/bin/sh", "-c", cmd] if cmd else
+            [sys.executable, "-c", "import jax; jax.devices()"])
+    t0 = time.perf_counter()
+    try:
+        rc = subprocess.run(
+            argv, timeout=timeout, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        ).returncode
+    except subprocess.TimeoutExpired:
+        _fail_fast("tpu_unreachable")
+        return
+    if rc != 0:
+        _fail_fast("tpu_unreachable")
+        return
+    print(f"# tunnel probe ok in {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+
+
+class _Watchdog:
+    """faulthandler stall dumps, capped: after `max_dumps` consecutive
+    600 s stalls (no `pet()` call), emit the error JSON and abort."""
+
+    def __init__(self, interval=600.0, max_dumps=None):
+        import faulthandler
+
+        self._fh = faulthandler
+        self._interval = interval
+        self._max = max_dumps if max_dumps is not None else int(
+            os.environ.get("BENCH_WATCHDOG_DUMPS", "2"))
+        self._stalls = 0
+        self._progress = time.monotonic()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def pet(self):
+        self._progress = time.monotonic()
+        self._stalls = 0
+
+    def cancel(self):
+        self._stop.set()
+
+    def _run(self):
+        while not self._stop.wait(self._interval / 4.0):
+            if time.monotonic() - self._progress < self._interval:
+                continue
+            self._progress = time.monotonic()
+            self._stalls += 1
+            self._fh.dump_traceback(file=sys.stderr)
+            print(f"# watchdog stall dump {self._stalls}/{self._max}",
+                  file=sys.stderr, flush=True)
+            if self._stalls >= self._max:
+                _fail_fast("stalled_no_progress")
+
+
+def main():
+    watchdog = _Watchdog()
 
     import pandas as pd
 
     import jax
+
+    if os.environ.get("SPADOT_BENCH_CPU") == "1":
+        # the sandbox force-sets JAX_PLATFORMS=axon,cpu at interpreter
+        # startup; only the config update actually avoids axon init
+        jax.config.update("jax_platforms", "cpu")
 
     # persistent compilation cache: remote-TPU compiles dominate cold runs
     # (set JAX_COMPILATION_CACHE_DIR="" to disable)
@@ -163,9 +265,10 @@ def main():
             variables, opt_state, rng_key, epoch, 2 + epoch
         )
         print(f"# warmup epoch {epoch}: {time.perf_counter()-t:.1f}s", file=sys.stderr)
+        watchdog.pet()
     # the watchdog exists to surface a hung remote compile; past warmup it
     # can only fire spuriously and pollute driver-captured stderr tails
-    faulthandler.cancel_dump_traceback_later()
+    watchdog.cancel()
     t = time.perf_counter()
     trainer.sync_km_views(km)
     gammas = trainer.update_ot(km, gammas)
@@ -227,10 +330,7 @@ def main():
     # conservative in our favor at atlas scale)
     baseline_equiv = BASELINE_SEC_PER_EPOCH * (n_tp * n_per_tp) / 10_000.0
     print(json.dumps({
-        "metric": {
-            "atlas": "atlas_100k_epoch_time",
-            "mouse": "mouse_scale_epoch_time",
-        }.get(mode, "chickenheart_scale_epoch_time"),
+        "metric": _metric_name(),
         "value": round(sec_per_epoch, 4),
         "unit": "s/epoch",
         "vs_baseline": round(baseline_equiv / sec_per_epoch, 2),
@@ -257,6 +357,7 @@ def main():
 
 
 if __name__ == "__main__":
+    _probe_tunnel()
     try:
         main()
     except Exception as e:  # transient remote-TPU worker errors: retry once

@@ -12,7 +12,15 @@ needs a trajectory-level gate, same protocol as the precision gates
 (examples/precision_quality.py): identical data + seed, 100 epochs,
 compare domain-recovery ARI and final losses.
 
+A single seed is enough to RECORD a neutral A/B (the default was not
+flipped — bench_ch_kmiters8.log measured iters=8 wall-neutral, so 100
+stays); the repo's flip protocol (kmwarm/svgpgemm gates) is 5-seed, so any
+future round that wants to LOWER the default must run the seed loop:
+
 Usage: python examples/kmiters_quality.py [n_spots_per_tp] [epochs] [genes]
+Env:   SPADOT_SEEDS="1993,7,42,2024,5" — multi-seed mode (paired per-seed
+       deltas, same protocol as examples/quality_multiseed.py; default is
+       the single documentation seed 1993).
 """
 import os
 import sys
@@ -50,21 +58,29 @@ def main():
         input_dim=genes, timepoints=[0, 1, 2, 3], maxiter=epochs,
         n_clusters=7,
     )
-    loss_f, ari_f, wall_f, _ = run(
-        {"kmeans_refresh_warm_iters": 100}, adata, base
-    )
-    loss_c, ari_c, wall_c, _ = run(
-        {"kmeans_refresh_warm_iters": 8}, adata, base
-    )
-    print(f"iters=100: ARI {ari_f:.4f}  wall {wall_f:.1f}s")
-    print(f"iters=8:   ARI {ari_c:.4f}  wall {wall_c:.1f}s")
-    for name, df in (("iters=100", loss_f), ("iters=8", loss_c)):
-        last = df.iloc[-1]
-        print(
-            f"{name} final: elbo {last['elbo']:.4f} Recon {last['Recon']:.4f}"
-            f" KMeans {last['KMeans']:.4f} OT {last['OT']:.4f}"
-            f" finite={bool(np.isfinite(df.to_numpy(dtype=float)).all())}"
-        )
+    seeds = [int(s) for s in os.environ.get("SPADOT_SEEDS", "1993").split(",")]
+    aris = {100: [], 8: []}
+    for seed in seeds:
+        for iters in (100, 8):
+            loss, ari, wall, _ = run(
+                {"kmeans_refresh_warm_iters": iters}, adata, base, seed=seed
+            )
+            aris[iters].append(ari)
+            last = loss.iloc[-1]
+            print(
+                f"seed {seed:5d} iters={iters:3d}: ARI {ari:.4f} "
+                f"wall {wall:.1f}s final elbo {last['elbo']:.4f} "
+                f"Recon {last['Recon']:.4f} KMeans {last['KMeans']:.4f} "
+                f"OT {last['OT']:.4f} finite="
+                f"{bool(np.isfinite(loss.to_numpy(dtype=float)).all())}",
+                flush=True,
+            )
+    a, c = np.asarray(aris[100]), np.asarray(aris[8])
+    d = a - c
+    print(f"\niters=100: {a.mean():.4f} ± {a.std(ddof=1) if len(a) > 1 else 0:.4f}")
+    print(f"iters=8:   {c.mean():.4f} ± {c.std(ddof=1) if len(c) > 1 else 0:.4f}")
+    print(f"paired delta (100-8): {d.mean():+.4f}  per-seed "
+          f"{np.round(d, 4).tolist()}")
 
 
 if __name__ == "__main__":

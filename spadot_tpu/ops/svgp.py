@@ -108,6 +108,31 @@ def _guarded_factor(B_all, eye_m, chol_fn=None):
     return jax.lax.cond(jnp.all(ok), lambda _: L0, rescue, operand=None)
 
 
+def _guarded_factor_tree(B_all, eye_m, chol_fn):
+    """`_guarded_factor` for a chol_fn that returns a PYTREE whose first
+    leaf is the factor L (e.g. tri_inverse.blocked_cholesky_inv's (L, X)):
+    the finite-diagonal probe reads L, the rescue re-runs the whole
+    chol_fn on the jittered slots, and the cond selects the full tree.
+    Semantics match probing L then computing the aux outputs from the
+    returned factor — a non-finite diagonal block propagates NaN into
+    every aux leaf, and the healthy path is bit-identical + free."""
+    out0 = chol_fn(B_all)
+    L0 = jax.tree_util.tree_leaves(out0)[0]
+    ok = jnp.all(
+        jnp.isfinite(jnp.diagonal(L0, axis1=-2, axis2=-1)), axis=-1
+    )
+
+    def rescue(_):
+        lam = jnp.where(
+            ok,
+            jnp.zeros((), B_all.dtype),
+            0.05 * jnp.max(jnp.diagonal(B_all, axis1=-2, axis2=-1), axis=-1),
+        )
+        return chol_fn(B_all + lam[:, None, None] * eye_m[None])
+
+    return jax.lax.cond(jnp.all(ok), lambda _: out0, rescue, operand=None)
+
+
 def _chol_guarded_fwd(B_all, eye_m):
     L = _guarded_factor(B_all, eye_m)
     return L, (L,)
@@ -287,11 +312,15 @@ def _guarded_factor_inv_bc(B_all, eye_m):
     profile_mouse_series.log). Guard semantics unchanged: blocked_cholesky
     propagates a non-finite diagonal block into every later block, so the
     finite-diagonal probe and the jittered rescue behave exactly as the
-    XLA-chol guard."""
-    from spadot_tpu.ops.tri_inverse import blocked_cholesky, tri_inverse_batched
+    XLA-chol guard. The factor and inverse come from the FOLDED
+    `blocked_cholesky_inv` — the K per-128-block diagonal inverses the
+    panel solves compute are reused by the back-substitution assembly
+    instead of being recomputed by tri_inverse_batched (the round-3
+    advisor's duplicated-work finding); the guard conds over the whole
+    (L, X) pair."""
+    from spadot_tpu.ops.tri_inverse import blocked_cholesky_inv
 
-    L = _guarded_factor(B_all, eye_m, chol_fn=blocked_cholesky)
-    X = tri_inverse_batched(L)
+    L, X = _guarded_factor_tree(B_all, eye_m, blocked_cholesky_inv)
     return L, X
 
 
@@ -347,7 +376,14 @@ def _resolve_chol_backend(chol_backend):
     pending its TPU A/B before joining 'auto'."""
     if chol_backend in _CHOL_OPS:
         return chol_backend
-    if chol_backend == "auto" and jax.default_backend() == "tpu":
+    if chol_backend != "auto":
+        # A typo (e.g. in a BENCH_CFG A/B arm) must not silently benchmark
+        # the wrong backend and corrupt a flip decision.
+        raise ValueError(
+            f"svgp_chol_backend={chol_backend!r} — expected one of "
+            f"{sorted(_CHOL_OPS)} or 'auto'"
+        )
+    if jax.default_backend() == "tpu":
         return "series"
     return "xla"
 

@@ -96,6 +96,61 @@ def _assemble(Lp, dinv_blocks):
     return jnp.concatenate(rows, axis=1)
 
 
+def _blocked_cholesky_impl(B, want_dinv):
+    """Shared body of `blocked_cholesky` / `blocked_cholesky_inv`: factor
+    with panels as series-inverse gemms; optionally keep the inverted
+    diagonal blocks (ALL K of them, including the last, which the panel
+    loop itself never needs) so the full inverse can reuse them."""
+    NB, m, _ = B.shape
+    K = -(-m // PB)
+    M = K * PB
+    if M != m:
+        pad_diag = (jnp.arange(M) >= m).astype(B.dtype)
+        Bp = jnp.pad(B, ((0, 0), (0, M - m), (0, M - m)))
+        Bp = Bp + jnp.diag(pad_diag)[None]
+    else:
+        Bp = B
+    if K == 1:
+        Lp = jax.lax.linalg.cholesky(Bp)
+        dinv = [_series_inverse(Lp)] if want_dinv else None
+        return Lp, dinv, m, M
+
+    def blk(A, i, j):
+        return A[:, i * PB:(i + 1) * PB, j * PB:(j + 1) * PB]
+
+    L = [[None] * K for _ in range(K)]
+    dinv = [None] * K if want_dinv else None
+    for j in range(K):
+        S = blk(Bp, j, j)
+        for p in range(j):
+            S = S - jnp.matmul(
+                L[j][p], jnp.swapaxes(L[j][p], -1, -2), precision=_HP
+            )
+        L[j][j] = jax.lax.linalg.cholesky(S)
+        need_inv = want_dinv or j + 1 < K
+        Xd = _series_inverse(L[j][j]) if need_inv else None
+        if want_dinv:
+            dinv[j] = Xd
+        if j + 1 < K:
+            Xd_t = jnp.swapaxes(Xd, -1, -2)
+            for i in range(j + 1, K):
+                S_ij = blk(Bp, i, j)
+                for p in range(j):
+                    S_ij = S_ij - jnp.matmul(
+                        L[i][p], jnp.swapaxes(L[j][p], -1, -2), precision=_HP
+                    )
+                L[i][j] = jnp.matmul(S_ij, Xd_t, precision=_HP)
+    zero = jnp.zeros((NB, PB, PB), B.dtype)
+    rows = [
+        jnp.concatenate(
+            [L[i][j] if j <= i else zero for j in range(K)], axis=2
+        )
+        for i in range(K)
+    ]
+    Lp = jnp.concatenate(rows, axis=1)
+    return Lp, dinv, m, M
+
+
 def blocked_cholesky(B):
     """Batched Cholesky (NB, m, m) → L with panel solves as MXU gemms.
 
@@ -123,50 +178,36 @@ def blocked_cholesky(B):
     Replaces the factorization behind SpaDOT/model/svgp.py:74-75 (the
     reference Cholesky-inverts Σ directly in f64).
     """
-    NB, m, _ = B.shape
-    K = -(-m // PB)
-    M = K * PB
-    if M != m:
-        pad_diag = (jnp.arange(M) >= m).astype(B.dtype)
-        Bp = jnp.pad(B, ((0, 0), (0, M - m), (0, M - m)))
-        Bp = Bp + jnp.diag(pad_diag)[None]
-    else:
-        Bp = B
-    if K == 1:
-        Lp = jax.lax.linalg.cholesky(Bp)
-        return Lp[:, :m, :m] if M != m else Lp
-
-    def blk(A, i, j):
-        return A[:, i * PB:(i + 1) * PB, j * PB:(j + 1) * PB]
-
-    L = [[None] * K for _ in range(K)]
-    for j in range(K):
-        S = blk(Bp, j, j)
-        for p in range(j):
-            S = S - jnp.matmul(
-                L[j][p], jnp.swapaxes(L[j][p], -1, -2), precision=_HP
-            )
-        L[j][j] = jax.lax.linalg.cholesky(S)
-        if j + 1 < K:
-            Xd_t = jnp.swapaxes(_series_inverse(L[j][j]), -1, -2)
-            for i in range(j + 1, K):
-                S_ij = blk(Bp, i, j)
-                for p in range(j):
-                    S_ij = S_ij - jnp.matmul(
-                        L[i][p], jnp.swapaxes(L[j][p], -1, -2), precision=_HP
-                    )
-                L[i][j] = jnp.matmul(S_ij, Xd_t, precision=_HP)
-    zero = jnp.zeros((NB, PB, PB), B.dtype)
-    rows = [
-        jnp.concatenate(
-            [L[i][j] if j <= i else zero for j in range(K)], axis=2
-        )
-        for i in range(K)
-    ]
-    Lp = jnp.concatenate(rows, axis=1)
+    Lp, _, m, M = _blocked_cholesky_impl(B, want_dinv=False)
     if M != m:
         return Lp[:, :m, :m]
     return Lp
+
+
+def blocked_cholesky_inv(B):
+    """Batched (L, X = L⁻¹) in ONE pass: `blocked_cholesky` with the
+    inverted diagonal blocks KEPT and fed straight into the block
+    back-substitution assembly, so the K (NB, 128, 128) series inverses
+    that the panel solves already computed are not recomputed by
+    `tri_inverse_batched` (which re-inverts all K diagonal blocks when
+    called on a finished factor). This is the folded form CLAUDE.md's
+    round-4 design calls for; per factor it removes K−1 series inverses
+    (~7 squaring-level gemm chains each) relative to
+    blocked_cholesky → tri_inverse_batched.
+
+    Used by the 'blocked' SVGP chol backend
+    (ops/svgp.py:_guarded_factor_inv_bc); the guard conds over the whole
+    (L, X) pair, and a non-finite diagonal block propagates NaN into both
+    outputs, preserving the finite-diagonal probe semantics."""
+    Lp, dinv, m, M = _blocked_cholesky_impl(B, want_dinv=True)
+    K = M // PB
+    if K == 1:
+        X = dinv[0]
+    else:
+        X = _assemble(Lp, dinv)
+    if M != m:
+        return Lp[:, :m, :m], X[:, :m, :m]
+    return Lp, X
 
 
 def tri_inverse_batched(L):

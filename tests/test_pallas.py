@@ -579,6 +579,45 @@ def test_blocked_cholesky_collapsed_dim_accuracy(rng):
     assert float(resid) < 1e-5
 
 
+def test_blocked_cholesky_inv_matches_unfused(rng):
+    """blocked_cholesky_inv (the folded L + L⁻¹ pass that reuses the
+    panel loop's diagonal-block inverses) must match the two-call
+    blocked_cholesky → tri_inverse_batched composition bit-for-bit at
+    every block-count regime (K=1, K with remainder, exact multiple)."""
+    from spadot_tpu.ops.tri_inverse import (
+        blocked_cholesky, blocked_cholesky_inv, tri_inverse_batched)
+
+    for m in (65, 128, 321, 414):
+        A = rng.normal(size=(3, m, 80)).astype(np.float32)
+        B = jnp.asarray(
+            np.eye(m, dtype=np.float32)[None] + A @ A.transpose(0, 2, 1)
+        )
+        L, X = blocked_cholesky_inv(B)
+        Lref = blocked_cholesky(B)
+        Xref = tri_inverse_batched(Lref)
+        np.testing.assert_array_equal(np.asarray(L), np.asarray(Lref))
+        np.testing.assert_allclose(
+            np.asarray(X), np.asarray(Xref), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(jnp.matmul(X, L, precision=jax.lax.Precision.HIGHEST)),
+            np.broadcast_to(np.eye(m, dtype=np.float32), (3, m, m)),
+            atol=2e-4)
+
+
+def test_resolve_chol_backend_rejects_typo():
+    """A typo'd svgp_chol_backend (e.g. in a BENCH_CFG A/B arm) must
+    raise, not silently fall back to 'xla' and corrupt a flip decision
+    (round-3 advisor finding)."""
+    import pytest
+
+    from spadot_tpu.ops.svgp import _resolve_chol_backend
+
+    assert _resolve_chol_backend("blocked") == "blocked"
+    assert _resolve_chol_backend("auto") in ("series", "xla")
+    with pytest.raises(ValueError, match="svgp_chol_backend"):
+        _resolve_chol_backend("blockd")
+
+
 def test_chol_inv_guarded_bc_rescues(rng):
     """The blocked-backed guard must rescue an indefinite slot exactly
     like the XLA/series guards: blocked_cholesky propagates the NaN
