@@ -481,7 +481,7 @@ def ot_loss(latent, batch_idx, batch_mask, assignments, centers, prev_centers, g
 def full_latent_ext(
     net, variables, tp_data, svgp_state, ext_tables, *,
     kernel_scale, kernel_type, jitter=1e-2, row_mask=None,
-    gat_window_dense_max=10000,
+    gat_window_dense_max=10000, vmap_chunk=1,
 ):
     """`full_latent` with the GAT branch computed per receptive closure.
 
@@ -492,6 +492,17 @@ def full_latent_ext(
     GAT exactly (tests/test_exact_batches.py) at ~1/4 the cost at 100k
     spots (the closure runs the fused dense kernels; the full graph only
     has the gather path).
+
+    vmap_chunk > 1 runs the closure batches `vmap_chunk` at a time under
+    jax.vmap instead of one per sequential scan step — the per-op profiles
+    showed the extraction scan is dispatch-glue-bound (8.3 ms/ep CH /
+    19.9 mouse / 201 atlas, profile_*_series.log), so batching the small
+    closure kernels trades HBM working set (× chunk) for fewer, larger
+    dispatches. Results are the same values batch-for-batch (vmap batches
+    the identical per-closure computation; sentinel pad batches emit rows
+    past n that the final slice drops). The Trainer resolves the chunk
+    from the `gat_ext_vmap` config knob + a memory estimate
+    (train/loop.py:_resolve_ext_vmap_chunk).
     """
     Y, coords = tp_data["Y"], tp_data["coords"]
     n = Y.shape[0]
@@ -524,18 +535,42 @@ def full_latent_ext(
         # gather they replace
         ye = ext_tables.get("Y_ext")
 
-        def body(carry, xs):
-            ext_s, y_b = (xs[:-1], xs[-1]) if ye is not None else (xs, None)
+        def one(xs_s):
+            ext_s, y_b = (xs_s[:-1], xs_s[-1]) if ye is not None else (xs_s, None)
             mu_b, _ = _gat_ext_forward(
                 net, vars_nostats, Y_gat, ext_s, gat_window_dense_max,
                 y_ext=y_b,
             )
-            return carry, mu_b
+            return mu_b
 
         xs = ext_xs(ext_tables)
         if ye is not None:
             xs = xs + (ye,)
-        _, mus = jax.lax.scan(body, None, xs)   # (nb, b, L)
+        nb = xs[0].shape[0]
+        c = max(1, min(int(vmap_chunk), nb))
+        if c > 1:
+            nc = -(-nb // c)
+            pad = nc * c - nb
+            if pad:
+                # sentinel batches (zero indices/masks): their output rows
+                # land past row nb*b and are dropped by the [:n] slice
+                xs = tuple(
+                    jnp.concatenate(
+                        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+                    )
+                    for a in xs
+                )
+            xs_r = tuple(a.reshape((nc, c) + a.shape[1:]) for a in xs)
+            if nc == 1:
+                mus = jax.vmap(one)(tuple(a[0] for a in xs_r))  # (c, b, L)
+            else:
+                _, mus = jax.lax.scan(
+                    lambda carry, xsc: (carry, jax.vmap(one)(xsc)), None, xs_r
+                )   # (nc, c, b, L)
+        else:
+            _, mus = jax.lax.scan(
+                lambda carry, xs_s: (None, one(xs_s)), None, xs
+            )   # (nb, b, L)
         gat_mu = mus.reshape(-1, mus.shape[-1])  # contiguous batches
         if gat_mu.shape[0] < n:   # row-padded stacks (mesh mode)
             gat_mu = jnp.pad(

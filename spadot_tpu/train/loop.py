@@ -123,6 +123,16 @@ class Trainer:
             )
         )
 
+        # vmapped closure-batch latent extraction (models/model.py:
+        # full_latent_ext vmap_chunk): the sequential per-closure scan is
+        # dispatch-glue-bound at every scale (8.3/19.9/201 ms/ep CH/mouse/
+        # atlas, profile_*_series.log); 'auto' batches as many closures per
+        # step as the HBM budget allows, on TPU only
+        self.gat_ext_vmap_cfg = model_config.get("gat_ext_vmap", "auto")
+        self.gat_ext_vmap_budget_mb = float(
+            model_config.get("gat_ext_vmap_budget_mb", 1536)
+        )
+        self.ext_vmap_chunk = 1  # resolved below once ext shapes are known
         # precomputed K̃-constant gemm solves (ops/svgp.py:svgp_shared);
         # false = per-step solve_triangular fallback (config.yaml)
         self.svgp_gemm_solves = bool(model_config.get("svgp_gemm_solves", True))
@@ -136,6 +146,15 @@ class Trainer:
         # small so a low cap converges identically most epochs
         self.kmeans_warm_iters = int(
             model_config.get("kmeans_refresh_warm_iters", 100)
+        )
+        # statically unroll the fused epoch's per-tp refresh map instead of
+        # the sequential lax.map (whose while glue measured 13.9-334 ms/ep;
+        # see _fused_epoch_impl). auto = on for realistic timepoint counts.
+        unroll_cfg = str(
+            model_config.get("kmeans_refresh_unroll", "auto")
+        ).lower()
+        self.kmeans_refresh_unroll = unroll_cfg in ("true", "1") or (
+            unroll_cfg == "auto" and len(self.timepoints) <= 8
         )
 
         # float32 by default; `dtype: float64` (with jax x64 enabled by
@@ -229,6 +248,8 @@ class Trainer:
                     # static closure adjacencies (graph.py:closure_adjacency)
                     self.tp_ext[tp]["ext_adj"] = jnp.asarray(d["ext_adj"])
         self.obs_rows = {tp: data["tp_data"][tp]["obs_rows"] for tp in self.timepoints}
+        if self.gat_ext:
+            self.ext_vmap_chunk = self._resolve_ext_vmap_chunk(data)
 
         self._epoch_jit = jax.jit(self._epoch_impl, donate_argnums=(0, 1))
         self._latent_jit = jax.jit(self._latent_impl)
@@ -437,6 +458,42 @@ class Trainer:
         )
         return variables, opt_state, rng, jnp.mean(vecs, axis=0)
 
+    def _resolve_ext_vmap_chunk(self, data):
+        """Closure batches per vmapped extraction step (gat_ext_vmap):
+        'auto' = fit as many closures as `gat_ext_vmap_budget_mb` allows
+        (estimate: gathered rows P·G f32 + 3 layers of (P, H·F) activations
+        + the dense P² int8 adjacency when the closure runs dense), TPU
+        only — on CPU the scan's dispatch glue is not the bottleneck and
+        the multiplied working set can blow host RAM. An explicit integer
+        forces that chunk on any backend (tests use this)."""
+        val = str(self.gat_ext_vmap_cfg).lower()
+        if val in ("0", "off", "false", "none", "1"):
+            return 1
+        nb_max = p_max = g_max = 0
+        for tp in self.timepoints:
+            d = data["tp_data"][tp]
+            if "ext_idx" not in d:
+                return 1
+            nb_max = max(nb_max, int(d["ext_idx"].shape[0]))
+            p_max = max(p_max, int(d["ext_idx"].shape[1]))
+            g_max = max(g_max, int(d["Y"].shape[1]))
+        if val != "auto":
+            return max(1, min(int(self.gat_ext_vmap_cfg), nb_max))
+        if self.jax.default_backend() != "tpu":
+            return 1
+        hf = int(self.net.gat_encoder_hidden) * int(self.net.gat_attention_heads)
+        per = p_max * g_max * 4 + 3 * p_max * hf * 4
+        if p_max <= self.gat_window_dense_max:
+            per += p_max * p_max  # int8 closure adjacency
+        c = int(self.gat_ext_vmap_budget_mb * 1e6 // max(per, 1))
+        c = max(1, min(c, nb_max))
+        # balance the chunks: nb=7, c=6 would scan 2 steps of 6 (5 sentinel
+        # pads); 2 steps of 4 does the same work with 1 pad
+        if c > 1:
+            nc = -(-nb_max // c)
+            c = -(-nb_max // nc)
+        return c
+
     def _latent_impl(self, variables, tp_dev, svgp_state, ext_tables=None):
         from spadot_tpu.models.model import full_latent, full_latent_ext
 
@@ -451,6 +508,7 @@ class Trainer:
                 kernel_scale=self.kernel_scale, kernel_type=self.kernel_type,
                 row_mask=tp_dev.get("row_mask"),
                 gat_window_dense_max=self.gat_window_dense_max,
+                vmap_chunk=self.ext_vmap_chunk,
             )
         return full_latent(
             self.net, variables, tp_dev, svgp_state,
@@ -983,6 +1041,7 @@ class Trainer:
                     kernel_scale=self.kernel_scale,
                     kernel_type=self.kernel_type, row_mask=row_mask,
                     gat_window_dense_max=self.gat_window_dense_max,
+                    vmap_chunk=self.ext_vmap_chunk,
                 )
             else:
                 lat = full_latent(
@@ -1021,7 +1080,20 @@ class Trainer:
                     )
             return centers, labels.astype(jnp.int32)
 
-        centers_new, assign_new = lax.map(refresh, jnp.arange(T))
+        if self.kmeans_refresh_unroll:
+            # static unroll (kmeans_refresh_unroll, default auto=on for
+            # T <= 8): the sequential lax.map is while-glue-bound (the
+            # while.199 refresh map measured 13.9/26.9/334 ms/ep at
+            # CH/mouse/atlas, profile_*_series.log) and serializes the
+            # per-tp extractions; unrolled, the dyn slices become static
+            # and XLA may overlap timepoints. Peak live memory grows by up
+            # to T-1 extra extraction working sets if XLA chooses to
+            # overlap — the auto gate keeps this to small T.
+            outs = [refresh(i) for i in range(T)]
+            centers_new = jnp.stack([o[0] for o in outs])
+            assign_new = jnp.stack([o[1] for o in outs])
+        else:
+            centers_new, assign_new = lax.map(refresh, jnp.arange(T))
         return variables, opt_state, rng, losses_sum, centers_new, assign_new
 
     def _staged_perm(self, order):

@@ -307,6 +307,84 @@ def test_full_latent_ext_equals_full_latent():
         )
 
 
+def test_full_latent_ext_vmap_chunks_match_scan():
+    """The vmapped closure-batch extraction (full_latent_ext vmap_chunk>1)
+    must reproduce the sequential scan on every real row for every chunk
+    regime: non-dividing chunk (sentinel pad batches), exact divisor, and
+    single-call full vmap (nc == 1)."""
+    from spadot_tpu.models.model import full_latent_ext
+
+    t, _ = _setup()
+    v, _ = t.init_state(jax.random.PRNGKey(0))
+    for tp in (0, 1):
+        tp_dev, svgp = t.tp_dev[tp], t.svgp_states[tp]
+        nb = int(t.tp_ext[tp]["ext_idx"].shape[0])
+        kw = dict(
+            kernel_scale=t.kernel_scale, kernel_type=t.kernel_type,
+            gat_window_dense_max=t.gat_window_dense_max,
+        )
+        base = full_latent_ext(
+            t.net, v, tp_dev, svgp, t.tp_ext[tp], vmap_chunk=1, **kw
+        )
+        n = t.tp_n[tp]
+        for c in (2, 3, nb):
+            lat_c = full_latent_ext(
+                t.net, v, tp_dev, svgp, t.tp_ext[tp], vmap_chunk=c, **kw
+            )
+            np.testing.assert_allclose(
+                np.asarray(lat_c)[:n], np.asarray(base)[:n],
+                rtol=2e-5, atol=1e-6,
+                err_msg=f"tp={tp} chunk={c} of nb={nb}",
+            )
+
+
+def test_ext_vmap_chunk_resolution():
+    """gat_ext_vmap knob plumbing: explicit int forces the chunk (clamped
+    to nb) on any backend; off/0 and CPU-auto give the sequential scan;
+    trainer.latent under a forced chunk matches the scan trainer."""
+    t_off, _ = _setup(gat_ext_vmap=0)
+    assert t_off.ext_vmap_chunk == 1
+    t_auto, _ = _setup()  # auto on CPU -> off
+    assert t_auto.ext_vmap_chunk == 1
+    t3, _ = _setup(gat_ext_vmap=3)
+    assert t3.ext_vmap_chunk == 3
+    t99, _ = _setup(gat_ext_vmap=99)  # clamped to nb
+    assert t99.ext_vmap_chunk == int(t99.tp_ext[0]["ext_idx"].shape[0])
+    v, _ = t3.init_state(jax.random.PRNGKey(0))
+    for tp in (0, 1):
+        np.testing.assert_allclose(
+            np.asarray(t3.latent(v, tp)), np.asarray(t_off.latent(v, tp)),
+            rtol=2e-5, atol=1e-6,
+        )
+
+
+def test_fused_refresh_unroll_matches_map():
+    """The statically-unrolled per-tp refresh (kmeans_refresh_unroll) must
+    produce the same fused-epoch outputs (losses, centers, assignments) as
+    the sequential lax.map it replaces."""
+    outs = {}
+    for unroll in (True, False):
+        t, _ = _setup(kmeans_refresh_unroll=unroll, fused_epoch=True)
+        assert t.fused and t.kmeans_refresh_unroll == unroll
+        v, opt = t.init_state(jax.random.PRNGKey(0))
+        km = {"centers": {}, "assign": {}, "_stacked": t._km_stacked,
+              "_have": False}
+        rng = jax.random.PRNGKey(1)
+        order = list(range(len(t.timepoints)))
+        for epoch in range(2):
+            v, opt, rng, losses = t.run_epoch_fused(
+                v, opt, rng, jax.random.PRNGKey(7 + epoch), order, km,
+                epoch, 0.5,
+            )
+            km["_have"] = True
+        outs[unroll] = (
+            np.asarray(losses), np.asarray(km["_stacked"][0]),
+            np.asarray(km["_stacked"][1]),
+        )
+    for a, b in zip(outs[True], outs[False]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_exact_batches_off_falls_back_to_window():
     t, data = _setup(gat_exact_batches=False)
     assert not t.gat_ext and "ext_idx" not in data["tp_data"][0]
