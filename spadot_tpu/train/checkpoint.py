@@ -17,6 +17,7 @@ import os
 
 import jax
 import numpy as np
+from jax.numpy import bfloat16 as _BF16
 
 CKPT_VERSION = 2
 _SEP = "/"
@@ -36,7 +37,13 @@ def _flatten(prefix, node, out):
             assert _SEP not in key, f"checkpoint key may not contain '/': {key!r}"
             _flatten(f"{prefix}{_SEP}{key}" if prefix else key, v, out)
     else:
-        out[prefix] = np.asarray(node)
+        arr = np.asarray(node)
+        if arr.dtype == _BF16:
+            # npz round-trips bfloat16 as raw void bytes; store the uint16
+            # bit pattern under a tagged key and view it back on load
+            out[prefix + "::bf16"] = arr.view(np.uint16)
+        else:
+            out[prefix] = arr
 
 
 def _unflatten(flat):
@@ -48,7 +55,10 @@ def _unflatten(flat):
             node = node.setdefault(p, {})
         if parts[-1] == "__empty__":
             continue  # marker: the enclosing dict exists but is empty
-        node[parts[-1]] = val
+        if parts[-1].endswith("::bf16"):
+            node[parts[-1][: -len("::bf16")]] = val.view(_BF16)
+        else:
+            node[parts[-1]] = val
     return tree
 
 

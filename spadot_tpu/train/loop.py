@@ -50,9 +50,19 @@ class Trainer:
             model_config["use_pallas"] = False
             self.config = model_config
         self.net = build_net(model_config)
+        from spadot_tpu.train.optim import adamw as _adamw
+
         self.tx = optax.chain(
             optax.clip_by_global_norm(0.3),  # _train_utils.py:216
-            optax.adamw(float(model_config["lr"]), weight_decay=0.01),
+            # optimizer_state_dtype: bfloat16 stores Adam m/v in bf16 (f32
+            # math) — the mouse-scale gene-dim update is HBM-roofline on
+            # the f32 moment streams (train/optim.py); default float32
+            _adamw(
+                float(model_config["lr"]), weight_decay=0.01,
+                state_dtype=model_config.get(
+                    "optimizer_state_dtype", "float32"
+                ),
+            ),
         )
         self.timepoints = list(data["timepoints"])
         self.kernel_type = model_config["kernel_type"]
