@@ -194,6 +194,15 @@ def main():
                equal_inducing_split=equal_split)
     if os.environ.get("BENCH_INDUCING"):
         cfg["inducing_point_nums"] = int(os.environ["BENCH_INDUCING"])
+    if os.environ.get("BENCH_PRESET"):
+        # named preset (config.py:_PRECISION_PRESETS — fast / parity /
+        # large_scale): the one source of truth for the pin sets the
+        # quality gates reference; the headline bench is the shipped
+        # defaults (== fast), so this is for A/B arms
+        from spadot_tpu.config import apply_precision_preset
+
+        cfg["precision_preset"] = os.environ["BENCH_PRESET"]
+        cfg = apply_precision_preset(cfg)
     if os.environ.get("BENCH_CFG"):  # ad-hoc config overrides, JSON dict
         cfg.update(json.loads(os.environ["BENCH_CFG"]))
     if mode == "atlas":

@@ -66,11 +66,19 @@ def main():
     print("[3/4] train (default config: 100 epochs, batch 512) ...", flush=True)
     t = time.time()
     cfg_path = os.path.join(out, "golden.yaml")
+    # SPADOT_GOLDEN_PRESET pins a named preset (config.py: fast / parity)
+    # so a fixture set records WHICH supported configuration it certifies;
+    # empty = the shipped defaults (== fast). SPADOT_GOLDEN_DEVICE=cpu
+    # forces the CPU backend (the axon tunnel may be busy/down).
+    preset = os.environ.get("SPADOT_GOLDEN_PRESET", "")
     with open(cfg_path, "w") as f:
         f.write("equal_inducing_split: true\n")
+        if preset:
+            f.write(f"precision_preset: {preset}\n")
     spadot_tpu.train(SimpleNamespace(
         data=os.path.join(out, "preprocessed_synthetic_chickenheart.h5ad"),
-        output_dir=out, prefix="", config=cfg_path, device=None,
+        output_dir=out, prefix="", config=cfg_path,
+        device=os.environ.get("SPADOT_GOLDEN_DEVICE") or None,
         save_model=True, resume=None,
     ))
     print(f"    train: {time.time()-t:.1f}s", flush=True)
@@ -80,6 +88,7 @@ def main():
     spadot_tpu.analyze(SimpleNamespace(
         data=os.path.join(out, "latent.h5ad"), output_dir=out, prefix="",
         n_clusters=[6, 6, 6, 6],
+        device=os.environ.get("SPADOT_GOLDEN_DEVICE") or None,
     ))
     print(f"    analyze: {time.time()-t:.1f}s", flush=True)
 
@@ -102,6 +111,20 @@ def main():
     loss = pd.read_csv(os.path.join(out, "loss.csv"), index_col=0)
     print(f"    final losses: {loss.iloc[-1].round(3).to_dict()}", flush=True)
     print(f"TOTAL {time.time()-t0:.1f}s; mean ARI {np.mean(aris):.3f}", flush=True)
+
+    import json
+
+    svgs = open(os.path.join(out, "SVG_genes.txt")).read().split()
+    with open(os.path.join(out, "summary.json"), "w") as f:
+        json.dump({
+            "preset": preset or "shipped_defaults",
+            "n_svgs": len(svgs),
+            "aris": {str(tp): float(a) for tp, a in
+                     zip(sorted(lat.obs["timepoint"].unique()), aris)},
+            "mean_ari": float(np.mean(aris)),
+            "final_losses": {k: float(v) for k, v in
+                             loss.iloc[-1].to_dict().items()},
+        }, f, indent=1)
 
 
 if __name__ == "__main__":

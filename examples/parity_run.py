@@ -78,7 +78,8 @@ def main():
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from spadot_tpu.config import default_config, resolve_dtype
+    from spadot_tpu.config import (
+        apply_precision_preset, default_config, resolve_dtype)
     from spadot_tpu.data.pipeline import prepare_data
     from spadot_tpu.train.loop import train_spadot
     from spadot_tpu.utils.rng import set_seed
@@ -88,14 +89,15 @@ def main():
     cfg.update(
         input_dim=N_GENES, timepoints=[0, 1, 2, 3], maxiter=maxiter,
         dtype=dtype,
-        # parity runs pin true-f32/f64 numerics regardless of the package's
-        # speed default (the committed docs/parity curves were produced at
-        # "highest"; the bf16 production default is quality-gated separately
-        # by examples/precision_quality.py)
-        gat_matmul_precision="highest",
-        svgp_matmul_precision="highest",
-        mlp_matmul_precision="highest",
+        # parity runs use the named parity preset (config.py:
+        # _PRECISION_PRESETS — the ONE source of truth for the pin set):
+        # true-f32 'highest' on every branch + the reference-shaped cold
+        # KMeans refit. The committed docs/parity curves were produced
+        # under exactly these pins; the bf16 production default is
+        # quality-gated separately by examples/precision_quality.py.
+        precision_preset="parity",
     )
+    cfg = apply_precision_preset(cfg)
     if os.environ.get("SPADOT_PARITY_CFG"):
         # ad-hoc overrides, e.g. '{"gat_dense_max_n": 0}' to skip the dense
         # attention path on CPU f64 runs (n^2 f64 matmuls are slow there)

@@ -53,6 +53,20 @@ _PRECISION_PRESETS = {
         "mlp_matmul_precision": "default",
         "kmeans_refresh_warm": True,
     },
+    # ≥50k total spots: the fast knobs plus the two measured-at-scale
+    # requirements (docs/scaling.md) — lr scaled to the data size (the
+    # reference 3e-4 diverges at 2×102k at EVERY batch size; 3e-4×10k/N
+    # stayed finite, atlasq_lrscaled.log) and batch 4096 (b512 at 102k is
+    # numerically safe under the chol guard but statistically inferior:
+    # ARI 0.357 vs 0.8525, atlasq_b512_guard.log).
+    "large_scale": {
+        "gat_matmul_precision": "default",
+        "svgp_matmul_precision": "high",
+        "mlp_matmul_precision": "default",
+        "kmeans_refresh_warm": True,
+        "lr": "auto",
+        "batch_size": 4096,
+    },
 }
 
 

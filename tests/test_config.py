@@ -52,6 +52,23 @@ def test_user_knob_beats_preset(tmp_path):
     assert cfg["mlp_matmul_precision"] == "highest"
 
 
+def test_large_scale_preset(tmp_path):
+    """large_scale = fast knobs + the measured >=50k requirements
+    (docs/scaling.md): lr auto-scaling and batch 4096. An explicit user
+    batch_size still wins."""
+    cfg = load_model_config(_args(tmp_path, {"precision_preset": "large_scale"}))
+    fast = load_model_config(_args(tmp_path, {"precision_preset": "fast"}))
+    for key in ("gat_matmul_precision", "svgp_matmul_precision",
+                "mlp_matmul_precision", "kmeans_refresh_warm"):
+        assert cfg[key] == fast[key]
+    assert cfg["lr"] == "auto"
+    assert cfg["batch_size"] == 4096
+    over = load_model_config(_args(tmp_path, {
+        "precision_preset": "large_scale", "batch_size": 2048,
+    }))
+    assert over["batch_size"] == 2048
+
+
 def test_unknown_preset_raises(tmp_path):
     with pytest.raises(ValueError, match="precision_preset"):
         load_model_config(_args(tmp_path, {"precision_preset": "turbo"}))
