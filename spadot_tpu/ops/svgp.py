@@ -368,12 +368,15 @@ _CHOL_OPS = {
 
 
 def _resolve_chol_backend(chol_backend):
-    """'series' | 'xla' | 'blocked' | 'auto'. auto = the log-series
-    inverse on TPU (where the trsm custom call is the measured slow path)
-    and the XLA trsm elsewhere (CPU LAPACK trsm is fast). 'blocked'
-    additionally swaps the factorization itself for the
-    gemm-panel blocked Cholesky (ops/tri_inverse.py:blocked_cholesky) —
-    pending its TPU A/B before joining 'auto'."""
+    """'series' | 'xla' | 'blocked' | 'auto'. auto = the blocked gemm-panel
+    Cholesky + fused log-series inverse on TPU and the XLA custom calls
+    elsewhere (CPU LAPACK chol/trsm are fast). The TPU default progression,
+    all measured (docs/tpu_logs): xla -> series (trsm replaced by the
+    nilpotent log-series inverse, CH 0.1245 -> 0.1142) -> blocked
+    (factorization panels as series-inverse gemms, diagonal-block inverses
+    shared with the assembly — one-window A/B 2026-08-20: CH -1.5% /
+    mouse -3.5% / atlas -2.9% vs series, 5-seed quality gate green at
+    0.9564±0.0033 vs 0.9549±0.0136, quality_blocked_5seed.log)."""
     if chol_backend in _CHOL_OPS:
         return chol_backend
     if chol_backend != "auto":
@@ -384,7 +387,7 @@ def _resolve_chol_backend(chol_backend):
             f"{sorted(_CHOL_OPS)} or 'auto'"
         )
     if jax.default_backend() == "tpu":
-        return "series"
+        return "blocked"
     return "xla"
 
 
