@@ -502,6 +502,10 @@ class Trainer:
         if c > 1:
             nc = -(-nb_max // c)
             c = -(-nb_max // nc)
+        logger.info(
+            "gat_ext_vmap auto: chunk=%d (nb=%d, P=%d, G=%d, ~%d MB/closure)",
+            c, nb_max, p_max, g_max, per // 1_000_000,
+        )
         return c
 
     def _latent_impl(self, variables, tp_dev, svgp_state, ext_tables=None):
