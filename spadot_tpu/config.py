@@ -46,12 +46,14 @@ _PRECISION_PRESETS = {
         "svgp_matmul_precision": "highest",
         "mlp_matmul_precision": "highest",
         "kmeans_refresh_warm": False,
+        "optimizer_state_dtype": "float32",
     },
     "fast": {
         "gat_matmul_precision": "default",
         "svgp_matmul_precision": "high",
         "mlp_matmul_precision": "default",
         "kmeans_refresh_warm": True,
+        "optimizer_state_dtype": "bfloat16",
     },
     # ≥50k total spots: the fast knobs plus the two measured-at-scale
     # requirements (docs/scaling.md) — lr scaled to the data size (the
@@ -64,6 +66,7 @@ _PRECISION_PRESETS = {
         "svgp_matmul_precision": "high",
         "mlp_matmul_precision": "default",
         "kmeans_refresh_warm": True,
+        "optimizer_state_dtype": "bfloat16",
         "lr": "auto",
         "batch_size": 4096,
     },

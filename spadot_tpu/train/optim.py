@@ -10,10 +10,12 @@ Numerics: the MATH stays float32 — each step decodes m/v to f32, applies
 the standard Adam recurrences and bias correction, and re-encodes the new
 moments to bf16 storage. Only the storage rounds: bf16's 8-bit mantissa
 gives ~0.4% relative error on v, ~0.2% on the 1/sqrt(v) step scale, and
-m's round error is zero-mean across steps. This is a quality-gated A/B
-flag (config.yaml: optimizer_state_dtype), NOT the default — the repo
-protocol (5-seed ARI gate + finiteness through the collapsed-dim rescue
-scenario) decides any flip.
+m's round error is zero-mean across steps. THE SHIPPED DEFAULT since
+2026-08-20 (config.yaml: optimizer_state_dtype): bench −3.4% CH / −3.5%
+mouse, finite through the rescue-firing collapsed-dim scenario, 5-seed
+ARI gate green (paired delta +0.0004±0.0064,
+docs/tpu_logs/quality_optbf16_5seed.log). The parity preset pins
+float32 (reference-equivalent optimizer states).
 
 Reference anchor: the reference's whole optimizer is torch AdamW at
 SpaDOT/utils/_train_utils.py:158 (f32 states, no knob) — this is TPU-side
