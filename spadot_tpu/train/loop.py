@@ -480,6 +480,7 @@ class Trainer:
         if val in ("0", "off", "false", "none", "1"):
             return 1
         nb_max = p_max = g_max = 0
+        banded = False
         for tp in self.timepoints:
             d = data["tp_data"][tp]
             if "ext_idx" not in d:
@@ -487,9 +488,24 @@ class Trainer:
             nb_max = max(nb_max, int(d["ext_idx"].shape[0]))
             p_max = max(p_max, int(d["ext_idx"].shape[1]))
             g_max = max(g_max, int(d["Y"].shape[1]))
+            if "ext_adj" in d and np.asarray(d["ext_adj"]).ndim == 4:
+                banded = True
         if val != "auto":
             return max(1, min(int(self.gat_ext_vmap_cfg), nb_max))
         if self.jax.default_backend() != "tpu":
+            return 1
+        if banded:
+            # one-window attribution at atlas scale (2026-08-20,
+            # bench_atlas_{r4,extoff,vmapoff,unrolloff}.log): vmapping the
+            # BANDED flash3b closure extraction costs ~2x the sequential
+            # scan it replaces (two 146 ms/ep vmapped loops vs the 201
+            # ms/ep scan, profile_atlas_r4.log) — atlas 1.7065 vmap-on vs
+            # 1.5979 vmap-off (unroll on, both). Dense-closure scales keep
+            # the vmap (-9.6% CH). Force with an explicit integer.
+            logger.info(
+                "gat_ext_vmap auto: OFF (banded closure tables — vmapped "
+                "flash3b extraction measured 2x the sequential scan)"
+            )
             return 1
         hf = int(self.net.gat_encoder_hidden) * int(self.net.gat_attention_heads)
         per = p_max * g_max * 4 + 3 * p_max * hf * 4

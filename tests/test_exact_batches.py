@@ -360,6 +360,23 @@ def test_ext_vmap_chunk_resolution():
         )
 
 
+def test_ext_vmap_auto_gates_off_for_banded(monkeypatch):
+    """On TPU, auto vmap must gate OFF for banded closure tables (the
+    one-window atlas attribution: vmapped flash3b extraction measured 2x
+    the sequential scan — bench_atlas_{r4,vmapoff}.log 1.7065 vs 1.5979)
+    while dense-closure runs keep it. Simulated by patching the backend
+    probe (CPU auto is off regardless)."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu", raising=True)
+    t_banded, data_b = _setup(gat_ext_banded="true", gat_ext_band_ti=64)
+    assert any(
+        np.asarray(d.get("ext_adj", np.zeros(()))).ndim == 4
+        for d in data_b["tp_data"].values()
+    )
+    assert t_banded.ext_vmap_chunk == 1
+    t_dense, _ = _setup()
+    assert t_dense.ext_vmap_chunk > 1
+
+
 def test_fused_refresh_unroll_matches_map():
     """The statically-unrolled per-tp refresh (kmeans_refresh_unroll) must
     produce the same fused-epoch outputs (losses, centers, assignments) as
