@@ -360,10 +360,66 @@ _chol_logdet_guarded_bc.defvjp(
 )
 
 
+def _guarded_factor_inv_bc2(B_all, eye_m):
+    """'blocked2': the blocked backend with the guard cond SLIMMED to
+    (Lp_padded, dinv blocks) — the X = L⁻¹ assembly runs OUTSIDE the
+    rescue cond (tri_inverse.py:blocked_cholesky_dinv /
+    assemble_inv_from_dinv), so the assembly gemms can fuse with their
+    consumers instead of materializing X through the conditional's layout
+    boundary. Semantics identical to 'blocked': same factor, same inverse,
+    same probe (padded diagonal is 1.0), same rescue; only the cond's
+    operand tree differs. Experimental A/B variant targeting the ~10
+    ms/ep of (10,321,321) layout copies at CH (profile_ch_blocked.log)."""
+    from spadot_tpu.ops.tri_inverse import (
+        assemble_inv_from_dinv, blocked_cholesky_dinv)
+
+    m = B_all.shape[-1]
+    Lp, dinv = _guarded_factor_tree(B_all, eye_m, blocked_cholesky_dinv)
+    X = assemble_inv_from_dinv(Lp, dinv, m)
+    L = Lp[:, :m, :m] if Lp.shape[-1] != m else Lp
+    return L, X
+
+
+@jax.custom_vjp
+def _chol_inv_guarded_bc2(B_all, eye_m):
+    """`_chol_inv_guarded` on the slim-cond blocked backend."""
+    (L, X), _ = _chol_inv_guarded_bc2_fwd(B_all, eye_m)
+    return L, X
+
+
+def _chol_inv_guarded_bc2_fwd(B_all, eye_m):
+    L, X = _guarded_factor_inv_bc2(B_all, eye_m)
+    return (L, X), (L, X)
+
+
+_chol_inv_guarded_bc2.defvjp(_chol_inv_guarded_bc2_fwd, _chol_inv_guarded_bwd)
+
+
+@jax.custom_vjp
+def _chol_logdet_guarded_bc2(B_all, eye_m):
+    """`_chol_logdet_guarded` on the slim-cond blocked backend."""
+    ld, _ = _chol_logdet_guarded_bc2_fwd(B_all, eye_m)
+    return ld
+
+
+def _chol_logdet_guarded_bc2_fwd(B_all, eye_m):
+    L, X = _guarded_factor_inv_bc2(B_all, eye_m)
+    ld = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
+    )
+    return ld, X
+
+
+_chol_logdet_guarded_bc2.defvjp(
+    _chol_logdet_guarded_bc2_fwd, _chol_logdet_guarded_bwd
+)
+
+
 _CHOL_OPS = {
     "xla": (_chol_inv_guarded, _chol_logdet_guarded),
     "series": (_chol_inv_guarded_ls, _chol_logdet_guarded_ls),
     "blocked": (_chol_inv_guarded_bc, _chol_logdet_guarded_bc),
+    "blocked2": (_chol_inv_guarded_bc2, _chol_logdet_guarded_bc2),
 }
 
 

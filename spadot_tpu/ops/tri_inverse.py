@@ -210,6 +210,34 @@ def blocked_cholesky_inv(B):
     return Lp, X
 
 
+def blocked_cholesky_dinv(B):
+    """`blocked_cholesky_inv` split at the guard boundary: returns the
+    PADDED factor Lp (NB, M, M) plus the stacked inverted diagonal blocks
+    (K, NB, PB, PB) WITHOUT assembling X = L⁻¹. The SVGP guard conds over
+    this smaller tree (the padded factor + ~K·PB² of blocks instead of the
+    full m² inverse) and `assemble_inv_from_dinv` builds X OUTSIDE the
+    cond, so the assembly gemms fuse freely with their consumers instead
+    of materializing X through the conditional's layout boundary (the
+    (10,321,321) copies measured ~10 ms/ep at CH under the 'blocked'
+    backend, profile_ch_blocked.log). Padded diagonal entries are 1.0, so
+    the guard's finite-diagonal probe on Lp is equivalent to probing L."""
+    Lp, dinv, m, M = _blocked_cholesky_impl(B, want_dinv=True)
+    return Lp, jnp.stack(dinv, axis=0)
+
+
+def assemble_inv_from_dinv(Lp, dinv, m):
+    """X = L⁻¹ (NB, m, m) from `blocked_cholesky_dinv` outputs."""
+    M = Lp.shape[-1]
+    K = M // PB
+    if K == 1:
+        X = dinv[0]
+    else:
+        X = _assemble(Lp, [dinv[k] for k in range(K)])
+    if M != m:
+        return X[:, :m, :m]
+    return X
+
+
 def tri_inverse_batched(L):
     """X = L⁻¹ for a batch (NB, m, m) of lower-triangular factors, all MXU
     matmuls. m is padded to a multiple of 128 with an identity diagonal

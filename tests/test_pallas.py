@@ -604,6 +604,43 @@ def test_blocked_cholesky_inv_matches_unfused(rng):
             atol=2e-4)
 
 
+def test_blocked2_slim_cond_matches_blocked(rng):
+    """'blocked2' (guard cond over (Lp, dinv) with the inverse assembled
+    OUTSIDE the cond) must match 'blocked' bit-for-bit on the healthy path
+    and rescue identically on an indefinite slot."""
+    from spadot_tpu.ops.svgp import (
+        _chol_inv_guarded_bc, _chol_inv_guarded_bc2)
+
+    for m in (200, 321, 128):
+        A = rng.normal(size=(3, m, 80)).astype(np.float32)
+        B = jnp.asarray(
+            np.eye(m, dtype=np.float32)[None] + A @ A.transpose(0, 2, 1)
+        )
+        eye = jnp.eye(m, dtype=jnp.float32)
+        L1, X1 = _chol_inv_guarded_bc(B, eye)
+        L2, X2 = _chol_inv_guarded_bc2(B, eye)
+        np.testing.assert_array_equal(np.asarray(L1), np.asarray(L2))
+        np.testing.assert_array_equal(np.asarray(X1), np.asarray(X2))
+    # rescue path: one indefinite slot
+    m = 200
+    Q, _ = np.linalg.qr(rng.normal(size=(m, m)))
+    eigs = np.geomspace(1e6, 1.0, m)
+    eigs[-1] = -1e2
+    B_bad = ((Q * eigs) @ Q.T).astype(np.float32)
+    B_bad = (B_bad + B_bad.T) / 2
+    B_all = jnp.asarray(
+        np.stack([np.eye(m, dtype=np.float32) * 2.0, B_bad])
+    )
+    eye = jnp.eye(m, dtype=jnp.float32)
+    L1, X1 = _chol_inv_guarded_bc(B_all, eye)
+    L2, X2 = _chol_inv_guarded_bc2(B_all, eye)
+    assert np.isfinite(np.asarray(L2)).all()
+    assert np.isfinite(np.asarray(X2)).all()
+    np.testing.assert_array_equal(np.asarray(L1), np.asarray(L2))
+    np.testing.assert_allclose(
+        np.asarray(X1), np.asarray(X2), rtol=1e-5, atol=1e-6)
+
+
 def test_resolve_chol_backend_rejects_typo():
     """A typo'd svgp_chol_backend (e.g. in a BENCH_CFG A/B arm) must
     raise, not silently fall back to 'xla' and corrupt a flip decision
