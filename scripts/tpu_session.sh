@@ -43,13 +43,17 @@ run_step() {
 }
 
 
-# --- 2026-08-20g (round 4, queue 4): shipped-defaults finals, one window.
-# All round-4 flips are in: svgp_chol_backend auto->blocked,
-# optimizer_state_dtype bfloat16, gat_ext_vmap auto (gated OFF for banded
-# tables per the atlas attribution: vmap-on 1.7065 / vmap-off 1.5979 /
-# unroll-off 1.7039 / both-off 1.6163), kmeans_refresh_unroll auto. These
-# three runs are the round-4 record the driver's BENCH_r04 should echo at
-# CH scale.
-run_step bench_ch_final timeout 3600 python bench.py
-run_step bench_mouse_final timeout 3600 env BENCH_MODE=mouse python bench.py
-run_step bench_atlas_final timeout 7200 env BENCH_MODE=atlas python bench.py
+# --- 2026-08-20h (round 4, queue 5): slim-cond blocked2 A/B.
+# 'blocked2' assembles X = L^-1 OUTSIDE the guard cond (cond carries
+# (Lp, dinv) instead of (L, X)) — bit-identical outputs (tests), targets
+# the ~10 ms/ep of (10,321,321) layout copies at CH
+# (profile_ch_blocked.log). Decision rule: fold into 'blocked' (make it
+# THE blocked form) iff CH and mouse beat the finals (0.1072 / 0.1887)
+# outside +/-1% in this window; else record the dead end.
+run_step bench_ch_blocked2slim timeout 3600 \
+  env BENCH_CFG='{"svgp_chol_backend": "blocked2"}' python bench.py
+run_step bench_mouse_blocked2slim timeout 3600 \
+  env BENCH_MODE=mouse BENCH_CFG='{"svgp_chol_backend": "blocked2"}' python bench.py
+# window-drift anchors (cache-hit re-runs of the shipped defaults)
+run_step bench_ch_final2 timeout 3600 python bench.py
+run_step bench_mouse_final2 timeout 3600 env BENCH_MODE=mouse python bench.py

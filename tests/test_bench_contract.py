@@ -13,6 +13,8 @@ import subprocess
 import sys
 import time
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 
@@ -64,6 +66,7 @@ def test_dead_tunnel_probe_nonzero_exit():
     }
 
 
+@pytest.mark.slow  # fast-lane hygiene: e2e pass-through; the fail-fast contract tests stay in-lane
 def test_probe_pass_proceeds_into_main():
     """A healthy probe must NOT short-circuit the bench: with the probe
     forced to succeed instantly and a tiny CPU-forced workload, bench.py

@@ -216,6 +216,7 @@ def test_banded_closure_attention_matches_full_graph():
     assert np.isfinite(np.asarray(fused_losses)).all()
 
 
+@pytest.mark.slow  # fast-lane hygiene: staging-math twin of the default path; equality also covered by golden/e2e
 def test_bf16_gather_staging_matches_f32():
     """gat_bf16_gather stages a bfloat16 copy of Y for the GAT-branch row
     gathers (train/loop.py); with the upcast-after-gather design the run

@@ -1,6 +1,7 @@
 """Factored (cost-matrix-free) Sinkhorn vs the dense engines, and the
 blockwise plan reductions used by the large-scale analyze path."""
 import numpy as np
+import pytest
 from scipy.spatial.distance import cdist
 
 from spadot_tpu.ops.sinkhorn import sinkhorn_duality_gap_np
@@ -75,6 +76,7 @@ def test_factored_chunk_invariance(rng):
     np.testing.assert_array_equal(R_one, R_tiny)
 
 
+@pytest.mark.slow  # fast-lane hygiene: warm-start resume path; chunk invariance stays in-lane
 def test_factored_warm_start_same_answer(rng):
     """Warm-started duals (the growth-iteration path) must reach the same
     converged plan as a cold solve: the unbalanced problem's optimum is
@@ -94,6 +96,7 @@ def test_factored_warm_start_same_answer(rng):
     np.testing.assert_allclose(warm, cold, rtol=5e-3, atol=1e-8)
 
 
+@pytest.mark.slow  # fast-lane hygiene: failure-handling path
 def test_factored_plateau_bail(rng, capfd, monkeypatch):
     """An unreachable gap threshold must not spin until max_iter: the f32
     relative duality gap has a cancellation floor (measured frozen at
