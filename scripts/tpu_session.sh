@@ -43,17 +43,11 @@ run_step() {
 }
 
 
-# --- 2026-08-20h (round 4, queue 5): slim-cond blocked2 A/B.
-# 'blocked2' assembles X = L^-1 OUTSIDE the guard cond (cond carries
-# (Lp, dinv) instead of (L, X)) — bit-identical outputs (tests), targets
-# the ~10 ms/ep of (10,321,321) layout copies at CH
-# (profile_ch_blocked.log). Decision rule: fold into 'blocked' (make it
-# THE blocked form) iff CH and mouse beat the finals (0.1072 / 0.1887)
-# outside +/-1% in this window; else record the dead end.
-run_step bench_ch_blocked2slim timeout 3600 \
-  env BENCH_CFG='{"svgp_chol_backend": "blocked2"}' python bench.py
-run_step bench_mouse_blocked2slim timeout 3600 \
-  env BENCH_MODE=mouse BENCH_CFG='{"svgp_chol_backend": "blocked2"}' python bench.py
-# window-drift anchors (cache-hit re-runs of the shipped defaults)
-run_step bench_ch_final2 timeout 3600 python bench.py
-run_step bench_mouse_final2 timeout 3600 env BENCH_MODE=mouse python bench.py
+# --- 2026-08-20i (round 4, queue 6): post-gate profiles for round-5
+# planning — the shipped config now has blocked chol, bf16 Adam state,
+# banded-gated extraction; where does the epoch go at each scale?
+run_step profile_atlas_final timeout 4800 \
+  env BENCH_MODE=atlas python scripts/profile_epoch.py 2
+run_step profile_mouse_final timeout 3000 \
+  env BENCH_MODE=mouse python scripts/profile_epoch.py 3
+run_step profile_ch_final timeout 3600 python scripts/profile_epoch.py 3
