@@ -43,11 +43,9 @@ run_step() {
 }
 
 
-# --- 2026-08-20i (round 4, queue 6): post-gate profiles for round-5
-# planning — the shipped config now has blocked chol, bf16 Adam state,
-# banded-gated extraction; where does the epoch go at each scale?
-run_step profile_atlas_final timeout 4800 \
-  env BENCH_MODE=atlas python scripts/profile_epoch.py 2
-run_step profile_mouse_final timeout 3000 \
-  env BENCH_MODE=mouse python scripts/profile_epoch.py 3
-run_step profile_ch_final timeout 3600 python scripts/profile_epoch.py 3
+# --- Round-5 queue: EMPTY at round-4 end (2026-08-20). All round-4
+# queues (20d-20i) completed and were harvested into docs/tpu_logs/ +
+# CLAUDE.md. Write NEW probe-gated run_step entries here (fresh step
+# names — logs with STEP_DONE are skipped on re-fire) and keep
+# scripts/tpu_watch.sh running detached during tunnel outages.
+# Round-5 lever list: CLAUDE.md "Open ideas for future rounds".
