@@ -361,6 +361,39 @@ def test_ext_vmap_chunk_resolution():
         )
 
 
+@pytest.mark.slow  # pregather-family flag interaction (pregather is default-off)
+def test_ext_vmap_with_pregathered_rows_matches_scan():
+    """gat_ext_pregather=true streams host-pre-gathered (nb, P, G) closure
+    rows as the LAST xs element of the fused refresh's extraction; the
+    vmapped extraction must thread them through jax.vmap identically to
+    the sequential scan (the ye slot is part of the same xs tuple the
+    chunk reshape pads and splits). Exercised at the level Y_ext actually
+    exists: the fused epoch + refresh."""
+    outs = {}
+    for chunk in (0, 2):
+        t, _ = _setup(gat_ext_pregather=True, gat_ext_vmap=chunk)
+        assert t._pregather_y, "pregather staging did not engage"
+        assert "Y_ext" in t._stacked
+        assert t.ext_vmap_chunk == max(1, chunk)
+        v, o = t.init_state(jax.random.PRNGKey(0))
+        km = {"centers": {}, "assign": {}, "_stacked": t._km_stacked,
+              "_have": False}
+        rng = jax.random.PRNGKey(1)
+        for epoch in range(2):
+            v, o, rng, losses = t.run_epoch_fused(
+                v, o, rng, jax.random.PRNGKey(7 + epoch), [0, 1], km,
+                epoch, 0.5,
+            )
+            km["_have"] = True
+        outs[chunk] = (np.asarray(losses), np.asarray(km["_stacked"][0]))
+    # trajectory-level: vmap-vs-scan reassociates fusions, so two epochs of
+    # training + Lloyd accumulate ~1e-4-level float drift (the one-shot
+    # extraction equality is asserted tightly in
+    # test_full_latent_ext_vmap_chunks_match_scan)
+    for a, b in zip(outs[0], outs[2]):
+        np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
+
+
 def test_ext_vmap_auto_gates_off_for_banded(monkeypatch):
     """On TPU, auto vmap must gate OFF for banded closure tables (the
     one-window atlas attribution: vmapped flash3b extraction measured 2x
