@@ -1,8 +1,11 @@
 """SVGP triangular-inverse backend quality gate (round-3 perf work).
 
-`svgp_chol_backend: auto` resolves to the nilpotent log-series inverse
-(ops/tri_inverse.py) on TPU — CH bench 0.1245 -> 0.1142 s/epoch
-(bench_ch_series.log vs bench_ch_geminv_xla.log). The series is an EXACT
+`svgp_chol_backend: auto` resolves to the BLOCKED backend on TPU since
+round 4 (gemm-panel Cholesky + fused log-series inverse,
+ops/tri_inverse.py:blocked_cholesky_inv — its own 5-seed gate is
+quality_blocked_5seed.log via examples/quality_multiseed.py
+SPADOT_AB_CFG; this script remains the xla-vs-series standing evidence
+from round 3: CH bench 0.1245 -> 0.1142). The series is an EXACT
 finite identity whose only numerical difference from the trsm it replaces
 is summation order (residual ~1e-8 at training shapes, and still trsm-grade
 at the collapsed-dim ||B|| ~ 1e10 worst case — tests/test_pallas.py), so
@@ -11,6 +14,8 @@ train the SAME data + seed under both backends and compare domain-recovery
 ARI, loss trajectories, and finiteness over a full run.
 
 Usage: python examples/cholbackend_quality.py [n_spots_per_tp] [epochs] [genes]
+Env:   SPADOT_CHOL_ARMS="xla,blocked" — override the two compared backends
+       (any pair of xla | series | blocked | blocked2).
 Results recorded in docs/performance.md.
 """
 import os
@@ -49,23 +54,24 @@ def main():
         input_dim=genes, timepoints=[0, 1, 2, 3], maxiter=epochs,
         n_clusters=7,
     )
-    loss_x, ari_x, wall_x, _ = run({"svgp_chol_backend": "xla"}, adata, base)
+    arm_a, arm_b = os.environ.get("SPADOT_CHOL_ARMS", "xla,series").split(",")
+    loss_x, ari_x, wall_x, _ = run({"svgp_chol_backend": arm_a}, adata, base)
     loss_s, ari_s, wall_s, _ = run(
-        {"svgp_chol_backend": "series"}, adata, base
+        {"svgp_chol_backend": arm_b}, adata, base
     )
 
     print(f"\n=== svgp_chol_backend quality at n = {n} spots,"
           f" {epochs} epochs ===")
     print("backend            mean ARI   wall")
-    print(f"xla (trsm):        {ari_x:.4f}   ({wall_x:.0f}s)")
-    print(f"series (log-MXU):  {ari_s:.4f}   ({wall_s:.0f}s)  "
+    print(f"{arm_a:<18s}{ari_x:.4f}   ({wall_x:.0f}s)")
+    print(f"{arm_b:<18s}{ari_s:.4f}   ({wall_s:.0f}s)  "
           f"(ARI delta {ari_s - ari_x:+.4f})")
     cols = [c for c in loss_x.columns if c != "epoch"]
-    print("mean per-epoch |rel delta| per loss component (series vs xla):")
+    print(f"mean per-epoch |rel delta| per loss component ({arm_b} vs {arm_a}):")
     for c in cols:
         x = loss_x[c].to_numpy()
         s = loss_s[c].to_numpy()
-        assert np.isfinite(s).all(), f"series arm non-finite in {c}"
+        assert np.isfinite(s).all(), f"{arm_b} arm non-finite in {c}"
         denom = np.maximum(np.abs(x), 1e-6)
         print(f"  {c:10s} {np.mean(np.abs(s - x) / denom):.4f}")
 
