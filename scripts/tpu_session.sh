@@ -43,9 +43,11 @@ run_step() {
 }
 
 
-# --- Round-5 queue: EMPTY at round-4 end (2026-08-20). All round-4
-# queues (20d-20i) completed and were harvested into docs/tpu_logs/ +
-# CLAUDE.md. Write NEW probe-gated run_step entries here (fresh step
-# names — logs with STEP_DONE are skipped on re-fire) and keep
-# scripts/tpu_watch.sh running detached during tunnel outages.
-# Round-5 lever list: CLAUDE.md "Open ideas for future rounds".
+# --- 2026-08-20j (round-4 close): composite quality anchor at the FINAL
+# HEAD. The per-flip gates compared each lever against the then-shipped
+# defaults; this runs the standing fast-vs-parity study (no AB_CFG) on
+# the complete round-4 configuration (blocked chol + bf16 Adam state +
+# extraction levers + warm refresh vs all-highest/cold/f32-state parity)
+# — the round-4 analogue of quality_multiseed_svgpgemm.log.
+run_step quality_r4_composite_5seed timeout 14400 \
+  python examples/quality_multiseed.py
