@@ -122,6 +122,16 @@ class _Watchdog:
 
 def main():
     watchdog = _Watchdog()
+    try:
+        _main_body(watchdog)
+    finally:
+        # on an exception path the __main__ handler retries main() once —
+        # a stale un-canceled watchdog from attempt 1 (last pet() long
+        # ago) would stall-dump and abort the healthy retry
+        watchdog.cancel()
+
+
+def _main_body(watchdog):
 
     import pandas as pd
 
