@@ -341,6 +341,36 @@ def test_full_latent_ext_vmap_chunks_match_scan():
             )
 
 
+def test_full_latent_ext_vmap_banded_matches_scan():
+    """An EXPLICIT gat_ext_vmap integer can force the vmap over BANDED
+    closure tables (auto gates it off there for speed, not correctness —
+    bench_atlas_vmapoff.log); the values must still equal the sequential
+    scan."""
+    from spadot_tpu.models.model import full_latent_ext
+
+    t, data = _setup(gat_ext_banded="true", gat_ext_band_ti=64)
+    assert data["tp_data"][0]["ext_adj"].ndim == 4
+    v, _ = t.init_state(jax.random.PRNGKey(0))
+    for tp in (0, 1):
+        kw = dict(
+            kernel_scale=t.kernel_scale, kernel_type=t.kernel_type,
+            gat_window_dense_max=t.gat_window_dense_max,
+        )
+        base = full_latent_ext(
+            t.net, v, t.tp_dev[tp], t.svgp_states[tp], t.tp_ext[tp],
+            vmap_chunk=1, **kw
+        )
+        lat_c = full_latent_ext(
+            t.net, v, t.tp_dev[tp], t.svgp_states[tp], t.tp_ext[tp],
+            vmap_chunk=2, **kw
+        )
+        n = t.tp_n[tp]
+        np.testing.assert_allclose(
+            np.asarray(lat_c)[:n], np.asarray(base)[:n],
+            rtol=2e-5, atol=1e-6,
+        )
+
+
 def test_ext_vmap_chunk_resolution():
     """gat_ext_vmap knob plumbing: explicit int forces the chunk (clamped
     to nb) on any backend; off/0 and CPU-auto give the sequential scan;
