@@ -13,6 +13,10 @@ final latents plus loss-trajectory finiteness.
 Usage: python examples/atlas_quality.py [n_per_tp] [epochs] [genes] [n_tp]
 Defaults mirror the atlas bench: 102400 x 2 tps x 2954 genes, 100 epochs.
 QUALITY_CFG (JSON dict) overrides config keys.
+SPADOT_SEEDS="1993,7,42" loops the whole train/eval over several training
+seeds (data fixed) and reports mean ± std — the round-4 verdict (Next #4)
+asked for >=3-seed evidence at this scale, where the only prior number was
+the single-seed 0.8525 (atlasq_lrscaled.log).
 
 Divergence ROOT CAUSE (2026-08-19 arms, docs/tpu_logs/atlasq_*.log): the
 reference lr 3e-4 is unstable at this DATA SCALE, at every batch size —
@@ -79,35 +83,55 @@ def main():
         overrides = json.loads(os.environ["QUALITY_CFG"])
         cfg.update(overrides)
         print(f"# QUALITY_CFG overrides: {overrides}")
-    set_seed(int(cfg["seed"]))
-    data = prepare_data(adata, cfg)
-    t0 = time.time()
-    trainer, variables, _, _, loss_df = train_spadot(data, cfg)
-    wall = time.time() - t0
-    lat = get_latent(trainer, variables, data, adata)
+    seeds = [int(s) for s in os.environ.get(
+        "SPADOT_SEEDS", str(cfg["seed"])).split(",")]
 
-    aris = []
-    for tp in trainer.timepoints:
-        rows = lat.obs["timepoint"].to_numpy() == tp
-        X = np.asarray(lat.X[rows])
-        _, labels, _ = kmeans_fit(
-            jax.random.PRNGKey(7), X, int(cfg["n_clusters"]), n_init=10, n_iter=100
-        )
-        aris.append(
-            adjusted_rand_score(
-                np.asarray(labels), lat.obs["true_domain"].to_numpy()[rows]
+    def one_seed(seed):
+        scfg = dict(cfg)
+        scfg["seed"] = seed
+        set_seed(seed)
+        data = prepare_data(adata, scfg)
+        t0 = time.time()
+        trainer, variables, _, _, loss_df = train_spadot(data, scfg)
+        wall = time.time() - t0
+        lat = get_latent(trainer, variables, data, adata)
+
+        aris = []
+        for tp in trainer.timepoints:
+            rows = lat.obs["timepoint"].to_numpy() == tp
+            X = np.asarray(lat.X[rows])
+            _, labels, _ = kmeans_fit(
+                jax.random.PRNGKey(7), X, int(scfg["n_clusters"]),
+                n_init=10, n_iter=100,
             )
-        )
+            aris.append(
+                adjusted_rand_score(
+                    np.asarray(labels), lat.obs["true_domain"].to_numpy()[rows]
+                )
+            )
+        finite = bool(np.isfinite(loss_df.to_numpy(dtype=np.float64)).all())
+        print(f"\n--- seed {seed}: {n_tp} tps x {n} spots, {genes} genes, "
+              f"{epochs} epochs ---")
+        print(f"train wall: {wall:.0f}s   loss trajectory finite: {finite}")
+        for tp, a in zip(trainer.timepoints, aris):
+            print(f"  tp {tp}: ARI {a:.4f}")
+        print(f"mean domain ARI: {np.mean(aris):.4f}", flush=True)
+        print("final-epoch losses:")
+        print(loss_df.tail(1).to_string(index=False), flush=True)
+        return float(np.mean(aris)), finite
 
-    finite = bool(np.isfinite(loss_df.to_numpy(dtype=np.float64)).all())
-    print(f"\n=== atlas-scale quality: {n_tp} tps x {n} spots, {genes} genes, "
-          f"{epochs} epochs ===")
-    print(f"train wall: {wall:.0f}s   loss trajectory finite: {finite}")
-    for tp, a in zip(trainer.timepoints, aris):
-        print(f"  tp {tp}: ARI {a:.4f}")
-    print(f"mean domain ARI: {np.mean(aris):.4f}")
-    print("final-epoch losses:")
-    print(loss_df.tail(1).to_string(index=False))
+    means, finites = [], []
+    for seed in seeds:
+        m, f = one_seed(seed)
+        means.append(m)
+        finites.append(f)
+
+    print(f"\n=== atlas-scale quality across {len(seeds)} seed(s) "
+          f"({n_tp} tps x {n} spots, {genes} genes, {epochs} epochs) ===")
+    print(f"per-seed mean domain ARI: {np.round(means, 4).tolist()}   "
+          f"all finite: {all(finites)}")
+    if len(means) > 1:
+        print(f"mean ARI: {np.mean(means):.4f} ± {np.std(means, ddof=1):.4f}")
 
 
 if __name__ == "__main__":

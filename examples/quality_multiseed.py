@@ -12,7 +12,10 @@ paired per-seed ARI deltas to the across-seed spread.
 Shapes are identical across seeds and arms, so after the first run per arm
 every train is a persistent-compile-cache hit (~15 s each on the v5e).
 
-Usage: python examples/quality_multiseed.py [n_per_tp] [epochs] [genes]
+Usage: python examples/quality_multiseed.py [n_per_tp] [epochs] [genes] [n_tp]
+       (n_tp defaults to the ChickenHeart 4; the mouse-scale gate — round-4
+       verdict Next #4 — runs `3400 100 9281 3`, the MouseOrganogenesis run
+       shape per SURVEY §6)
 Env:   SPADOT_SEEDS="1993,7,42,2024,5"  (training seeds; data seed fixed)
        SPADOT_AB_CFG='{"kmeans_refresh_warm": true}' — switch the study to
        arm A = shipped defaults vs arm B = defaults + these overrides
@@ -33,6 +36,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2500
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     genes = int(sys.argv[3]) if len(sys.argv) > 3 else 2954
+    n_tp = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     seeds = [int(s) for s in os.environ.get(
         "SPADOT_SEEDS", "1993,7,42,2024,5").split(",")]
 
@@ -50,13 +54,13 @@ def main():
 
     from spadot_tpu.config import apply_precision_preset, default_config
 
-    # ChickenHeart run shape: 4 timepoints, ~2.5k spots each, 2954 SVGs
+    # default: ChickenHeart run shape — 4 timepoints, ~2.5k spots each
     adata = make_synthetic_adata(
-        n_per_tp=n, n_genes=genes, n_tp=4, n_domains=7, seed=3
+        n_per_tp=n, n_genes=genes, n_tp=n_tp, n_domains=7, seed=3
     )
     base = default_config()
     base.update(
-        input_dim=genes, timepoints=[0, 1, 2, 3], maxiter=epochs,
+        input_dim=genes, timepoints=list(range(n_tp)), maxiter=epochs,
         n_clusters=7,
         # reference default (1200) at full scale; keep tiny smoke shapes valid
         inducing_point_nums=min(1200, 2 * n),
@@ -96,7 +100,7 @@ def main():
     b = np.asarray(results[b_name])
     delta = a - b
     print(f"\n=== {a_name} vs {b_name} across {len(seeds)} seeds "
-          f"(n={n}/tp, {epochs} epochs) ===")
+          f"(n={n}/tp, {n_tp} tps, {genes} genes, {epochs} epochs) ===")
     print(f"{a_name:6s}: {a.mean():.4f} ± {a.std(ddof=1):.4f}"
           f"   per-seed {np.round(a, 4).tolist()}")
     print(f"{b_name:6s}: {b.mean():.4f} ± {b.std(ddof=1):.4f}"

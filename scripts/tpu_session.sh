@@ -43,11 +43,20 @@ run_step() {
 }
 
 
-# --- 2026-08-20j (round-4 close): composite quality anchor at the FINAL
-# HEAD. The per-flip gates compared each lever against the then-shipped
-# defaults; this runs the standing fast-vs-parity study (no AB_CFG) on
-# the complete round-4 configuration (blocked chol + bf16 Adam state +
-# extraction levers + warm refresh vs all-highest/cold/f32-state parity)
-# — the round-4 analogue of quality_multiseed_svgpgemm.log.
-run_step quality_r4_composite_5seed timeout 14400 \
-  python examples/quality_multiseed.py
+# --- 2026-08-20k (round 5 open): driver-verifiable evidence first.
+# (1) Verdict Next #3: one window, all three scale headlines as parseable
+# JSON lines from the new BENCH_SCALES mode (the driver's own entry point).
+run_step bench_scales_r5 timeout 7200 \
+  env BENCH_SCALES=ch,mouse,atlas python bench.py
+
+# (2) Verdict Next #4a: the standing 5-seed fast-vs-parity paired gate at
+# the MOUSE run shape (3 tps x 3400 spots, 9,281 genes) — every prior gate
+# was CH-scale.
+run_step quality_mouse_5seed timeout 14400 \
+  python examples/quality_multiseed.py 3400 100 9281 3
+
+# (3) Verdict Next #4b: >=3 seeds at atlas scale under the shipped
+# large-scale config (b4096, scaled lr, 100 epochs); prior evidence was
+# the single-seed 0.8525 (atlasq_lrscaled.log).
+run_step quality_atlas_3seed timeout 14400 \
+  env SPADOT_SEEDS=1993,7,42 python examples/atlas_quality.py

@@ -66,6 +66,66 @@ def test_dead_tunnel_probe_nonzero_exit():
     }
 
 
+def test_scale_spec_parsing():
+    """BENCH_SCALES parsing: aliases, whitespace, and typo-raising (the
+    driver must never silently bench the wrong scale)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench_mod", BENCH)
+    bench_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_mod)
+    assert bench_mod._scale_modes("ch,mouse,atlas") == [
+        "chickenheart", "mouse", "atlas"]
+    assert bench_mod._scale_modes(" CH , Atlas ") == ["chickenheart", "atlas"]
+    with pytest.raises(ValueError, match="unknown scale"):
+        bench_mod._scale_modes("ch,bogus")
+    with pytest.raises(ValueError, match="no scales"):
+        bench_mod._scale_modes(" , ")
+
+
+def test_scales_dead_tunnel_single_error_line():
+    """Multi-scale mode probes ONCE up front: a dead tunnel yields one
+    error JSON + exit 3, not one per scale."""
+    proc, wall = _run_bench({
+        "BENCH_SCALES": "ch,mouse,atlas",
+        "SPADOT_BENCH_PROBE_CMD": "exit 7",
+    })
+    assert proc.returncode == 3, proc.stderr[-2000:]
+    assert wall < 30
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert len(lines) == 1
+    assert json.loads(lines[0])["error"] == "tpu_unreachable"
+
+
+def test_scales_unknown_scale_exits_2():
+    proc, wall = _run_bench({
+        "BENCH_SCALES": "ch,bogus",
+        "SPADOT_BENCH_PROBE_CMD": "true",
+    })
+    assert proc.returncode == 2
+    assert "unknown scale" in proc.stderr
+
+
+@pytest.mark.slow  # e2e: two tiny CPU-forced scale runs back to back
+def test_scales_emits_one_record_per_scale():
+    """BENCH_SCALES=ch,mouse with tiny CPU shapes -> two parseable JSON
+    lines with the per-scale metric names, exit 0."""
+    proc, _ = _run_bench({
+        "BENCH_SCALES": "ch,mouse",
+        "SPADOT_BENCH_PROBE_CMD": "true",
+        "BENCH_SPOTS": "64", "BENCH_GENES": "48", "BENCH_EPOCHS": "1",
+        "BENCH_TPS": "2", "BENCH_INDUCING": "16",
+        "SPADOT_BENCH_CPU": "1",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+    }, timeout=1200)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    recs = [json.loads(ln) for ln in proc.stdout.splitlines()
+            if ln.startswith("{")]
+    assert [r["metric"] for r in recs] == [
+        "chickenheart_scale_epoch_time", "mouse_scale_epoch_time"]
+    assert all("error" not in r and r["value"] > 0 for r in recs)
+
+
 @pytest.mark.slow  # fast-lane hygiene: e2e pass-through; the fail-fast contract tests stay in-lane
 def test_probe_pass_proceeds_into_main():
     """A healthy probe must NOT short-circuit the bench: with the probe
