@@ -60,3 +60,14 @@ run_step quality_mouse_5seed timeout 14400 \
 # the single-seed 0.8525 (atlasq_lrscaled.log).
 run_step quality_atlas_3seed timeout 14400 \
   env SPADOT_SEEDS=1993,7,42 python examples/atlas_quality.py
+
+# --- appended mid-session 2026-08-20k (round 5): flash3bb A/B at atlas
+# (verdict Next #1 — the nb axis built into the flash3b kernel grid).
+# Control arm adjacent in the same window; the auto gate logs whether the
+# batched kernel probe passed (a failed probe makes both arms identical).
+run_step bench_atlas_flash3bb timeout 7200 \
+  env BENCH_MODE=atlas python bench.py
+run_step bench_atlas_kbatch0 timeout 7200 \
+  env BENCH_MODE=atlas BENCH_CFG='{"gat_ext_kernel_batch": 0}' python bench.py
+run_step profile_atlas_flash3bb timeout 7200 \
+  env BENCH_MODE=atlas python scripts/profile_epoch.py 2

@@ -13,6 +13,7 @@ BatchNorm supports a row mask so padded batch rows never pollute statistics.
 """
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -22,9 +23,11 @@ from spadot_tpu.ops.gat import (
 from spadot_tpu.ops.gat_flash import (
     FLASH2_MAX_N, FLASH3_MAX_N, TILE3_I, banded_flash_eligible,
     flash1_gat_supported, flash2_gat_supported, flash2_tile,
-    flash3_gat_supported, flash3b_gat_supported, flash_dense_max_n,
-    gat_attention_banded_flash, gat_attention_dense_flash,
-    gat_attention_dense_flash2, gat_attention_dense_flash3,
+    flash3_gat_supported, flash3b_batched_gat_supported,
+    flash3b_gat_supported, flash_dense_max_n,
+    gat_attention_banded_flash, gat_attention_banded_flash_batched,
+    gat_attention_dense_flash, gat_attention_dense_flash2,
+    gat_attention_dense_flash3,
 )
 
 _XAVIER = nn.initializers.xavier_uniform()
@@ -102,6 +105,27 @@ class GATLayer(nn.Module):
         att_dst = self.param("att_dst", _XAVIER, (H, F), self.param_dtype)
         bias_shape = (H * F,) if self.concat else (F,)
         bias = self.param("bias", nn.initializers.zeros, bias_shape, self.param_dtype)
+        if adj is not None and adj.ndim == 4:
+            # nb-batched banded closure adjacencies (nb, ni, TI, Wb) with
+            # h (nb, P, F_in) — the closure-batched extraction path
+            # (models/model.py:full_latent_ext): ONE fused kernel launch
+            # across the closure batch (ops/gat_flash.py flash3bb). The
+            # fallback vmaps the XLA banded path (CPU tests, failed probe).
+            if (
+                self.use_pallas and F % 128 == 0
+                and banded_flash_eligible(adj.shape[1:])
+                and flash3b_batched_gat_supported(
+                    TI=adj.shape[2], Wb=adj.shape[3], F=F, H=H
+                )
+            ):
+                return gat_attention_banded_flash_batched(
+                    h, adj, W, att_src, att_dst, bias, concat=self.concat
+                )
+            return jax.vmap(
+                lambda hb, ab: gat_attention_banded(
+                    hb, ab, W, att_src, att_dst, bias, concat=self.concat
+                )
+            )(h, adj)
         if adj is not None and adj.ndim == 3:
             # banded closure adjacency (ni, TI, Wb) — RCM-reordered strips,
             # exact at ~P/Wb times less work than any dense-square path.
@@ -200,7 +224,9 @@ class GATEncoder(nn.Module):
         h = GATLayer(self.hidden_dim, self.num_heads, concat=False, **kw)(h, nbr, nbr_mask, rev, adj)
         z = nn.Dense(self.z_dim * 2, kernel_init=_XAVIER,
                      param_dtype=self.param_dtype, dtype=self.param_dtype)(h)
-        mu, logvar = jnp.split(z, 2, axis=1)
+        # last-axis split: identical for the 2-d (n, 2z) case and correct
+        # for the nb-batched (nb, P, 2z) extraction input
+        mu, logvar = jnp.split(z, 2, axis=-1)
         return mu, jnp.exp(jnp.clip(logvar, -15.0, 15.0))
 
 

@@ -200,6 +200,29 @@ def ext_xs(tables, index=None):
     return tuple(index(tables[k]) for k in keys)
 
 
+def _gat_ext_forward_batched(net, vars_nostats, Y, ext, y_ext=None):
+    """`_gat_ext_forward` over a leading closure-batch axis — banded static
+    adjacencies only (ext_adj (c, ni, TI, Wb)): one batched fused-kernel
+    launch (ops/gat_flash.py:gat_attention_banded_flash_batched) replaces c
+    sequential closure forwards, and the Wx projections of all c closures
+    run as single large MXU GEMMs. Values are the per-closure ones
+    closure-for-closure (tests/test_exact_batches.py)."""
+    ext_idx, ext_mask, loc_nbr, loc_mask, batch_pos = ext[:len(EXT_KEYS)]
+    adj_ext = ext[len(EXT_KEYS)]
+    Y_ext = Y[ext_idx] if y_ext is None else y_ext      # (c, P, G)
+    if Y_ext.dtype == jnp.bfloat16:
+        Y_ext = Y_ext.astype(jnp.float32)
+    gat_mu_e, gat_var_e = _apply_gat(
+        net, vars_nostats, Y_ext, None, None, None, adj_ext
+    )
+    pos = batch_pos[:, :, None]
+    mu_b = jnp.take_along_axis(
+        gat_mu_e, jnp.broadcast_to(pos, pos.shape[:2] + (gat_mu_e.shape[-1],)),
+        axis=1,
+    )
+    return mu_b, None
+
+
 def _gat_ext_forward(net, vars_nostats, Y, ext, gat_window_dense_max,
                      y_ext=None):
     """GAT over one batch's receptive closure, batch-row outputs extracted.
@@ -481,7 +504,7 @@ def ot_loss(latent, batch_idx, batch_mask, assignments, centers, prev_centers, g
 def full_latent_ext(
     net, variables, tp_data, svgp_state, ext_tables, *,
     kernel_scale, kernel_type, jitter=1e-2, row_mask=None,
-    gat_window_dense_max=10000, vmap_chunk=1,
+    gat_window_dense_max=10000, vmap_chunk=1, kernel_batch=0,
 ):
     """`full_latent` with the GAT branch computed per receptive closure.
 
@@ -503,6 +526,17 @@ def full_latent_ext(
     past n that the final slice drops). The Trainer resolves the chunk
     from the `gat_ext_vmap` config knob + a memory estimate
     (train/loop.py:_resolve_ext_vmap_chunk).
+
+    kernel_batch > 1 (banded static-adjacency tables only; takes
+    precedence over vmap_chunk) runs the closures `kernel_batch` at a time
+    through the nb-BATCHED banded kernel
+    (ops/gat_flash.py:gat_attention_banded_flash_batched): the closure
+    axis lives in the kernel grid itself and the projections run as single
+    large GEMMs, instead of vmap's op-by-op batching — the round-4 vmap
+    arm REGRESSED at atlas (2 x 146 ms vs 201 ms sequential; dead end in
+    CLAUDE.md) precisely because of the op-level batching glue this
+    avoids. Resolved by the Trainer from `gat_ext_kernel_batch`
+    (train/loop.py:_resolve_ext_kernel_batch).
     """
     Y, coords = tp_data["Y"], tp_data["coords"]
     n = Y.shape[0]
@@ -547,6 +581,45 @@ def full_latent_ext(
         if ye is not None:
             xs = xs + (ye,)
         nb = xs[0].shape[0]
+        kb = int(kernel_batch)
+        ea = ext_tables.get("ext_adj")
+        if kb > 1 and ea is not None and ea.ndim == 4:
+            c = min(kb, nb)
+            nc = -(-nb // c)
+            pad = nc * c - nb
+            if pad:
+                # sentinel closures: zero indices/adjacency — their output
+                # rows land past row nb*b and are dropped by the [:n] slice
+                xs = tuple(
+                    jnp.concatenate(
+                        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+                    )
+                    for a in xs
+                )
+            xs_r = tuple(a.reshape((nc, c) + a.shape[1:]) for a in xs)
+
+            def one_kb(xs_c):
+                ext_c, y_c = (
+                    (xs_c[:-1], xs_c[-1]) if ye is not None else (xs_c, None)
+                )
+                mu_cb, _ = _gat_ext_forward_batched(
+                    net, vars_nostats, Y_gat, ext_c, y_ext=y_c
+                )
+                return mu_cb
+
+            if nc == 1:
+                mus = one_kb(tuple(a[0] for a in xs_r))     # (c, b, L)
+            else:
+                _, mus = jax.lax.scan(
+                    lambda carry, xsc: (carry, one_kb(xsc)), None, xs_r
+                )   # (nc, c, b, L)
+            gat_mu = mus.reshape(-1, mus.shape[-1])
+            if gat_mu.shape[0] < n:   # row-padded stacks (mesh mode)
+                gat_mu = jnp.pad(
+                    gat_mu, ((0, n - gat_mu.shape[0]), (0, 0))
+                )
+            parts.append(gat_mu[:n])
+            return jnp.concatenate(parts, axis=1)
         c = max(1, min(int(vmap_chunk), nb))
         if c > 1:
             nc = -(-nb // c)

@@ -873,10 +873,15 @@ def gat_attention_dense_flash3(
 
 
 def _flash3b_fwd_kernel(ed_ref, es_ref, adj_ref, wx_ref,
-                        out_ref, m_ref, l_ref, m_s, l_s):
-    """flash3's forward body over a banded adjacency block (1, TI, TJ)."""
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
+                        out_ref, m_ref, l_ref, m_s, l_s, j_axis=1):
+    """flash3's forward body over a banded adjacency block (1, TI, TJ).
+
+    j_axis: grid position of the j (window-column) sweep — 1 for the
+    per-closure grid (ni, nj), 2 for the batched grid (nb, ni, nj); the
+    batched grid's leading closure axis changes nothing else in the body
+    (every block index already distinguishes closures)."""
+    j = pl.program_id(j_axis)
+    nj = pl.num_programs(j_axis)
 
     @pl.when(j == 0)
     def _():
@@ -896,16 +901,19 @@ def _flash3b_fwd_kernel(ed_ref, es_ref, adj_ref, wx_ref,
 
 
 def _flash3b_bwd_kernel(ed_ref, es_ref, adj_ref, wx_ref, g_ref, m_ref, l_ref,
-                        d_ref, des_ref, dwx_ref, dedp_ref, *, ni):
+                        d_ref, des_ref, dwx_ref, dedp_ref, *, ni,
+                        gk_axes=(0, 1)):
     """One banded backward sweep, grid (g, k) with k (candidate strip)
     fastest: des/dwx accumulate over k per global column block g; the dlog
     row-sums stream out as per-(g, k) partials. Candidate strip
     i = g - (nw-1) + k can fall outside [0, ni) at the window edges — those
     steps read clamped (wrong) blocks, so their contribution is multiplied
-    by 0 (validity recomputed here from the program ids)."""
-    gidx = pl.program_id(0)
-    k = pl.program_id(1)
-    nw = pl.num_programs(1)
+    by 0 (validity recomputed here from the program ids). gk_axes: grid
+    positions of (g, k) — (0, 1) per-closure, (1, 2) under the batched
+    leading-closure grid."""
+    gidx = pl.program_id(gk_axes[0])
+    k = pl.program_id(gk_axes[1])
+    nw = pl.num_programs(gk_axes[1])
 
     @pl.when(k == 0)
     def _():
@@ -1056,6 +1064,254 @@ def _flash3b_bwd(res, g):
 
 
 _flash3b_core.defvjp(_flash3b_fwd, _flash3b_bwd)
+
+
+# ---------------------------------------------------------------------------
+# nb-batched flash3b ("flash3bb"): the closure-batch axis built INTO the
+# kernel grid. The closure-batched latent extraction / KMeans refresh
+# (models/model.py:full_latent_ext) runs the SAME banded attention over
+# nb = ceil(n/b) receptive closures per timepoint; the sequential lax.scan
+# form costs 2 x 100.7 ms/ep at atlas (profile_atlas_final.log) and the
+# jax-level vmap form measured WORSE (2 x 146 ms — recorded round-4 dead
+# end: vmap batches every surrounding op with layout-hostile transposes).
+# Here only the kernel grid grows a leading closure axis — grid
+# (nb, ni, nj) — and each block index picks its closure via a `None`-
+# squeezed leading BlockSpec dim, so the kernel BODIES are the per-closure
+# ones unchanged (j/g/k program-id positions parametrized). The surrounding
+# GEMMs batch into single large MXU calls by construction (wrapper below),
+# not by vmap. Replaces the reference's O(n^2) full-data extraction
+# (SpaDOT/utils/_train_utils.py:108-116, model/SpaDOT.py:96-123) at
+# closure-exact values.
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _flash3b_core_batched(ed, esp, adjb, wxp):
+    out, _ = _flash3b_fwd_batched(ed, esp, adjb, wxp)
+    return out
+
+
+def _flash3b_fwd_batched(ed, esp, adjb, wxp):
+    nb, H, P, _ = ed.shape
+    F = wxp.shape[3]
+    _, ni, TI, Wb = adjb.shape
+    TJ = TI if TI <= 256 else TI // 2
+    r = TI // TJ
+    grid = (nb, ni, Wb // TJ)
+    out, m, l = pl.pallas_call(
+        functools.partial(_flash3b_fwd_kernel, j_axis=2),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, H, TI, 1), lambda b, i, j: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, H, 1, TJ), lambda b, i, j: (b, 0, 0, i * r + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, TI, TJ), lambda b, i, j: (b, i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, H, TJ, F), lambda b, i, j: (b, 0, i * r + j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, H, TI, F), lambda b, i, j: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, H, TI, 1), lambda b, i, j: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, H, TI, 1), lambda b, i, j: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, H, P, F), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H, P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H, P, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H, TI, 1), jnp.float32),
+            pltpu.VMEM((H, TI, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * H * P * Wb * F,
+            transcendentals=nb * H * P * Wb,
+            bytes_accessed=nb * (
+                ni * TI * Wb + 2 * H * ni * Wb * F + 6 * H * P * F
+            ),
+        ),
+    )(ed, esp, adjb, wxp)
+    return out, (ed, esp, adjb, wxp, m, l, out)
+
+
+def _flash3b_bwd_batched(res, g):
+    ed, esp, adjb, wxp, m, l, out = res
+    nb, H, P, _ = ed.shape
+    Pp = wxp.shape[2]
+    F = wxp.shape[3]
+    _, ni, TI, Wb = adjb.shape
+    nw = Wb // TI
+    ngb = Pp // TI
+    d = jnp.sum(g * out, axis=3, keepdims=True)  # (nb, H, P, 1) FA2 D_i
+    g = g.astype(wxp.dtype)
+
+    def _strip_of(b, gi, k):
+        return jnp.clip(gi - (nw - 1) + k, 0, ni - 1)
+
+    def _adj_idx(b, gi, k):
+        ic = _strip_of(b, gi, k)
+        return (b, ic, 0, jnp.clip(gi - ic, 0, nw - 1))
+
+    strip_spec = lambda last: pl.BlockSpec(            # noqa: E731
+        (None, H, TI, last), lambda b, gi, k: (b, 0, _strip_of(b, gi, k), 0),
+        memory_space=pltpu.VMEM,
+    )
+    des, dwx, dedp = pl.pallas_call(
+        functools.partial(_flash3b_bwd_kernel, ni=ni, gk_axes=(1, 2)),
+        grid=(nb, ngb, nw),
+        in_specs=[
+            strip_spec(1),                                        # ed
+            pl.BlockSpec((None, H, 1, TI), lambda b, gi, k: (b, 0, 0, gi),
+                         memory_space=pltpu.VMEM),                # esp
+            pl.BlockSpec((None, 1, TI, TI), _adj_idx,             # adjb
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, H, TI, F), lambda b, gi, k: (b, 0, gi, 0),
+                         memory_space=pltpu.VMEM),                # wxp
+            strip_spec(F),                                        # g
+            strip_spec(1),                                        # m
+            strip_spec(1),                                        # l
+            strip_spec(1),                                        # d
+        ],
+        out_specs=[
+            pl.BlockSpec((None, H, 1, TI), lambda b, gi, k: (b, 0, 0, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, H, TI, F), lambda b, gi, k: (b, 0, gi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, 1, H, TI, 1),
+                         lambda b, gi, k: (b, gi, k, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, H, 1, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H, Pp, F), jnp.float32),
+            jax.ShapeDtypeStruct((nb, ngb, nw, H, TI, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * nb * H * P * Wb * F,
+            transcendentals=nb * H * P * Wb,
+            bytes_accessed=nb * (
+                ni * TI * Wb + 4 * H * ni * Wb * F + 8 * H * P * F
+            ),
+        ),
+    )(ed, esp, adjb, wxp, g, m, l, d)
+    i_map = np.clip(
+        np.arange(ngb)[:, None] - (nw - 1) + np.arange(nw)[None, :],
+        0, ni - 1,
+    ).ravel()
+    flat = dedp.reshape(nb, ngb * nw, H, TI, 1)
+    ded = jnp.zeros((nb, ni, H, TI, 1), jnp.float32).at[
+        :, jnp.asarray(i_map)
+    ].add(flat)
+    ded = ded.transpose(0, 2, 1, 3, 4).reshape(nb, H, P, 1)
+    return ded, des, None, dwx.astype(wxp.dtype)
+
+
+_flash3b_core_batched.defvjp(_flash3b_fwd_batched, _flash3b_bwd_batched)
+
+
+def gat_attention_banded_flash_batched(
+    h, band_adj, W, att_src, att_dst, bias, *, concat=True
+):
+    """`gat_attention_banded_flash` over a leading closure-batch axis:
+    h (nb, P, F_in), band_adj (nb, ni, TI, Wb) — one kernel launch for all
+    nb closures, one large MXU GEMM for all Wx projections. Same math,
+    closure for closure, as the per-closure wrapper (differentially tested
+    in tests/test_pallas.py)."""
+    nb, ni, TI, Wb = band_adj.shape
+    assert banded_flash_eligible(band_adj.shape[1:]), band_adj.shape
+    bpad = (Wb - TI) // 2
+    P = ni * TI
+    assert h.shape[0] == nb and h.shape[1] == P, (h.shape, band_adj.shape)
+    HF = W.shape[1]
+    H = att_src.shape[0]
+    F = HF // H
+    Wx = (h.reshape(nb * P, -1) @ W).reshape(nb, P, H, F)
+    e_src = jnp.einsum("bnhf,hf->bnh", Wx, att_src)
+    e_dst = jnp.einsum("bnhf,hf->bnh", Wx, att_dst)
+    prec = jax.config.jax_default_matmul_precision
+    wx_dt = jnp.bfloat16 if prec in _BF16_PRECISIONS else jnp.float32
+    wxp = jnp.pad(Wx, ((0, 0), (bpad, bpad), (0, 0), (0, 0)))
+    wxp = wxp.transpose(0, 2, 1, 3).astype(wx_dt)           # (nb, H, Pp, F)
+    esp = jnp.pad(e_src, ((0, 0), (bpad, bpad), (0, 0)))
+    esp = esp.transpose(0, 2, 1)[:, :, None, :]             # (nb, H, 1, Pp)
+    esp = esp.astype(jnp.float32)
+    ed = e_dst.transpose(0, 2, 1)[:, :, :, None]            # (nb, H, P, 1)
+    ed = ed.astype(jnp.float32)
+    out = _flash3b_core_batched(ed, esp, band_adj, wxp)
+    out = out.transpose(0, 2, 1, 3)                         # (nb, P, H, F)
+    if concat:
+        out = out.reshape(nb, P, H * F)
+    else:
+        out = jnp.mean(out, axis=2)
+    return (out + bias).astype(h.dtype)
+
+
+_FLASH3BB_CACHE = {}
+
+
+def flash3b_batched_gat_supported(TI=TILE3_I, Wb=3 * TILE3_I, F=512, H=4):
+    """Probe whether the nb-batched banded kernels compile AND run fwd+bwd
+    on this backend at THIS band shape (the `None`-squeezed leading block
+    dim and the 3-d grids must lower; a failure degrades the extraction to
+    the sequential per-closure scan, never a mid-training crash). Mirrors
+    `flash3b_gat_supported`; nb is fixed small — per-step VMEM is
+    nb-independent."""
+    backend = jax.default_backend()
+    key = (backend, TI, Wb, F, H)
+    if key in _FLASH3BB_CACHE:
+        return _FLASH3BB_CACHE[key]
+    if backend != "tpu":
+        _FLASH3BB_CACHE[key] = False
+        return False
+    try:
+        nb, ni = 2, 4
+        bpad = (Wb - TI) // 2
+        P = ni * TI
+        Pp = P + 2 * bpad
+        # nonzero deterministic inputs: the probe ALSO cross-checks the
+        # batched kernel's values against the per-closure kernel on this
+        # backend (a lowering that compiles but miscomputes — the failure
+        # mode the blocked-Cholesky Pallas attempt hit via approximate VPU
+        # rsqrt — must degrade to the scan, not corrupt extraction)
+        rs = np.random.RandomState(0)
+        ed = jnp.asarray(rs.normal(size=(nb, H, P, 1)) * 0.3, jnp.float32)
+        esp = jnp.asarray(rs.normal(size=(nb, H, 1, Pp)) * 0.3, jnp.float32)
+        adjb = (rs.uniform(size=(nb, ni, TI, Wb)) < 0.05).astype(np.int8)
+        adjb[:, :, np.arange(TI), bpad + np.arange(TI)] = 1
+        adjb = jnp.asarray(adjb)
+        for dt in (jnp.bfloat16, jnp.float32):
+            wxp = jnp.asarray(rs.normal(size=(nb, H, Pp, F)), dt)
+
+            def loss(ed, esp, wxp):
+                return jnp.sum(_flash3b_core_batched(ed, esp, adjb, wxp))
+
+            v, grads = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))(
+                ed, esp, wxp
+            )
+            jax.block_until_ready(v)
+            out_b = jax.jit(_flash3b_core_batched)(ed, esp, adjb, wxp)
+            out_s = jnp.stack([
+                jax.jit(_flash3b_core)(ed[b], esp[b], adjb[b], wxp[b])
+                for b in range(nb)
+            ])
+            err = float(jnp.max(jnp.abs(out_b - out_s)))
+            ref = float(jnp.max(jnp.abs(out_s)))
+            if not np.isfinite(err) or err > 1e-4 * max(ref, 1.0):
+                _FLASH3BB_CACHE[key] = False
+                return False
+        _FLASH3BB_CACHE[key] = True
+    except Exception:
+        _FLASH3BB_CACHE[key] = False
+    return _FLASH3BB_CACHE[key]
 
 
 def banded_flash_eligible(band_adj_shape):

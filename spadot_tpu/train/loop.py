@@ -143,6 +143,17 @@ class Trainer:
             model_config.get("gat_ext_vmap_budget_mb", 1536)
         )
         self.ext_vmap_chunk = 1  # resolved below once ext shapes are known
+        # nb-BATCHED banded-kernel extraction (models/model.py:
+        # full_latent_ext kernel_batch): the closure axis lives in the
+        # flash3b kernel grid itself (ops/gat_flash.py flash3bb) instead of
+        # jax-level vmap — the round-4 vmap arm REGRESSED on banded tables
+        # (2x146 vs 201 ms/ep at atlas) from op-level batching glue; this
+        # is the round-5 kernel-grid form the backlog named. Banded static
+        # adjacencies + TPU only; shares gat_ext_vmap_budget_mb.
+        self.gat_ext_kernel_batch_cfg = model_config.get(
+            "gat_ext_kernel_batch", "auto"
+        )
+        self.ext_kernel_batch = 0  # resolved below once ext shapes are known
         # precomputed K̃-constant gemm solves (ops/svgp.py:svgp_shared);
         # false = per-step solve_triangular fallback (config.yaml)
         self.svgp_gemm_solves = bool(model_config.get("svgp_gemm_solves", True))
@@ -259,7 +270,9 @@ class Trainer:
                     self.tp_ext[tp]["ext_adj"] = jnp.asarray(d["ext_adj"])
         self.obs_rows = {tp: data["tp_data"][tp]["obs_rows"] for tp in self.timepoints}
         if self.gat_ext:
-            self.ext_vmap_chunk = self._resolve_ext_vmap_chunk(data)
+            self.ext_kernel_batch = self._resolve_ext_kernel_batch(data)
+            if self.ext_kernel_batch <= 1:
+                self.ext_vmap_chunk = self._resolve_ext_vmap_chunk(data)
 
         self._epoch_jit = jax.jit(self._epoch_impl, donate_argnums=(0, 1))
         self._latent_jit = jax.jit(self._latent_impl)
@@ -524,6 +537,80 @@ class Trainer:
         )
         return c
 
+    def _resolve_ext_kernel_batch(self, data):
+        """Closures per BATCHED-KERNEL extraction step
+        (gat_ext_kernel_batch): banded static-adjacency tables run the nb
+        axis inside the flash3b kernel grid
+        (ops/gat_flash.py:gat_attention_banded_flash_batched) with the Wx
+        projections as single large GEMMs. 'auto' = banded tables on TPU
+        with a passing lowering probe, chunk sized by
+        gat_ext_vmap_budget_mb; an explicit integer forces the chunk
+        (tests / A/B arms); 0/off disables (sequential scan or, for dense
+        tables, the vmap path)."""
+        val = str(self.gat_ext_kernel_batch_cfg).lower()
+        if val in ("0", "off", "false", "none", "1"):
+            return 0
+        nb_max = p_max = g_max = 0
+        band_shape = None
+        for tp in self.timepoints:
+            d = data["tp_data"][tp]
+            if "ext_idx" not in d or "ext_adj" not in d:
+                return 0
+            ea = np.asarray(d["ext_adj"])
+            if ea.ndim != 4:
+                return 0  # dense closures: the chunked vmap won at CH
+            nb_max = max(nb_max, int(d["ext_idx"].shape[0]))
+            p_max = max(p_max, int(d["ext_idx"].shape[1]))
+            g_max = max(g_max, int(d["Y"].shape[1]))
+            band_shape = ea.shape[1:]
+        if val != "auto":
+            return max(0, min(int(self.gat_ext_kernel_batch_cfg), nb_max))
+        if self.jax.default_backend() != "tpu":
+            return 0
+        from spadot_tpu.ops.gat_flash import (
+            banded_flash_eligible, flash3b_batched_gat_supported,
+        )
+
+        hidden = int(self.net.gat_encoder_hidden)
+        heads = int(self.net.gat_attention_heads)
+        if not (
+            hidden % 128 == 0
+            and banded_flash_eligible(band_shape)
+            and flash3b_batched_gat_supported(
+                TI=band_shape[1], Wb=band_shape[2], F=hidden, H=heads
+            )
+        ):
+            logger.info(
+                "gat_ext_kernel_batch auto: OFF (batched banded kernel "
+                "unsupported at band shape %s)", band_shape,
+            )
+            return 0
+        ni, TI, Wb = band_shape
+        hf = hidden * heads
+        pp = p_max + 2 * ((Wb - TI) // 2)
+        # live set per closure: gathered rows + 3 layers' activations +
+        # the padded (H, Pp, F) stream + the int8 band
+        per = (
+            p_max * g_max * 4 + 3 * p_max * hf * 4 + pp * hf * 4
+            + p_max * Wb
+        )
+        c = int(self.gat_ext_vmap_budget_mb * 1e6 // max(per, 1))
+        c = max(1, min(c, nb_max))
+        if c <= 1:
+            logger.info(
+                "gat_ext_kernel_batch auto: OFF (~%d MB/closure exceeds "
+                "budget)", per // 1_000_000,
+            )
+            return 0
+        # balance the chunks (same rule as the vmap resolver)
+        nc = -(-nb_max // c)
+        c = -(-nb_max // nc)
+        logger.info(
+            "gat_ext_kernel_batch auto: chunk=%d (nb=%d, P=%d, G=%d, "
+            "~%d MB/closure)", c, nb_max, p_max, g_max, per // 1_000_000,
+        )
+        return c
+
     def _latent_impl(self, variables, tp_dev, svgp_state, ext_tables=None):
         from spadot_tpu.models.model import full_latent, full_latent_ext
 
@@ -539,6 +626,7 @@ class Trainer:
                 row_mask=tp_dev.get("row_mask"),
                 gat_window_dense_max=self.gat_window_dense_max,
                 vmap_chunk=self.ext_vmap_chunk,
+                kernel_batch=self.ext_kernel_batch,
             )
         return full_latent(
             self.net, variables, tp_dev, svgp_state,
@@ -1072,6 +1160,7 @@ class Trainer:
                     kernel_type=self.kernel_type, row_mask=row_mask,
                     gat_window_dense_max=self.gat_window_dense_max,
                     vmap_chunk=self.ext_vmap_chunk,
+                    kernel_batch=self.ext_kernel_batch,
                 )
             else:
                 lat = full_latent(

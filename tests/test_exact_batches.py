@@ -371,6 +371,67 @@ def test_full_latent_ext_vmap_banded_matches_scan():
         )
 
 
+def test_full_latent_ext_kernel_batch_matches_scan():
+    """The nb-BATCHED-kernel closure extraction (full_latent_ext
+    kernel_batch>1, banded static adjacencies) must reproduce the
+    sequential scan on every real row, in every chunk regime (sentinel
+    pads, exact divisor, single full batch). On CPU the batched branch
+    runs the vmapped XLA banded fallback (models/layers.py GATLayer
+    adj.ndim==4), so this certifies the full_latent_ext plumbing + the
+    batched GATLayer branch; the Pallas kernel itself is certified in
+    tests/test_pallas.py:test_flash3b_batched_matches_per_closure."""
+    from spadot_tpu.models.model import full_latent_ext
+
+    t, data = _setup(gat_ext_banded="true", gat_ext_band_ti=64)
+    assert data["tp_data"][0]["ext_adj"].ndim == 4
+    v, _ = t.init_state(jax.random.PRNGKey(0))
+    for tp in (0, 1):
+        nb = int(t.tp_ext[tp]["ext_idx"].shape[0])
+        kw = dict(
+            kernel_scale=t.kernel_scale, kernel_type=t.kernel_type,
+            gat_window_dense_max=t.gat_window_dense_max,
+        )
+        base = full_latent_ext(
+            t.net, v, t.tp_dev[tp], t.svgp_states[tp], t.tp_ext[tp],
+            vmap_chunk=1, **kw
+        )
+        n = t.tp_n[tp]
+        for c in (2, 3, nb):
+            lat_c = full_latent_ext(
+                t.net, v, t.tp_dev[tp], t.svgp_states[tp], t.tp_ext[tp],
+                kernel_batch=c, **kw
+            )
+            np.testing.assert_allclose(
+                np.asarray(lat_c)[:n], np.asarray(base)[:n],
+                rtol=2e-5, atol=1e-6,
+                err_msg=f"tp={tp} kernel_batch={c} of nb={nb}",
+            )
+
+
+def test_ext_kernel_batch_resolution():
+    """gat_ext_kernel_batch knob plumbing: explicit int forces the chunk
+    (clamped to nb) on any backend for BANDED tables; dense tables and
+    off/0 resolve to 0 (vmap/scan paths); trainer.latent under a forced
+    kernel batch matches the scan trainer."""
+    banded = dict(gat_ext_banded="true", gat_ext_band_ti=64)
+    t_off, _ = _setup(gat_ext_kernel_batch=0, **banded)
+    assert t_off.ext_kernel_batch == 0
+    t_dense, _ = _setup(gat_ext_kernel_batch=3)  # dense closures -> off
+    assert t_dense.ext_kernel_batch == 0
+    t3, _ = _setup(gat_ext_kernel_batch=3, **banded)
+    assert t3.ext_kernel_batch == 3
+    t99, _ = _setup(gat_ext_kernel_batch=99, **banded)
+    assert t99.ext_kernel_batch == int(t99.tp_ext[0]["ext_idx"].shape[0])
+    # forcing the kernel batch must not leave the vmap chunk active too
+    assert t3.ext_vmap_chunk == 1
+    v, _ = t3.init_state(jax.random.PRNGKey(0))
+    for tp in (0, 1):
+        np.testing.assert_allclose(
+            np.asarray(t3.latent(v, tp)), np.asarray(t_off.latent(v, tp)),
+            rtol=2e-5, atol=1e-6,
+        )
+
+
 def test_ext_vmap_chunk_resolution():
     """gat_ext_vmap knob plumbing: explicit int forces the chunk (clamped
     to nb) on any backend; off/0 and CPU-auto give the sequential scan;

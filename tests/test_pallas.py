@@ -354,6 +354,64 @@ def test_flash3b_banded_gat_matches_xla_banded(rng):
         gat_flash.INTERPRET = False
 
 
+def test_flash3b_batched_matches_per_closure(rng):
+    """nb-batched banded kernel (flash3bb, interpret mode) vs a python loop
+    of the per-closure fused wrapper: outputs bit-identical, gradients to
+    f32 reduction-order tolerance (the batched W grad reduces one large
+    GEMM where the loop sums per-closure GEMMs)."""
+    from spadot_tpu.ops import gat_flash
+
+    TI = 128
+    ni, nw = 4, 5
+    Wb = nw * TI
+    bpad = (Wb - TI) // 2
+    P = ni * TI
+    nb, F_in, H, F = 3, 10, 2, 128
+    assert gat_flash.banded_flash_eligible((ni, TI, Wb))
+    adjb = np.zeros((nb, ni, TI, Wb), np.int8)
+    adjb[:] = rng.uniform(size=(nb, ni, TI, Wb)) < 0.05
+    adjb[:, :, np.arange(TI), bpad + np.arange(TI)] = 1  # self loops
+    adjb = jnp.asarray(adjb)
+    h = jnp.asarray(rng.normal(size=(nb, P, F_in)), jnp.float32)
+    W = jnp.asarray(rng.normal(size=(F_in, H * F)) * 0.2, jnp.float32)
+    a_s = jnp.asarray(rng.normal(size=(H, F)) * 0.2, jnp.float32)
+    a_d = jnp.asarray(rng.normal(size=(H, F)) * 0.2, jnp.float32)
+
+    gat_flash.INTERPRET = True
+    try:
+        for concat in (True, False):
+            bias = jnp.asarray(
+                rng.normal(size=(H * F,) if concat else (F,)), jnp.float32
+            )
+
+            def loss_b(h, W, a_s, a_d):
+                out = gat_flash.gat_attention_banded_flash_batched(
+                    h, adjb, W, a_s, a_d, bias, concat=concat
+                )
+                return jnp.sum(out**2), out
+
+            def loss_s(h, W, a_s, a_d):
+                out = jnp.stack([
+                    gat_flash.gat_attention_banded_flash(
+                        h[b], adjb[b], W, a_s, a_d, bias, concat=concat
+                    )
+                    for b in range(adjb.shape[0])
+                ])
+                return jnp.sum(out**2), out
+
+            with jax.default_matmul_precision("highest"):
+                (_, o_b), g_b = jax.value_and_grad(
+                    loss_b, argnums=(0, 1, 2, 3), has_aux=True)(h, W, a_s, a_d)
+                (_, o_s), g_s = jax.value_and_grad(
+                    loss_s, argnums=(0, 1, 2, 3), has_aux=True)(h, W, a_s, a_d)
+            np.testing.assert_array_equal(np.asarray(o_b), np.asarray(o_s))
+            for a, b in zip(g_b, g_s):
+                a, b = np.asarray(a), np.asarray(b)
+                assert np.abs(a - b).max() <= 5e-6 * max(np.abs(b).max(), 1.0)
+    finally:
+        gat_flash.INTERPRET = False
+
+
 def test_multihead_aggregation_and_gradients(rng):
     from spadot_tpu.ops.gat_pallas import aggregate_windowed_mh
 
