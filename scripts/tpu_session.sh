@@ -71,3 +71,22 @@ run_step bench_atlas_kbatch0 timeout 7200 \
   env BENCH_MODE=atlas BENCH_CFG='{"gat_ext_kernel_batch": 0}' python bench.py
 run_step profile_atlas_flash3bb timeout 7200 \
   env BENCH_MODE=atlas python scripts/profile_epoch.py 2
+
+# --- appended 2026-08-20l (round 5): SVGP per-dim gemm levers (verdict
+# Next #2). (a) svgp_bt_shared default-on (B-tilde formed from B's shared
+# W gemm — math-identical, differentially tested); A/B arms at every
+# scale with the direct-forming control. (b) m-reduction probe at atlas
+# (inducing 600 vs the reference 1200) — bench + 3-seed quality.
+run_step bench_ch_r5head timeout 7200 python bench.py
+run_step bench_mouse_r5head timeout 7200 env BENCH_MODE=mouse python bench.py
+run_step bench_ch_btoff timeout 7200 \
+  env BENCH_CFG='{"svgp_bt_shared": false}' python bench.py
+run_step bench_mouse_btoff timeout 7200 \
+  env BENCH_MODE=mouse BENCH_CFG='{"svgp_bt_shared": false}' python bench.py
+run_step bench_atlas_btoff timeout 7200 \
+  env BENCH_MODE=atlas BENCH_CFG='{"svgp_bt_shared": false}' python bench.py
+run_step bench_atlas_m600 timeout 7200 \
+  env BENCH_MODE=atlas BENCH_INDUCING=600 python bench.py
+run_step quality_atlas_3seed_m600 timeout 14400 \
+  env SPADOT_SEEDS=1993,7,42 QUALITY_CFG='{"inducing_point_nums": 600}' \
+  python examples/atlas_quality.py

@@ -73,6 +73,11 @@ class SpaDOTNet(nn.Module):
     # pin a backend (rationale + measured trsm latency in
     # ops/tri_inverse.py).
     svgp_chol_backend: str = "auto"
+    # form B̃ from the shared per-dim W = (U·prec)Uᵀ gemm (E⁻¹WE⁻ᵀ) instead
+    # of a second highest-pinned (m, b)·(b, m) gemm per latent dim —
+    # mathematically identical (ops/svgp.py derivation); False restores
+    # the direct V-forming arm for A/Bs.
+    svgp_bt_shared: bool = True
 
     def setup(self):
         self.svgp_z_dim = self.z_dim // 2
@@ -164,6 +169,7 @@ def build_net(model_config: Dict[str, Any]) -> SpaDOTNet:
         svgp_chol_backend=str(
             model_config.get("svgp_chol_backend", "auto")
         ),
+        svgp_bt_shared=bool(model_config.get("svgp_bt_shared", True)),
     )
 
 
@@ -348,6 +354,7 @@ def forward_batch(
             F=svgp_state.get("F"), logdet_CCj=svgp_state.get("logdet_CCj"),
             matmul_precision=net.svgp_matmul_precision,
             chol_backend=net.svgp_chol_backend,
+            bt_shared=net.svgp_bt_shared,
         )
         inside_elbo = jnp.sum(terms["recon"]) - (b_eff / N_train) * jnp.sum(terms["kl"])
         ce = gauss_cross_entropy(terms["p_m"], terms["p_v"], qnet_mu, qnet_var)
@@ -558,6 +565,7 @@ def full_latent_ext(
             M=svgp_state.get("M"), Kt_inv=svgp_state.get("Kt_inv"),
             F=svgp_state.get("F"), logdet_CCj=svgp_state.get("logdet_CCj"),
             chol_backend=net.svgp_chol_backend,
+            bt_shared=net.svgp_bt_shared,
         )
         parts.append(terms["p_m"])
     if mode in ("dual", "gat"):
@@ -682,6 +690,7 @@ def full_latent(net, variables, tp_data, svgp_state, *, kernel_scale, kernel_typ
             M=svgp_state.get("M"), Kt_inv=svgp_state.get("Kt_inv"),
             F=svgp_state.get("F"), logdet_CCj=svgp_state.get("logdet_CCj"),
             chol_backend=net.svgp_chol_backend,
+            bt_shared=net.svgp_bt_shared,
         )
         parts.append(terms["p_m"])
     if mode in ("dual", "gat"):

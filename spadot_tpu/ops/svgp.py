@@ -564,13 +564,13 @@ def svgp_shared_padded(Z, m_max, kernel_type="Gaussian", kernel_scale=0.1,
 
 
 @partial(jax.jit, static_argnames=(
-    "kernel_type", "matmul_precision", "chol_backend"))
+    "kernel_type", "matmul_precision", "chol_backend", "bt_shared"))
 def svgp_batch_terms(
     x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
     kernel_scale=0.1, jitter=1e-2, kernel_type="Gaussian",
     m_mask=None, kl_const=0.0, matmul_precision="highest",
     L_inv=None, C=None, M=None, Kt_inv=None, F=None, logdet_CCj=None,
-    chol_backend="auto",
+    chol_backend="auto", bt_shared=True,
 ):
     """Posterior means/vars and ELBO terms for one batch, all latent dims.
 
@@ -605,6 +605,7 @@ def svgp_batch_terms(
             kernel_scale, jitter, kernel_type, m_mask, kl_const,
             L_inv, C, M, Kt_inv, F, logdet_CCj,
             chol_mode=_resolve_chol_backend(str(chol_backend)),
+            bt_shared=bool(bt_shared),
         )
 
 
@@ -612,7 +613,7 @@ def _svgp_batch_terms_impl(
     x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
     kernel_scale, jitter, kernel_type, m_mask=None, kl_const=0.0,
     L_inv=None, C=None, M=None, Kt_inv=None, F=None, logdet_CCj=None,
-    chol_mode="xla",
+    chol_mode="xla", bt_shared=True,
 ):
     m = Z.shape[0]
     b_eff = jnp.maximum(jnp.sum(mask), 1.0)
@@ -633,6 +634,7 @@ def _svgp_batch_terms_impl(
         C = solve_triangular(L_mm, K_mm, lower=True)  # L⁻¹ K_mm (m, m)
         M = solve_triangular(L_mm, C.T, lower=True)  # L⁻¹ K_mm L⁻ᵀ (sym.)
         V = None
+        E_inv = None
     else:
         # These gemms REPLACE f32 triangular-solve custom calls (which
         # ignored the ambient matmul precision), so they must not inherit
@@ -644,9 +646,20 @@ def _svgp_batch_terms_impl(
         # run once per step (not per latent dim), so the cost is noise.
         with jax.default_matmul_precision("highest"):
             U = L_inv @ K_nm.T  # L⁻¹ K_mn (m, b)
-            # V drives the determinant-lemma logdet_A (see svgp_shared):
-            # E⁻¹L⁻¹K_mn — shared across latent dims, one gemm per batch
-            V = F @ K_nm.T if F is not None else None
+            # The determinant-lemma logdet_A (see svgp_shared) needs
+            # B̃ = I + j·ratio·(VΛVᵀ) with V = E⁻¹L⁻¹K_mn = E⁻¹U. Since
+            # (V·prec)Vᵀ = E⁻¹[(U·prec)Uᵀ]E⁻ᵀ = E⁻¹WE⁻ᵀ, B̃ can SHARE the
+            # per-dim W = (U·prec)Uᵀ gemm that already forms B: two (m, m)
+            # gemms per dim replace a second highest-pinned (m, b)·(b, m)
+            # gemm per dim — at atlas (m=605, b=4096) that drops ~1/3 of
+            # the per-dim whitened-gemm family's FLOP·pass product (the
+            # round-4 verdict's 'factor sharing' lever, Next #2).
+            # E⁻¹ = F·L̃ (F = E⁻¹L⁻¹, L̃ = L_mm): one (m, m) gemm per step,
+            # no new state keys — padded-state blocks compose correctly
+            # (F_pad·L_pad = 1/sqrt(a+j)·I, the padded E⁻¹).
+            E_inv = (F @ L_mm) if (F is not None and bt_shared) else None
+            # fallback (bt_shared=False A/B arm): V formed directly
+            V = F @ K_nm.T if (F is not None and E_inv is None) else None
     diag_Qnn = jnp.sum(U * U, axis=0)  # diag(K_nm K̃⁻¹ K_mn)
 
     logdet_Kmm = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_mm)))
@@ -672,23 +685,42 @@ def _svgp_batch_terms_impl(
     # whole (L, m, m) batch — free on the healthy path, finite-gradient
     # on the rescue path (custom_vjp at the returned factor).
     prec_all = mask[:, None] / qnet_var  # masked precision (b, L)
-
-    def _form_B(prec):
-        with jax.default_matmul_precision("highest"):
-            return eye_m + ratio * (U * prec[None, :]) @ U.T
-
-    B_all = jax.vmap(_form_B, in_axes=1)(prec_all)  # (L, m, m)
     chol_inv_op, chol_logdet_op = _CHOL_OPS[chol_mode]
-    Lb_all, Lbinv_all = chol_inv_op(B_all, eye_m)
-    if V is not None:
-        # same ⪰ I stability argument as B above (scale is jitter·ratio —
-        # 100× smaller, but one unlucky batch suffices), and the same
-        # collapsed-dim rescue
-        def _form_Bt(prec):
+    have_bt = E_inv is not None or V is not None
+    if E_inv is not None:
+        # W-shared forming (see the E_inv derivation above): ONE
+        # highest-pinned (m, b)·(b, m) gemm per dim feeds both B and B̃
+        def _form_W(prec):
             with jax.default_matmul_precision("highest"):
-                return eye_m + (jitter * ratio) * (V * prec[None, :]) @ V.T
+                return (U * prec[None, :]) @ U.T
 
-        Bt_all = jax.vmap(_form_Bt, in_axes=1)(prec_all)
+        W_all = jax.vmap(_form_W, in_axes=1)(prec_all)  # (L, m, m)
+        B_all = eye_m + ratio * W_all
+
+        def _form_Bt_w(W):
+            with jax.default_matmul_precision("highest"):
+                return eye_m + (jitter * ratio) * (E_inv @ W @ E_inv.T)
+
+        Bt_all = jax.vmap(_form_Bt_w)(W_all)
+    else:
+        def _form_B(prec):
+            with jax.default_matmul_precision("highest"):
+                return eye_m + ratio * (U * prec[None, :]) @ U.T
+
+        B_all = jax.vmap(_form_B, in_axes=1)(prec_all)  # (L, m, m)
+        if V is not None:
+            # same ⪰ I stability argument as B above (scale is
+            # jitter·ratio — 100× smaller, but one unlucky batch
+            # suffices), and the same collapsed-dim rescue
+            def _form_Bt(prec):
+                with jax.default_matmul_precision("highest"):
+                    return eye_m + (jitter * ratio) * (
+                        (V * prec[None, :]) @ V.T
+                    )
+
+            Bt_all = jax.vmap(_form_Bt, in_axes=1)(prec_all)
+    Lb_all, Lbinv_all = chol_inv_op(B_all, eye_m)
+    if have_bt:
         ld_bt_all = chol_logdet_op(Bt_all, eye_m)
 
     def per_dim(y_l, var_l, Lb, Lb_inv, *maybe_ldbt):
@@ -710,7 +742,7 @@ def _svgp_batch_terms_impl(
         # mu_hat (svgp.py:81-82); A_hat = Cᵀ B⁻¹ C
         mu_hat = ratio * (C.T @ (Lb_inv.T @ t))  # ratio·K_mm Σ̃⁻¹ rhs (m,)
         # KL term (svgp.py:86-94); tr(K̃⁻¹ A_hat) = tr(M B⁻¹ M) = ‖R‖²_F
-        if V is not None:
+        if have_bt:
             # determinant-lemma form of the reference's jittered logdet
             # (exact same value — Sylvester: det(jI + CᵀB⁻¹C) =
             # det(jB + CCᵀ)/det(B), and jB + CCᵀ = E B̃ Eᵀ with
@@ -759,7 +791,7 @@ def _svgp_batch_terms_impl(
 
     dim_args = (qnet_mu, qnet_var, Lb_all, Lbinv_all)
     in_axes = (1, 1, 0, 0)
-    if V is not None:
+    if have_bt:
         dim_args += (ld_bt_all,)
         in_axes += (0,)
     p_m, p_v, recon, kl = jax.vmap(

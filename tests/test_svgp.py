@@ -250,6 +250,47 @@ def test_constant_fed_path_matches_fallback(rng):
     np.testing.assert_allclose(g_old, g_new, rtol=5e-4, atol=5e-4)
 
 
+def test_bt_shared_matches_direct_forming(rng):
+    """svgp_bt_shared=True (B̃ = I + j·ratio·E⁻¹WE⁻ᵀ from B's shared
+    W = (U·prec)Uᵀ gemm) must equal the direct V-forming arm
+    (B̃ = I + j·ratio·(V·prec)Vᵀ, V = E⁻¹U) to float reassociation
+    tolerance — values AND gradients; the two are the same matrix by
+    construction (E⁻¹(UΛUᵀ)E⁻ᵀ = (E⁻¹U)Λ(E⁻¹U)ᵀ)."""
+    m, b, L = 41, 67, 5
+    Z = jnp.asarray(rng.uniform(0, 10, (m, 2)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 10, (b, 2)), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=(b, L)), jnp.float32)
+    var = jnp.asarray(rng.uniform(0.2, 3.0, (b, L)), jnp.float32)
+    mask = jnp.asarray((rng.uniform(size=b) > 0.2).astype(np.float32))
+    st = svgp_shared(Z)
+    consts = dict(
+        L_inv=st["L_inv"], C=st["C"], M=st["M"], Kt_inv=st["Kt_inv"],
+        F=st["F"], logdet_CCj=st["logdet_CCj"],
+    )
+
+    def terms(bt_shared):
+        return svgp_batch_terms(
+            x, mu, var, mask, 900.0, st["Z"], st["K_mm"], st["L_mm"],
+            bt_shared=bt_shared, **consts,
+        )
+
+    a, c = terms(True), terms(False)
+    for k in ("p_m", "p_v", "recon", "kl"):
+        np.testing.assert_allclose(a[k], c[k], rtol=2e-5, atol=2e-5,
+                                   err_msg=k)
+
+    def kl_grad(bt_shared):
+        def f(v):
+            return jnp.sum(svgp_batch_terms(
+                x, mu, v, mask, 900.0, st["Z"], st["K_mm"], st["L_mm"],
+                bt_shared=bt_shared, **consts)["kl"])
+        return jax.grad(f)(var)
+
+    np.testing.assert_allclose(
+        kl_grad(True), kl_grad(False), rtol=5e-4, atol=5e-4
+    )
+
+
 def test_b_gemm_precision_pinned_highest(rng):
     """Regression (2026-08-19, docs/tpu_logs/atlasq_b512.log): the B- and
     B̃-forming gemms must stay pinned to true-f32 'highest' even when the
