@@ -90,3 +90,9 @@ run_step bench_atlas_m600 timeout 7200 \
 run_step quality_atlas_3seed_m600 timeout 14400 \
   env SPADOT_SEEDS=1993,7,42 QUALITY_CFG='{"inducing_point_nums": 600}' \
   python examples/atlas_quality.py
+
+# --- appended 2026-08-20m (round 5): CH layout-copy bounded attempt
+# (verdict Next #6) — per_dim consumers of X = Lb^-1 read the produced
+# layout by default; the env arm restores the transposed pre-r5 forms.
+run_step bench_ch_xlayout_off timeout 7200 \
+  env SPADOT_SVGP_XLAYOUT=0 python bench.py

@@ -17,6 +17,7 @@ the minibatch N/b correction), re-designed for TPU:
 
 All public functions are pure; parameters arrive as arrays.
 """
+import os
 from functools import partial
 
 import jax
@@ -24,6 +25,11 @@ import jax.numpy as jnp
 from jax.scipy.linalg import cho_solve, cholesky, solve_triangular
 
 from spadot_tpu.ops.kernels import kernel_diag, kernel_matrix
+
+# diagnostic A/B toggle (docs/tpu_logs/bench_ch_xlayout*.log): read the
+# per-dim factors in their produced layout (default) vs the transposed
+# pre-round-5 forms — see the per_dim comments in _svgp_batch_terms_impl
+_X_PRODUCED_LAYOUT = os.environ.get("SPADOT_SVGP_XLAYOUT", "1") != "0"
 
 LOG_2PI = 1.8378770664093453
 
@@ -735,12 +741,26 @@ def _svgp_batch_terms_impl(
         R = Lb_inv @ M  # (m, m)
         t = Lb_inv @ (U @ (y_l * prec))  # Lb⁻¹ L⁻¹ K_mn Λ y (m,)
         # posterior at x (svgp.py:76-79)
-        p_m = ratio * (S.T @ t)
+        # read S and X = Lb⁻¹ in their PRODUCED layout (t @ A == Aᵀ @ t for
+        # a vector t): the round-4 CH profile attributes ~10 ms/ep of
+        # (L, m, m) layout copies to {0,2,1}-transposed consumers of X
+        # around the guard conds (profile_ch_final.log; the cond-slim
+        # 'blocked2' attempt did NOT remove them). Same dot, same
+        # precision scope — only the HLO dimension numbers change.
+        # SPADOT_SVGP_XLAYOUT=0 restores the transposed forms (A/B arm).
+        if _X_PRODUCED_LAYOUT:
+            p_m = ratio * (t @ S)
+        else:
+            p_m = ratio * (S.T @ t)
         diag_Snn = jnp.sum(S * S, axis=0)
         p_v = K_nn - diag_Qnn + diag_Snn
         p_v = jnp.maximum(p_v, 1e-10)  # guard for the sqrt in sampling
         # mu_hat (svgp.py:81-82); A_hat = Cᵀ B⁻¹ C
-        mu_hat = ratio * (C.T @ (Lb_inv.T @ t))  # ratio·K_mm Σ̃⁻¹ rhs (m,)
+        if _X_PRODUCED_LAYOUT:
+            # (t @ Lb_inv) @ C == C.T @ (Lb_invᵀ @ t), X read row-major
+            mu_hat = ratio * ((t @ Lb_inv) @ C)
+        else:
+            mu_hat = ratio * (C.T @ (Lb_inv.T @ t))  # ratio·K_mm Σ̃⁻¹ rhs
         # KL term (svgp.py:86-94); tr(K̃⁻¹ A_hat) = tr(M B⁻¹ M) = ‖R‖²_F
         if have_bt:
             # determinant-lemma form of the reference's jittered logdet
