@@ -1259,11 +1259,17 @@ _FLASH3BB_CACHE = {}
 
 
 def flash3b_batched_gat_supported(TI=TILE3_I, Wb=3 * TILE3_I, F=512, H=4):
-    """Probe whether the nb-batched banded kernels compile AND run fwd+bwd
-    on this backend at THIS band shape (the `None`-squeezed leading block
-    dim and the 3-d grids must lower; a failure degrades the extraction to
-    the sequential per-closure scan, never a mid-training crash). Mirrors
-    `flash3b_gat_supported`; nb is fixed small — per-step VMEM is
+    """Probe whether the nb-batched banded FORWARD compiles and computes
+    the per-closure kernel's values on this backend at THIS band shape
+    (the `None`-squeezed leading block dim and the 3-d grid must lower; a
+    failure degrades the extraction to the sequential per-closure scan,
+    never a mid-training crash). Forward-only by design: the batched
+    kernel's sole consumer is the latent extraction / KMeans refresh,
+    which never differentiates through it (train/loop.py), so a
+    backward-only lowering failure must not veto the forward win — the
+    backward math itself is certified in interpret mode
+    (tests/test_pallas.py:test_flash3b_batched_matches_per_closure).
+    Mirrors `flash3b_gat_supported`; nb is fixed small — per-step VMEM is
     nb-independent."""
     backend = jax.default_backend()
     key = (backend, TI, Wb, F, H)
@@ -1290,15 +1296,8 @@ def flash3b_batched_gat_supported(TI=TILE3_I, Wb=3 * TILE3_I, F=512, H=4):
         adjb = jnp.asarray(adjb)
         for dt in (jnp.bfloat16, jnp.float32):
             wxp = jnp.asarray(rs.normal(size=(nb, H, Pp, F)), dt)
-
-            def loss(ed, esp, wxp):
-                return jnp.sum(_flash3b_core_batched(ed, esp, adjb, wxp))
-
-            v, grads = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))(
-                ed, esp, wxp
-            )
-            jax.block_until_ready(v)
             out_b = jax.jit(_flash3b_core_batched)(ed, esp, adjb, wxp)
+            jax.block_until_ready(out_b)
             out_s = jnp.stack([
                 jax.jit(_flash3b_core)(ed[b], esp[b], adjb[b], wxp[b])
                 for b in range(nb)
