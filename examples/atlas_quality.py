@@ -86,6 +86,44 @@ def main():
     seeds = [int(s) for s in os.environ.get(
         "SPADOT_SEEDS", str(cfg["seed"])).split(",")]
 
+    if len(seeds) > 1:
+        # one SUBPROCESS per seed: at 2x102k spots a second in-process
+        # train hits TPU RESOURCE_EXHAUSTED (the first run's device
+        # buffers outlive it through jit caches / allocator
+        # fragmentation — observed 2026-08-20, quality_atlas_3seed.log
+        # seed 2). Each child re-pays prepare_data but compiles warm from
+        # the persistent cache; the parent parses and summarizes.
+        import re
+        import subprocess
+
+        means, finites = [], []
+        for seed in seeds:
+            env = dict(os.environ)
+            env["SPADOT_SEEDS"] = str(seed)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+                env=env, capture_output=True, text=True,
+            )
+            sys.stdout.write(proc.stdout)
+            sys.stderr.write(proc.stderr[-4000:])
+            if proc.returncode != 0:
+                print(f"seed {seed}: FAILED rc={proc.returncode}", flush=True)
+                continue
+            m = re.search(r"mean domain ARI: ([0-9.]+)", proc.stdout)
+            f = re.search(r"finite: (True|False)", proc.stdout)
+            if m:
+                means.append(float(m.group(1)))
+                finites.append(f and f.group(1) == "True")
+        print(f"\n=== atlas-scale quality across {len(means)}/{len(seeds)} "
+              f"seed(s) ({n_tp} tps x {n} spots, {genes} genes, {epochs} "
+              f"epochs) ===")
+        print(f"per-seed mean domain ARI: {np.round(means, 4).tolist()}   "
+              f"all finite: {all(finites) if finites else False}")
+        if len(means) > 1:
+            print(f"mean ARI: {np.mean(means):.4f} ± "
+                  f"{np.std(means, ddof=1):.4f}")
+        sys.exit(0 if len(means) == len(seeds) else 1)
+
     def one_seed(seed):
         scfg = dict(cfg)
         scfg["seed"] = seed

@@ -96,3 +96,9 @@ run_step quality_atlas_3seed_m600 timeout 14400 \
 # layout by default; the env arm restores the transposed pre-r5 forms.
 run_step bench_ch_xlayout_off timeout 7200 \
   env SPADOT_SVGP_XLAYOUT=0 python bench.py
+
+# --- appended 2026-08-20n: atlas 3-seed RETRY under subprocess-per-seed
+# (the in-process seed loop OOM'd the TPU on seed 2 — see the v1 log,
+# which keeps seed 1993's 0.8871; this re-runs all three isolated).
+run_step quality_atlas_3seed_v2 timeout 14400 \
+  env SPADOT_SEEDS=1993,7,42 python examples/atlas_quality.py
