@@ -542,74 +542,40 @@ class Trainer:
         (gat_ext_kernel_batch): banded static-adjacency tables run the nb
         axis inside the flash3b kernel grid
         (ops/gat_flash.py:gat_attention_banded_flash_batched) with the Wx
-        projections as single large GEMMs. 'auto' = banded tables on TPU
-        with a passing lowering probe, chunk sized by
-        gat_ext_vmap_budget_mb; an explicit integer forces the chunk
-        (tests / A/B arms); 0/off disables (sequential scan or, for dense
+        projections as single large GEMMs. MEASURED DEAD END at the only
+        scale with banded tables (see the auto comment below) — 'auto'
+        resolves 0; an explicit integer forces the chunk (tests / A/B
+        reproduction); 0/off disables (sequential scan or, for dense
         tables, the vmap path)."""
         val = str(self.gat_ext_kernel_batch_cfg).lower()
         if val in ("0", "off", "false", "none", "1"):
             return 0
-        nb_max = p_max = g_max = 0
-        band_shape = None
+        nb_max = 0
         for tp in self.timepoints:
             d = data["tp_data"][tp]
             if "ext_idx" not in d or "ext_adj" not in d:
                 return 0
-            ea = np.asarray(d["ext_adj"])
-            if ea.ndim != 4:
+            if np.asarray(d["ext_adj"]).ndim != 4:
                 return 0  # dense closures: the chunked vmap won at CH
             nb_max = max(nb_max, int(d["ext_idx"].shape[0]))
-            p_max = max(p_max, int(d["ext_idx"].shape[1]))
-            g_max = max(g_max, int(d["Y"].shape[1]))
-            band_shape = ea.shape[1:]
         if val != "auto":
+            # explicit integer forces the chunk on any backend (the
+            # GATLayer batched branch falls back to the vmapped XLA
+            # banded path when the fused kernel is unsupported)
             return max(0, min(int(self.gat_ext_kernel_batch_cfg), nb_max))
-        if self.jax.default_backend() != "tpu":
-            return 0
-        from spadot_tpu.ops.gat_flash import (
-            banded_flash_eligible, flash3b_batched_gat_supported,
-        )
-
-        hidden = int(self.net.gat_encoder_hidden)
-        heads = int(self.net.gat_attention_heads)
-        if not (
-            hidden % 128 == 0
-            and banded_flash_eligible(band_shape)
-            and flash3b_batched_gat_supported(
-                TI=band_shape[1], Wb=band_shape[2], F=hidden, H=heads
-            )
-        ):
-            logger.info(
-                "gat_ext_kernel_batch auto: OFF (batched banded kernel "
-                "unsupported at band shape %s)", band_shape,
-            )
-            return 0
-        ni, TI, Wb = band_shape
-        hf = hidden * heads
-        pp = p_max + 2 * ((Wb - TI) // 2)
-        # live set per closure: gathered rows + 3 layers' activations +
-        # the padded (H, Pp, F) stream + the int8 band
-        per = (
-            p_max * g_max * 4 + 3 * p_max * hf * 4 + pp * hf * 4
-            + p_max * Wb
-        )
-        c = int(self.gat_ext_vmap_budget_mb * 1e6 // max(per, 1))
-        c = max(1, min(c, nb_max))
-        if c <= 1:
-            logger.info(
-                "gat_ext_kernel_batch auto: OFF (~%d MB/closure exceeds "
-                "budget)", per // 1_000_000,
-            )
-            return 0
-        # balance the chunks (same rule as the vmap resolver)
-        nc = -(-nb_max // c)
-        c = -(-nb_max // nc)
-        logger.info(
-            "gat_ext_kernel_batch auto: chunk=%d (nb=%d, P=%d, G=%d, "
-            "~%d MB/closure)", c, nb_max, p_max, g_max, per // 1_000_000,
-        )
-        return c
+        # auto = OFF, measured (2026-08-20, one window, atlas 2x102,400 /
+        # batch 4096 / banded P=7680): kernel-batched extraction at the
+        # auto chunk 4 measured 1.9259 s/ep vs 1.525 for the same code
+        # with the sequential scan (bench_atlas_flash3bb.log vs
+        # bench_atlas_kbatch0.log) — +25%, WORSE than even the vmap dead
+        # end's ratio. Mechanism: the atlas extraction scan is WORK-bound
+        # (closure gathers + first-layer GEMMs + banded kernels are ~90%
+        # of its 100.7 ms/ep), not dispatch-glue-bound like the CH/mouse
+        # dense scans, so batching only multiplies the live working set
+        # (~363 MB/chunk-step) and degrades overlap. Banded tables only
+        # exist at these scales, so auto never engages; an explicit
+        # integer reproduces the arm.
+        return 0
 
     def _latent_impl(self, variables, tp_dev, svgp_state, ext_tables=None):
         from spadot_tpu.models.model import full_latent, full_latent_ext
