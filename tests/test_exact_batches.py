@@ -371,6 +371,7 @@ def test_full_latent_ext_vmap_banded_matches_scan():
         )
 
 
+@pytest.mark.slow  # default-off path (gat_ext_kernel_batch auto=off — measured dead end)
 def test_full_latent_ext_kernel_batch_matches_scan():
     """The nb-BATCHED-kernel closure extraction (full_latent_ext
     kernel_batch>1, banded static adjacencies) must reproduce the
@@ -408,6 +409,7 @@ def test_full_latent_ext_kernel_batch_matches_scan():
             )
 
 
+@pytest.mark.slow  # default-off path (gat_ext_kernel_batch auto=off — measured dead end)
 def test_ext_kernel_batch_resolution():
     """gat_ext_kernel_batch knob plumbing: explicit int forces the chunk
     (clamped to nb) on any backend for BANDED tables; dense tables and
