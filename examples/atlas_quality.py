@@ -109,7 +109,7 @@ def main():
             if proc.returncode != 0:
                 print(f"seed {seed}: FAILED rc={proc.returncode}", flush=True)
                 continue
-            m = re.search(r"mean domain ARI: ([0-9.]+)", proc.stdout)
+            m = re.search(r"mean domain ARI: (-?[0-9.]+)", proc.stdout)
             f = re.search(r"finite: (True|False)", proc.stdout)
             if m:
                 means.append(float(m.group(1)))

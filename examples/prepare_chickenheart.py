@@ -5,8 +5,9 @@ Capability parity with the reference's dataset-assembly side artifact
 GSE149457 spatial RNA-seq 10x Genomics HDF5 matrices (D4/D7/D10/D14),
 attach the Visium tissue-position pixel coordinates, concatenate with
 timepoints 0..3, rotate the pixel coordinates so the sections align
-across timepoints (swap x/y for D7/D10/D14; negate both for D4 — same
-orientation rule as the reference), and write `ChickenHeart.h5ad` in the
+across timepoints ((x, y) <- (pixel_y, pixel_x) for D7/D10/D14;
+(x, y) <- (-pixel_y, -pixel_x) for D4 — the reference's orientation
+rule), and write `ChickenHeart.h5ad` in the
 schema the `SpaDOT preprocess` stage expects (`obs['timepoint']`,
 `obsm['spatial']`, integer counts in X). A per-timepoint QC scatter of
 the rotated coordinates is saved alongside.
@@ -52,6 +53,12 @@ def read_10x_h5(path):
     import h5py
 
     with h5py.File(path, "r") as f:
+        if "matrix" not in f or "features" not in f["matrix"]:
+            raise ValueError(
+                f"{path}: not a CellRanger v3 HDF5 matrix (need "
+                "/matrix/features) — the GSE149457 files are v3; convert "
+                "older layouts first"
+            )
         g = f["matrix"]
         n_genes, n_cells = g["shape"][:]
         m = sp.csc_matrix(
@@ -59,8 +66,7 @@ def read_10x_h5(path):
             shape=(n_genes, n_cells),
         )
         barcodes = [b.decode() for b in g["barcodes"][:]]
-        feat = g["features"] if "features" in g else g
-        names = [b.decode() for b in feat["name"][:]]
+        names = [b.decode() for b in g["features"]["name"][:]]
     return m.T.tocsr(), barcodes, names
 
 
@@ -141,6 +147,7 @@ def main():
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        plot_dir = os.path.dirname(os.path.abspath(out))
         for t in sorted(set(tp.tolist())):
             rows = tp == t
             plt.figure(figsize=(6, 6))
@@ -148,7 +155,9 @@ def main():
             plt.title(f"Timepoint {t}")
             plt.xlabel("Pixel X")
             plt.ylabel("Pixel Y")
-            plt.savefig(f"spatial_coordinates_{t}.png")
+            plt.savefig(
+                os.path.join(plot_dir, f"spatial_coordinates_{t}.png")
+            )
             plt.close()
     except Exception as e:  # pragma: no cover - plotting is best-effort QC
         print(f"QC plots skipped: {e}")

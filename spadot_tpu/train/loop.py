@@ -148,8 +148,8 @@ class Trainer:
         # flash3b kernel grid itself (ops/gat_flash.py flash3bb) instead of
         # jax-level vmap — the round-4 vmap arm REGRESSED on banded tables
         # (2x146 vs 201 ms/ep at atlas) from op-level batching glue; this
-        # is the round-5 kernel-grid form the backlog named. Banded static
-        # adjacencies + TPU only; shares gat_ext_vmap_budget_mb.
+        # is the round-5 kernel-grid form the backlog named — measured
+        # dead end at atlas (auto=off; see _resolve_ext_kernel_batch).
         self.gat_ext_kernel_batch_cfg = model_config.get(
             "gat_ext_kernel_batch", "auto"
         )

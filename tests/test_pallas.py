@@ -1,5 +1,7 @@
 """Pallas kernels (interpret mode on CPU) vs their XLA references."""
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -354,6 +356,7 @@ def test_flash3b_banded_gat_matches_xla_banded(rng):
         gat_flash.INTERPRET = False
 
 
+@pytest.mark.slow  # default-off path (gat_ext_kernel_batch auto=off — measured dead end)
 def test_flash3b_batched_matches_per_closure(rng):
     """nb-batched banded kernel (flash3bb, interpret mode) vs a python loop
     of the per-closure fused wrapper: outputs bit-identical, gradients to
