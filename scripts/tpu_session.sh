@@ -102,3 +102,19 @@ run_step bench_ch_xlayout_off timeout 7200 \
 # which keeps seed 1993's 0.8871; this re-runs all three isolated).
 run_step quality_atlas_3seed_v2 timeout 14400 \
   env SPADOT_SEEDS=1993,7,42 python examples/atlas_quality.py
+
+# --- appended 2026-08-20o: complete the CH 2x2 (bt x xlayout) factorial —
+# both-off = round-4-equivalent code in THIS window (disambiguates window
+# drift from the xlayout effect).
+run_step bench_ch_r4equiv timeout 7200 \
+  env SPADOT_SVGP_XLAYOUT=0 BENCH_CFG='{"svgp_bt_shared": false}' python bench.py
+run_step bench_mouse_xlayout_off timeout 7200 \
+  env BENCH_MODE=mouse SPADOT_SVGP_XLAYOUT=0 python bench.py
+
+# --- appended 2026-08-20p: post-flip confirms (xlayout default reverted
+# to the transposed forms after it measured +5% at CH) — atlas + CH heads
+# at the final round-5 defaults (bt_shared on, xlayout off, kernel_batch
+# off).
+run_step bench_atlas_r5final timeout 7200 env BENCH_MODE=atlas python bench.py
+run_step bench_ch_r5final timeout 7200 python bench.py
+run_step bench_mouse_r5final timeout 7200 env BENCH_MODE=mouse python bench.py

@@ -26,10 +26,16 @@ from jax.scipy.linalg import cho_solve, cholesky, solve_triangular
 
 from spadot_tpu.ops.kernels import kernel_diag, kernel_matrix
 
-# diagnostic A/B toggle (docs/tpu_logs/bench_ch_xlayout*.log): read the
-# per-dim factors in their produced layout (default) vs the transposed
-# pre-round-5 forms — see the per_dim comments in _svgp_batch_terms_impl
-_X_PRODUCED_LAYOUT = os.environ.get("SPADOT_SVGP_XLAYOUT", "1") != "0"
+# diagnostic A/B toggle: SPADOT_SVGP_XLAYOUT=1 reads the per-dim factors
+# in their produced layout (t @ A forms) instead of the transposed ones —
+# the round-5 bounded attempt at the CH (L, m, m) layout copies. MEASURED
+# DEAD END at CH (2026-08-20 one-window factorial, bt_shared on in both):
+# produced-layout 0.1124 vs transposed 0.1070 s/ep
+# (bench_ch_r5head.log vs bench_ch_xlayout_off.log) — the t @ A rewrite
+# changed which operand XLA re-lays-out and LOST ~5%; the ~10 ms/ep of
+# copies named in profile_ch_final.log are cheaper than the alternative.
+# Default stays the transposed pre-r5 forms; see per_dim comments.
+_X_PRODUCED_LAYOUT = os.environ.get("SPADOT_SVGP_XLAYOUT", "0") == "1"
 
 LOG_2PI = 1.8378770664093453
 
