@@ -75,9 +75,10 @@ class SpaDOTNet(nn.Module):
     svgp_chol_backend: str = "auto"
     # form B̃ from the shared per-dim W = (U·prec)Uᵀ gemm (E⁻¹WE⁻ᵀ) instead
     # of a second highest-pinned (m, b)·(b, m) gemm per latent dim —
-    # mathematically identical (ops/svgp.py derivation); False restores
-    # the direct V-forming arm for A/Bs.
-    svgp_bt_shared: bool = True
+    # mathematically identical (ops/svgp.py derivation). "auto" (default)
+    # = shared iff b > 2m, the measured MAC crossover (atlas shared −5%,
+    # CH shared +1.4%); True/False pin an arm.
+    svgp_bt_shared: Any = "auto"
 
     def setup(self):
         self.svgp_z_dim = self.z_dim // 2
@@ -169,7 +170,7 @@ def build_net(model_config: Dict[str, Any]) -> SpaDOTNet:
         svgp_chol_backend=str(
             model_config.get("svgp_chol_backend", "auto")
         ),
-        svgp_bt_shared=bool(model_config.get("svgp_bt_shared", True)),
+        svgp_bt_shared=model_config.get("svgp_bt_shared", "auto"),
     )
 
 

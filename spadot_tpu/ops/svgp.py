@@ -582,7 +582,7 @@ def svgp_batch_terms(
     kernel_scale=0.1, jitter=1e-2, kernel_type="Gaussian",
     m_mask=None, kl_const=0.0, matmul_precision="highest",
     L_inv=None, C=None, M=None, Kt_inv=None, F=None, logdet_CCj=None,
-    chol_backend="auto", bt_shared=True,
+    chol_backend="auto", bt_shared="auto",
 ):
     """Posterior means/vars and ELBO terms for one batch, all latent dims.
 
@@ -617,7 +617,7 @@ def svgp_batch_terms(
             kernel_scale, jitter, kernel_type, m_mask, kl_const,
             L_inv, C, M, Kt_inv, F, logdet_CCj,
             chol_mode=_resolve_chol_backend(str(chol_backend)),
-            bt_shared=bool(bt_shared),
+            bt_shared=bt_shared,
         )
 
 
@@ -625,8 +625,17 @@ def _svgp_batch_terms_impl(
     x, qnet_mu, qnet_var, mask, N_train, Z, K_mm, L_mm,
     kernel_scale, jitter, kernel_type, m_mask=None, kl_const=0.0,
     L_inv=None, C=None, M=None, Kt_inv=None, F=None, logdet_CCj=None,
-    chol_mode="xla", bt_shared=True,
+    chol_mode="xla", bt_shared="auto",
 ):
+    # W-shared B̃ forming trades the direct (m, b)·(b, m) per-dim gemm for
+    # two (m, m) gemms at the same 'highest' pin, so it wins on MACs iff
+    # b > 2m — measured both ways one-window 2026-08-20/21: atlas
+    # (b=4096, m=605) −5% in the shared bundle (bench_atlas_kbatch0.log
+    # vs the 1.6049 baseline) but CH (b=512, m=321) +1.4% shared
+    # (bench_ch_xlayout_off.log 0.1070 vs bench_ch_r4equiv.log 0.1055).
+    # "auto" applies exactly that static-shape rule; booleans pin.
+    if bt_shared == "auto":
+        bt_shared = x.shape[0] > 2 * Z.shape[0]
     m = Z.shape[0]
     b_eff = jnp.maximum(jnp.sum(mask), 1.0)
     ratio = N_train / b_eff
