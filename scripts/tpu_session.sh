@@ -118,3 +118,9 @@ run_step bench_mouse_xlayout_off timeout 7200 \
 run_step bench_atlas_r5final timeout 7200 env BENCH_MODE=atlas python bench.py
 run_step bench_ch_r5final timeout 7200 python bench.py
 run_step bench_mouse_r5final timeout 7200 env BENCH_MODE=mouse python bench.py
+
+# --- appended 2026-08-21a: composite 5-seed quality anchor at the FINAL
+# round-5 HEAD (the standing fast-vs-parity study at CH shape — the
+# round-5 analogue of quality_r4_composite_5seed.log).
+run_step quality_r5_composite_5seed timeout 14400 \
+  python examples/quality_multiseed.py
