@@ -124,3 +124,9 @@ run_step bench_mouse_r5final timeout 7200 env BENCH_MODE=mouse python bench.py
 # round-5 analogue of quality_r4_composite_5seed.log).
 run_step quality_r5_composite_5seed timeout 14400 \
   python examples/quality_multiseed.py
+
+# --- appended 2026-08-21b: full-graph extraction arm at atlas (the
+# closure-batched refresh re-projects ~1.9x the rows there; the
+# windowed-gather full pass was never re-measured after banding landed).
+run_step bench_atlas_extfull timeout 7200 \
+  env BENCH_MODE=atlas BENCH_CFG='{"latent_ext_mode": "full"}' python bench.py

@@ -154,6 +154,21 @@ class Trainer:
             "gat_ext_kernel_batch", "auto"
         )
         self.ext_kernel_batch = 0  # resolved below once ext shapes are known
+        # latent-extraction GAT mode (config.yaml latent_ext_mode):
+        # "auto"/"closure" = closure-batched full_latent_ext when ext
+        # tables exist (the default since round 3); "full" = one
+        # full-graph pass per timepoint (full_latent — the windowed-gather
+        # aggregation path at large n). The closure form re-projects
+        # ~P/b x the rows (P=7680 per 4096-row batch at atlas), so the
+        # full pass does ~1.9x less layer-1 GEMM work there — A/B arm.
+        self.latent_ext_mode = str(
+            model_config.get("latent_ext_mode", "auto")
+        ).lower()
+        if self.latent_ext_mode not in ("auto", "closure", "full"):
+            raise ValueError(
+                f"latent_ext_mode={self.latent_ext_mode!r} — expected "
+                "auto | closure | full"
+            )
         # precomputed K̃-constant gemm solves (ops/svgp.py:svgp_shared);
         # false = per-step solve_triangular fallback (config.yaml)
         self.svgp_gemm_solves = bool(model_config.get("svgp_gemm_solves", True))
@@ -582,6 +597,8 @@ class Trainer:
 
         # row_mask present when tp_dev is a row-padded view of the fused
         # stack: padded rows must not enter the SVGP posterior or n_eff
+        if self.latent_ext_mode == "full":
+            ext_tables = None  # full-graph pass (values identical)
         if ext_tables is not None:
             # receptive-closure GAT (proven equal to full-graph at the
             # batch rows) — the closures run the fused dense kernels where
@@ -1110,7 +1127,7 @@ class Trainer:
             tp_data, svgp_state = self._tp_slice(stacked, i)
             dyn = lambda a: lax.dynamic_index_in_dim(a, i, keepdims=False)
             row_mask = dyn(stacked["row_mask"])
-            if "ext_idx" in stacked:
+            if "ext_idx" in stacked and self.latent_ext_mode != "full":
                 # closure-batched GAT: the fused dense kernels instead of the
                 # 100k-row gather path (identical latents — see
                 # full_latent_ext); sentinel batches only write rows past

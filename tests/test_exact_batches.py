@@ -371,6 +371,22 @@ def test_full_latent_ext_vmap_banded_matches_scan():
         )
 
 
+def test_latent_ext_mode_full_matches_closure():
+    """latent_ext_mode=full routes extraction through the full-graph
+    full_latent pass (identical values — closures are exact); the knob
+    must also validate."""
+    t_c, _ = _setup()
+    t_f, _ = _setup(latent_ext_mode="full")
+    v, _ = t_c.init_state(jax.random.PRNGKey(0))
+    for tp in (0, 1):
+        np.testing.assert_allclose(
+            np.asarray(t_f.latent(v, tp)), np.asarray(t_c.latent(v, tp)),
+            rtol=2e-5, atol=1e-6,
+        )
+    with pytest.raises(ValueError, match="latent_ext_mode"):
+        _setup(latent_ext_mode="bogus")
+
+
 @pytest.mark.slow  # default-off path (gat_ext_kernel_batch auto=off — measured dead end)
 def test_full_latent_ext_kernel_batch_matches_scan():
     """The nb-BATCHED-kernel closure extraction (full_latent_ext
