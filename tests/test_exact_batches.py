@@ -371,6 +371,7 @@ def test_full_latent_ext_vmap_banded_matches_scan():
         )
 
 
+@pytest.mark.slow  # opt-in path (latent_ext_mode: full is an unmeasured A/B arm)
 def test_latent_ext_mode_full_matches_closure():
     """latent_ext_mode=full routes extraction through the full-graph
     full_latent pass (identical values — closures are exact); the knob
